@@ -1,0 +1,310 @@
+"""Operator query registry: Ray pipelines + DuckDB oracle SQL twins.
+
+Each entry demonstrates one operator family from SURVEY.md §2 over the
+driver's parquet tables (events / documents / embeddings / TPC-H-ish).
+The transcript-domain queries run over a deterministic derivation of the
+``events`` table into the canonical transcript shape
+(sources/transcripts.py:TRANSCRIPTS_SQL_CTE) so both sides see identical
+input and the driver's value-hash comparison is exact.
+
+Float policy: measures that are sums/avgs of *integers* (text lengths,
+counts) are exact in float64 on both sides — no rounding. Sums of decimal
+``value`` are rounded to 6 digits on both sides to absorb summation-order
+ULP noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import schema as S
+from ..sources.transcripts import (
+    TRANSCRIPTS_SQL_CTE,
+    read_events_as_transcripts,
+)
+from ..stages.featurize import GoldConfig, gold_features_partition, dedup_first
+from ..stages.keyed import map_partitions_by_key
+from ..functions import windows as W
+
+NUM_PARTS = 16  # hash partitions for sf-scale correctness runs
+
+EVENT_ROLES = ("click", "purchase")  # per-role rolling-count analog on events
+
+
+# --------------------------------------------------------------------------
+# gold_features — the flagship fused pass (W1-W5, B10, B11, B13, M5-M7)
+# --------------------------------------------------------------------------
+
+def q_gold_features(sf_dir: str):
+    ds = read_events_as_transcripts(sf_dir)
+    cfg = GoldConfig(
+        compute_turn_idx=True,
+        tiebreak_col="event_id",
+        dedup=False,
+        role_counts=EVENT_ROLES,
+    )
+    return map_partitions_by_key(
+        ds,
+        "conv_id",
+        lambda t: gold_features_partition(t, cfg),
+        num_parts=NUM_PARTS,
+    )
+
+
+GOLD_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE},
+f AS (
+    SELECT
+        conv_id, turn_idx, role, tool, text, ts,
+        strftime(ts, '%Y-%m-%d') AS dt,
+        CAST(epoch_us(ts) AS DOUBLE) / 1000000 AS event_time,
+        count(*) OVER w1h AS turns_1h,
+        CAST(sum(length(text)) OVER w1h AS DOUBLE) AS chars_1h,
+        count(DISTINCT tool) OVER w24h AS tool_count_24h,
+        CAST(sum(length(text)) OVER w7d AS DOUBLE)
+            / count(*) OVER w7d AS avg_chars_7d,
+        count(CASE WHEN role = 'click' THEN 1 END) OVER w1h AS click_turns_1h,
+        count(CASE WHEN role = 'purchase' THEN 1 END) OVER w1h AS purchase_turns_1h,
+        lag(ts) OVER wo AS lag1_ts,
+        lead(ts) OVER wo AS lead1_ts,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER wo AS gap_us
+    FROM transcripts
+    WINDOW
+        w1h AS (PARTITION BY conv_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+        w24h AS (PARTITION BY conv_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW),
+        w7d AS (PARTITION BY conv_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW),
+        wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sess AS (
+    SELECT *,
+        CAST(gap_us AS DOUBLE) / 1000000 AS gap_s,
+        CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {S.SESSION_GAP_US} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+    FROM f
+)
+SELECT
+    conv_id, turn_idx, role, tool, text, ts, dt, event_time,
+    turns_1h, chars_1h, tool_count_24h, avg_chars_7d,
+    click_turns_1h, purchase_turns_1h,
+    lag1_ts, lead1_ts, gap_s, session_id,
+    CAST(row_number() OVER (PARTITION BY conv_id, session_id
+                            ORDER BY ts, turn_idx) - 1 AS INTEGER)
+        AS session_turn_idx
+FROM sess
+"""
+
+
+# --------------------------------------------------------------------------
+# rolling_windows — W2-W5 directly over events (user_id keyed)
+# --------------------------------------------------------------------------
+
+def q_rolling_windows(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "cnt_1h": pa.array([], pa.int64()),
+                    "sum_value_1h": pa.array([], pa.float64()),
+                    "types_24h": pa.array([], pa.int64()),
+                    "avg_value_7d": pa.array([], pa.float64()),
+                }
+            )
+        uid = np.asarray(tbl["user_id"].combine_chunks())
+        ts = np.asarray(tbl["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(tbl["event_id"].combine_chunks())
+        order = np.lexsort((eid, ts, uid))
+        tbl = tbl.take(pa.array(order))
+        uid, ts = uid[order], ts[order]
+        seg_start = W.segment_starts(uid)
+        seg_id = W.segment_ids(seg_start)
+        ts_adj = W.adjusted_ts(ts, seg_id, S.D7)
+        l1, r1 = W.trailing_bounds(ts_adj, S.H1)
+        l24, r24 = W.trailing_bounds(ts_adj, S.H24)
+        l7, r7 = W.trailing_bounds(ts_adj, S.D7)
+        val = np.asarray(tbl["value"].combine_chunks())
+        et = tbl["event_type"].combine_chunks()
+        codes = np.asarray(pc.dictionary_encode(et).indices).astype(np.int64)
+        valid = np.asarray(pc.is_valid(et))
+        cnt7 = W.windowed_count(l7, r7)
+        return pa.table(
+            {
+                "event_id": tbl["event_id"],
+                "user_id": tbl["user_id"],
+                "ts": tbl["ts"],
+                "cnt_1h": pa.array(W.windowed_count(l1, r1)),
+                "sum_value_1h": pa.array(
+                    np.round(W.windowed_sum(val, l1, r1), 6)
+                ),
+                "types_24h": pa.array(W.windowed_distinct(codes, valid, l24, r24)),
+                "avg_value_7d": pa.array(
+                    np.round(W.windowed_sum(val, l7, r7) / cnt7, 6)
+                ),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", fn, num_parts=NUM_PARTS)
+
+
+ROLLING_SQL = """
+SELECT
+    event_id, user_id, ts,
+    count(*) OVER w1h AS cnt_1h,
+    ROUND(sum(value) OVER w1h, 6) AS sum_value_1h,
+    count(DISTINCT event_type) OVER w24h AS types_24h,
+    ROUND(avg(value) OVER w7d, 6) AS avg_value_7d
+FROM events
+WINDOW
+    w1h AS (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+    w24h AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW),
+    w7d AS (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# silver_normalize — M1+M2+M3+M12: window filter, validity, domain predicate
+# --------------------------------------------------------------------------
+
+WINDOW_START = "2024-01-05 00:00:00"
+WINDOW_END = "2024-01-20 00:00:00"
+
+
+def q_silver_normalize(sf_dir: str):
+    ds = read_events_as_transcripts(sf_dir)
+    lo = pa.scalar(pd.Timestamp(WINDOW_START), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(WINDOW_END), pa.timestamp("us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(ts, lo), pc.less_equal(ts, hi)),
+            pc.and_(
+                pc.is_valid(t["conv_id"]),
+                pc.greater(pc.utf8_length(t["text"]), 0),
+            ),
+        )
+        out = t.filter(mask)
+        return out.select(["conv_id", "role", "text", "tool", "ts", "event_id"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SILVER_NORMALIZE_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE}
+SELECT conv_id, role, text, tool, ts, event_id
+FROM transcripts
+WHERE ts >= TIMESTAMP '{WINDOW_START}' AND ts <= TIMESTAMP '{WINDOW_END}'
+  AND conv_id IS NOT NULL AND length(text) > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_exact — D1: deterministic keep-first per key
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return dedup_first(t, ["user_id", "event_type"], ["ts", "event_id"])
+
+    return map_partitions_by_key(ds, "user_id", fn, num_parts=NUM_PARTS)
+
+
+DEDUP_EXACT_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionize — B11 standalone (also inside gold_features)
+# --------------------------------------------------------------------------
+
+def q_sessionize(sf_dir: str):
+    gold = q_gold_features(sf_dir)
+    return gold.select_columns(
+        ["conv_id", "turn_idx", "ts", "gap_s", "session_id", "session_turn_idx"]
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE},
+g AS (
+    SELECT conv_id, turn_idx, ts,
+        epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gap_us
+    FROM transcripts
+),
+s AS (
+    SELECT *,
+        CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {S.SESSION_GAP_US} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+    FROM g
+)
+SELECT conv_id, turn_idx, ts,
+    CAST(gap_us AS DOUBLE) / 1000000 AS gap_s,
+    session_id,
+    CAST(row_number() OVER (PARTITION BY conv_id, session_id
+                            ORDER BY ts, turn_idx) - 1 AS INTEGER)
+        AS session_turn_idx
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# lag_lead — B10 standalone
+# --------------------------------------------------------------------------
+
+def q_lag_lead(sf_dir: str):
+    gold = q_gold_features(sf_dir)
+    return gold.select_columns(["conv_id", "turn_idx", "ts", "lag1_ts", "lead1_ts"])
+
+
+LAG_LEAD_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE}
+SELECT conv_id, turn_idx, ts,
+    lag(ts) OVER wo AS lag1_ts,
+    lead(ts) OVER wo AS lead1_ts
+FROM transcripts
+WINDOW wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "gold_features": (q_gold_features, GOLD_SQL),
+    "rolling_windows": (q_rolling_windows, ROLLING_SQL),
+    "silver_normalize": (q_silver_normalize, SILVER_NORMALIZE_SQL),
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "lag_lead": (q_lag_lead, LAG_LEAD_SQL),
+}

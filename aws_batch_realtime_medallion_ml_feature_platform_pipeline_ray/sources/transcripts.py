@@ -1,0 +1,217 @@
+"""Transcript table sources.
+
+Two ways to obtain the canonical transcript table
+``(conv_id, turn_idx, role, text, tool, ts)`` (BASELINE.json input_hint):
+
+1. :func:`events_to_transcripts` — a deterministic derivation from the
+   driver's ``events`` table (event_id, ts, user_id, event_type, value,
+   props). The same derivation is expressed in SQL
+   (:data:`TRANSCRIPTS_SQL_CTE`) so every windowed operator has a DuckDB
+   oracle with value-hash parity. ``turn_idx`` (a per-conversation
+   row_number) is computed inside the keyed pass, not here.
+
+2. :func:`generate_transcripts` — a seeded synthetic generator (Zipf
+   conversation sizes, duplicate/late/null/empty injections per
+   FIXTURES.md §6) used by pytest adversarial tests and the benchmark.
+   Analog of the reference's sample-data prep script
+   (``scripts/transform_and_prepare_sample_data.py:117-172``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import schema as S
+
+# The SQL twin of events_to_transcripts(); every transcript-domain oracle
+# query starts with this CTE. Ordering/tiebreak: (ts, event_id).
+TRANSCRIPTS_SQL_CTE = """
+transcripts AS (
+    SELECT
+        'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+        event_type AS role,
+        props AS text,
+        CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS tool,
+        ts,
+        event_id
+    FROM events
+)
+"""
+
+
+def events_batch_to_transcripts(batch: pa.Table) -> pa.Table:
+    """Vectorized per-batch map: events columns → transcript columns
+    (without turn_idx — derived later in the keyed pass, ordered by
+    (ts, event_id))."""
+    user = batch["user_id"]
+    conv_id = pc.binary_join_element_wise(
+        pa.scalar("conv_"), pc.cast(user, pa.string()), ""
+    )
+    et = batch["event_type"]
+    tool = pc.if_else(pc.equal(et, "error"), pa.scalar(None, pa.string()), et)
+    return pa.table(
+        {
+            "conv_id": conv_id,
+            "role": et,
+            "text": batch["props"],
+            "tool": tool,
+            "ts": batch["ts"],
+            "event_id": batch["event_id"],
+        }
+    )
+
+
+def read_events_as_transcripts(sf_dir: str):
+    """events parquet → transcript Dataset (columns pruned at the read)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    )
+    return ds.map_batches(
+        events_batch_to_transcripts, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+ROLE_P = np.array([0.42, 0.42, 0.06, 0.10])
+_WORDS = np.array(
+    "the quick brown fox jumps over lazy dog stream batch window feature "
+    "gold silver bronze conv turn agent tool model data ray arrow shuffle "
+    "partition session lag lead join state manifest resume".split()
+)
+
+
+def generate_transcripts(
+    n_convs: int = 1000,
+    avg_turns: int = 50,
+    *,
+    seed: int = 42,
+    zipf_a: float = 1.8,
+    dup_frac: float = 0.0,
+    null_frac: float = 0.0,
+    empty_text_frac: float = 0.0,
+    late_frac: float = 0.0,
+    start_us: int = 1_704_067_200_000_000,  # 2024-01-01 UTC
+    mean_gap_s: float = 120.0,
+    n_tools: int = 50,
+) -> pa.Table:
+    """Deterministic synthetic bronze transcript table (schema.BRONZE).
+
+    Zipf-ish conversation sizes (a few mega-conversations → skew fixture),
+    per-conv monotone non-decreasing ts with occasional duplicate-ts peers,
+    plus seeded injections of duplicate (conv_id, turn_idx) rows, null
+    conv_id, empty text, and late-arriving rows (ingest_ts >> ts).
+    """
+    rng = np.random.default_rng(seed)
+    sizes = np.minimum(
+        rng.zipf(zipf_a, n_convs) * max(1, avg_turns // 2), avg_turns * 200
+    )
+    sizes = np.maximum(sizes, 1)
+    n = int(sizes.sum())
+
+    conv_ids = np.repeat(np.arange(n_convs), sizes)
+    conv_str = np.char.add("conv_", np.char.zfill(conv_ids.astype("U8"), 8))
+    boundaries = np.zeros(n, dtype=bool)
+    boundaries[np.cumsum(sizes)[:-1]] = True
+    boundaries[0] = True
+    arange = np.arange(n, dtype=np.int64)
+    seg_first = np.maximum.accumulate(np.where(boundaries, arange, 0))
+    turn_idx = (arange - seg_first).astype(np.int32)
+
+    gaps = rng.exponential(mean_gap_s * S.US_PER_S, n).astype(np.int64)
+    gaps[rng.random(n) < 0.05] = 0  # duplicate-ts peers (RANGE tie fixture)
+    gaps[rng.random(n) < 0.02] = int(3 * S.SESSION_GAP_US)  # session breaks
+    gaps[boundaries] = 0
+    cum = np.cumsum(gaps)
+    conv_offset = rng.integers(0, 30 * 24 * 3600, n_convs) * S.US_PER_S
+    ts = start_us + np.repeat(conv_offset, sizes) + (cum - cum[seg_first])
+
+    role = rng.choice(ROLES, n, p=ROLE_P)
+    tool_ids = rng.integers(0, n_tools, n)
+    tool = np.char.add("tool_", tool_ids.astype("U3"))
+    has_tool = (role == "tool") | (rng.random(n) < 0.15)
+
+    n_words = np.maximum(1, rng.lognormal(2.5, 1.0, n)).astype(np.int64)
+    n_words = np.minimum(n_words, 200)
+    text = _make_texts(rng, n_words)
+
+    ingest_ts = ts + rng.integers(1, 60 * S.US_PER_S, n)
+    late = rng.random(n) < late_frac
+    ingest_ts[late] += rng.integers(
+        S.US_PER_S, 24 * 3600 * S.US_PER_S, int(late.sum())
+    )
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(conv_str, pa.string()),
+            "turn_idx": pa.array(turn_idx, pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(text, pa.string()),
+            "tool": pa.array(tool, pa.string(), mask=~has_tool),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "ingest_ts": pa.array(ingest_ts, pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+
+    # injections
+    if dup_frac > 0:
+        k = int(n * dup_frac)
+        pick = rng.choice(n, k, replace=False)
+        dup = tbl.take(pa.array(pick))
+        # duplicated rows arrive later with different text (dedup must keep first)
+        dup = dup.set_column(
+            dup.schema.get_field_index("ingest_ts"),
+            "ingest_ts",
+            pc.add(dup["ingest_ts"], pa.scalar(120 * S.US_PER_S, pa.duration("us"))),
+        )
+        tbl = pa.concat_tables([tbl, dup])
+    if null_frac > 0 or empty_text_frac > 0:
+        m = tbl.num_rows
+        conv = tbl["conv_id"].combine_chunks()
+        if null_frac > 0:
+            mask = rng.random(m) < null_frac
+            conv = pc.if_else(pa.array(mask), pa.scalar(None, pa.string()), conv)
+        txt = tbl["text"].combine_chunks()
+        if empty_text_frac > 0:
+            mask = rng.random(m) < empty_text_frac
+            txt = pc.if_else(pa.array(mask), pa.scalar("", pa.string()), txt)
+        tbl = tbl.set_column(0, "conv_id", conv)
+        tbl = tbl.set_column(tbl.schema.get_field_index("text"), "text", txt)
+
+    # shuffle row order (bronze arrival order is not conv order)
+    perm = rng.permutation(tbl.num_rows)
+    return tbl.take(pa.array(perm))
+
+
+def _make_texts(rng: np.random.Generator, n_words: np.ndarray) -> np.ndarray:
+    total = int(n_words.sum())
+    words = rng.choice(_WORDS, total)
+    out = np.empty(len(n_words), dtype=object)
+    pos = 0
+    # np.add.reduceat-style join; python loop only over rows for join —
+    # acceptable in the seeded generator (not a pipeline hot path)
+    for i, k in enumerate(n_words):
+        out[i] = " ".join(words[pos : pos + k])
+        pos += k
+    return out
+
+
+def write_bronze(tbl: pa.Table, path: str, rows_per_file: int = 500_000) -> None:
+    import pyarrow.parquet as pq
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    n = tbl.num_rows
+    i = 0
+    for start in range(0, max(n, 1), rows_per_file):
+        pq.write_table(
+            tbl.slice(start, rows_per_file),
+            f"{path}/part-{i:05d}.parquet",
+            compression="snappy",
+        )
+        i += 1

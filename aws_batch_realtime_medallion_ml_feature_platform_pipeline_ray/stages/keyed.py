@@ -1,0 +1,146 @@
+"""The one shuffle: hash-partition by entity key, then whole-partition tasks.
+
+Everything wide in the reference is keyed by ``card_id`` (our ``conv_id``):
+dedup, window features, upsert (SURVEY.md §4.2). Instead of per-group
+``map_groups`` over millions of tiny conversations (a Python call per conv),
+we add a ``__part = hash(conv_id) % P`` column in a vectorized
+``map_batches``, then ``groupby("__part").map_groups`` so each Ray task
+receives a *whole hash partition* as one Arrow table and runs the fused,
+segmented, vectorized pass over thousands of conversations at once
+(functions/windows.py). One all-to-all exchange serves dedup + sort +
+lag/lead + sessionization + rolling windows + as-of probe.
+
+Scale note: P should be ~2-4x total cluster cores and sized so one
+partition (~rows/P) fits a worker heap; at 100 TB that is P ~ 1e5-1e6 —
+the groupby shuffle is Ray Data's sort-based exchange which streams and
+spills, never materializing the dataset on one node.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+PART_COL = "__part"
+
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 64-bit mix (public splitmix64 finalizer)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C1
+    z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_key(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash of a key column (process-independent)."""
+    if pa.types.is_integer(arr.type):
+        return splitmix64(np.asarray(arr.cast(pa.int64())))
+    # strings: pandas' stable siphash (fixed default key, deterministic
+    # across processes), vectorized in C.
+    values = arr.to_pandas().to_numpy(dtype=object)
+    return pd.util.hash_array(values, categorize=True)
+
+
+def add_partition_col(batch: pa.Table, key: str, num_parts: int) -> pa.Table:
+    part = (hash_key(batch[key]) % np.uint64(num_parts)).astype(np.int32)
+    return batch.append_column(PART_COL, pa.array(part, pa.int32()))
+
+
+def map_partitions_by_key(
+    ds,
+    key: str,
+    fn: Callable[[pa.Table], pa.Table],
+    *,
+    num_parts: int,
+    extra_cols_fn: Callable[[pa.Table], pa.Table] | None = None,
+):
+    """Hash-partition ``ds`` by ``key`` and apply ``fn`` to each whole
+    partition as a single Arrow table (the fused keyed pass).
+
+    ``fn`` must be self-contained per partition: all rows of any ``key``
+    value land in exactly one call.
+    """
+    tagged = ds.map_batches(
+        lambda t, k=key, p=num_parts: add_partition_col(
+            t if extra_cols_fn is None else extra_cols_fn(t), k, p
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def run(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns([PART_COL]))
+
+    return tagged.groupby(PART_COL).map_groups(run, batch_format="pyarrow")
+
+
+SIDE_COL = "__side"
+
+
+def cogroup_by_key(
+    left,
+    right,
+    key: str,
+    fn: Callable[[pa.Table, pa.Table], pa.Table],
+    *,
+    num_parts: int,
+):
+    """Co-partition two datasets by ``key`` through ONE shuffle and apply
+    ``fn(left_part, right_part)`` per hash partition.
+
+    Implemented as schema-aligned union with a side tag column, then the
+    same ``groupby(__part)`` exchange as :func:`map_partitions_by_key` —
+    the portable partitioned-join pattern when both sides are large.
+    """
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    all_names = l_names + [n for n in r_names if n not in l_names]
+    types: dict[str, pa.DataType] = {}
+    for sch in (l_schema, r_schema):
+        for f in sch:
+            types.setdefault(f.name, f.type)
+
+    def align(side: int, names_present: list[str]):
+        def _align(t: pa.Table) -> pa.Table:
+            n_rows = t.num_rows
+            cols, out_names = [], []
+            for n in all_names:
+                if n in t.column_names:
+                    cols.append(t[n])
+                else:
+                    cols.append(pa.nulls(n_rows, types[n]))
+                out_names.append(n)
+            out = pa.table(dict(zip(out_names, cols)))
+            return out.append_column(
+                SIDE_COL, pa.array(np.full(n_rows, side, dtype=np.int8))
+            )
+
+        return _align
+
+    lt = left.map_batches(align(0, l_names), batch_format="pyarrow")
+    rt = right.map_batches(align(1, r_names), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def run(group: pa.Table) -> pa.Table:
+        side = np.asarray(group[SIDE_COL].combine_chunks())
+        g = group.drop_columns([SIDE_COL, PART_COL])
+        lmask = side == 0
+        lpart = g.select(l_names).filter(pa.array(lmask))
+        rpart = g.select(r_names).filter(pa.array(~lmask))
+        return fn(lpart, rpart)
+
+    tagged = both.map_batches(
+        lambda t, k=key, p=num_parts: add_partition_col(t, k, p),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return tagged.groupby(PART_COL).map_groups(run, batch_format="pyarrow")
