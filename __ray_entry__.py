@@ -29,16 +29,18 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries import (
-        REGISTRY,
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.registry import (
+        full_registry,
     )
 
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: fn for name, (fn, _sql) in full_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries import (
-        REGISTRY,
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.registry import (
+        full_registry,
     )
 
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: sql for name, (_fn, sql) in full_registry().items() if sql is not None
+    }

@@ -1,0 +1,87 @@
+"""Similarity-search queries over the ``embeddings`` table
+(vec_id, embedding list<float>, label)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.ann import embedding_near_dup_pairs, knn_bruteforce
+
+K = 3
+N_QUERIES = 5
+NEARDUP_THRESHOLD = 0.4
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _query_tbl(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return t.filter(pc.less(t["vec_id"], N_QUERIES))
+
+
+def q_knn(sf_dir: str):
+    """Exact cosine top-3 neighbors of the first 5 vectors: broadcast
+    query matrix, per-batch matmul + local top-k, tiny final groupby."""
+    return knn_bruteforce(_emb(sf_dir), _query_tbl(sf_dir), k=K)
+
+
+KNN_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+sims AS (
+    SELECT q.q_id, e.vec_id,
+           list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+    FROM q, embeddings e
+    WHERE e.vec_id <> q.q_id
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT q_id, vec_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= {K}
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """All vector pairs with cosine >= {thr}: blocked matmul against the
+    broadcast normalized matrix (the brute-force baseline; an IVF-bucketed
+    variant shards by coarse centroid first)."""
+    import pyarrow.parquet as pq
+
+    all_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup_pairs(
+        _emb(sf_dir), all_tbl, threshold=NEARDUP_THRESHOLD
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {NEARDUP_THRESHOLD}
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "knn": (q_knn, KNN_SQL),
+    "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
+}

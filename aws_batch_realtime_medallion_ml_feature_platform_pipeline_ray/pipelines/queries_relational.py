@@ -1,0 +1,377 @@
+"""Relational / daily-job operator queries: as-of join, online upsert,
+label + deterministic hash split, partial aggregation, broadcast join,
+top-k. Oracle twins in DuckDB SQL (see queries.py for float policy)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.asof import asof_join_broadcast, asof_join_partitioned
+from ..stages.featurize import dedup_first
+from ..stages.keyed import map_partitions_by_key
+
+NUM_PARTS = 16
+
+
+def _orders_by_cust_date(sf_dir: str):
+    """Right side for the as-of join: one row per (custkey, orderdate) —
+    pre-aggregated so the as-of match is deterministic under ties."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    agg = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="tot"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("tot"), "tot", pc.round(t["tot"], ndigits=2)
+        )
+        return t.set_column(
+            t.schema.get_field_index("o_orderdate"),
+            "o_orderdate",
+            t["o_orderdate"].cast(pa.timestamp("us")),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _events_left(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+
+ASOF_ATTACH = ["o_orderdate", "n_orders", "tot"]
+
+
+def q_asof_join(sf_dir: str):
+    """B9 as-of join, broadcast plan: for each event, the most recent
+    per-(customer, day) order summary with o_orderdate <= ts (strictly
+    no-future). Right side broadcast via ray.put, probed per batch."""
+    right = pa.Table.from_pandas(
+        _orders_by_cust_date(sf_dir).to_pandas(), preserve_index=False
+    )
+    return asof_join_broadcast(
+        _events_left(sf_dir),
+        right,
+        key="o_custkey",
+        ts="o_orderdate",
+        attach_cols=ASOF_ATTACH,
+        left_key="user_id",
+        left_ts="ts",
+        concurrency=2,
+    )
+
+
+def q_asof_join_partitioned(sf_dir: str):
+    """Same semantics, both-sides-large plan: one co-partitioning shuffle
+    (union + groupby by key) then per-partition sorted probe."""
+    right = _orders_by_cust_date(sf_dir).map_batches(
+        lambda t: t.append_column("user_id", t["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return asof_join_partitioned(
+        _events_left(sf_dir),
+        right,
+        key="user_id",
+        ts="o_orderdate",
+        attach_cols=ASOF_ATTACH,
+        left_ts="ts",
+        num_parts=NUM_PARTS,
+    ).drop_columns([])
+
+
+ASOF_SQL = """
+WITH ro AS (
+    SELECT o_custkey, o_orderdate,
+           count(*) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS tot
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.ts, e.user_id, e.value,
+       r.o_orderdate, r.n_orders, r.tot
+FROM events e
+ASOF LEFT JOIN ro r
+    ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+ASOF_PARTITIONED_SQL = ASOF_SQL
+
+
+def q_online_latest(sf_dir: str):
+    """S7 online-table upsert semantics: latest row per entity
+    (argmax ts, deterministic tiebreak max event_id) — the reference's
+    feature-store latest-wins upsert (silver_and_gold.py:136-180) without
+    the driver collect."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def last_per_user(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t["event_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        uid = np.asarray(t["user_id"].combine_chunks())
+        # sort by (user, -ts, -event_id) == reverse of (user asc, ts, eid)
+        order = np.lexsort((-eid, -ts, uid))
+        first = np.zeros(len(uid), dtype=bool)
+        u = uid[order]
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        return t.take(pa.array(order[first]))
+
+    return map_partitions_by_key(ds, "user_id", last_per_user, num_parts=NUM_PARTS)
+
+
+ONLINE_LATEST_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+SPLIT_SALT = "42"
+
+
+def md5_bucket(ids: np.ndarray, salt: str = SPLIT_SALT) -> np.ndarray:
+    """Deterministic 0..99 bucket from md5 of the stringified id — stable
+    under any parallelism / partitioning (unlike Spark's per-partition
+    randomSplit seed, reference build_datasets.py:63)."""
+    out = np.empty(len(ids), dtype=np.int64)
+    for i, v in enumerate(ids):
+        h = hashlib.md5(f"{v}_{salt}".encode()).hexdigest()[:8]
+        out[i] = int(h, 16) % 100
+    return out
+
+
+def q_train_split(sf_dir: str):
+    """M8 label derivation + O2 deterministic 80/20 hash split (the daily
+    build_datasets job's core, reference build_datasets.py:57-73)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        label = pc.cast(pc.greater(t["value"], 100.0), pa.int32())
+        bucket = md5_bucket(np.asarray(t["event_id"].combine_chunks()))
+        split = np.where(bucket < 80, "train", "validation")
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "is_high": label,
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TRAIN_SPLIT_SQL = f"""
+SELECT event_id, user_id,
+    CAST(value > 100.0 AS INTEGER) AS is_high,
+    CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_{SPLIT_SALT}'), 1, 8))::BIGINT % 100 < 80
+         THEN 'train' ELSE 'validation' END AS split
+FROM events
+"""
+
+
+def q_agg_pushdown(sf_dir: str):
+    """Partial (combiner-style) aggregation: per-batch pyarrow group_by
+    inside map_batches emits tiny partials, then a small final groupby —
+    the pre-aggregate-before-shuffle pattern for 100 TB groupbys."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("l_discount", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_disc", "p_n"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_price", alias_name="sum_price"),
+        Sum("p_disc", alias_name="s_disc"),
+        Sum("p_n", alias_name="n_rows"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.round(t["sum_qty"], ndigits=6),
+                "sum_price": pc.cast(pc.round(t["sum_price"], ndigits=0), pa.int64()),
+                "avg_disc": pc.round(
+                    pc.divide(t["s_disc"], pc.cast(t["n_rows"], pa.float64())),
+                    ndigits=6,
+                ),
+                "n_rows": t["n_rows"],
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+AGG_PUSHDOWN_SQL = """
+SELECT l_returnflag, l_linestatus,
+    ROUND(sum(l_quantity), 6) AS sum_qty,
+    CAST(ROUND(sum(l_extendedprice), 0) AS BIGINT) AS sum_price,
+    ROUND(sum(l_discount) / count(*), 6) AS avg_disc,
+    count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+class _SegmentLookup:
+    """Broadcast small-side lookup: dimension table fetched once per actor
+    from the object store, probed vectorized per batch (no shuffle join)."""
+
+    def __init__(self, ref):
+        import ray
+
+        cust = ray.get(ref)
+        self.keys = np.asarray(cust["c_custkey"])
+        order = np.argsort(self.keys)
+        self.keys = self.keys[order]
+        self.seg = cust["c_mktsegment"].take(pa.array(order))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch["user_id"].combine_chunks())
+        pos = np.searchsorted(self.keys, uid)
+        pos_c = pos.clip(max=len(self.keys) - 1)
+        miss = self.keys[pos_c] != uid
+        take = pa.array(np.where(miss, 0, pos_c), pa.int64(), mask=miss)
+        return batch.append_column("c_mktsegment", self.seg.take(take))
+
+
+def q_broadcast_join(sf_dir: str):
+    """Broadcast hash join (events x customer dim) + partial aggregation:
+    revenue-ish rollup per market segment."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ref = ray.put(cust)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    joined = ds.map_batches(
+        _SegmentLookup,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["c_mktsegment"]))
+        g = t.group_by("c_mktsegment").aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "p_val", "p_n"])
+
+    out = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(
+        Sum("p_val", alias_name="sum_value"), Sum("p_n", alias_name="n_events")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"),
+            "sum_value",
+            pc.cast(pc.round(t["sum_value"], ndigits=0), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+BROADCAST_JOIN_SQL = """
+SELECT c.c_mktsegment,
+    CAST(ROUND(sum(e.value), 0) AS BIGINT) AS sum_value,
+    count(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_topk(sf_dir: str):
+    """Groupby + global sort + limit: top-10 users by total value."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum, Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(
+        Sum("value", alias_name="tot"), Count(alias_name="n")
+    )
+    agg = agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("tot"),
+            "tot",
+            pc.cast(pc.round(t["tot"], ndigits=0), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    return agg.sort(["tot", "user_id"], descending=[True, True]).limit(10)
+
+
+TOPK_SQL = """
+SELECT user_id, CAST(ROUND(sum(value), 0) AS BIGINT) AS tot, count(*) AS n
+FROM events GROUP BY user_id
+ORDER BY tot DESC, user_id DESC LIMIT 10
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "asof_join": (q_asof_join, ASOF_SQL),
+    "asof_join_partitioned": (q_asof_join_partitioned, ASOF_PARTITIONED_SQL),
+    "online_latest": (q_online_latest, ONLINE_LATEST_SQL),
+    "train_split": (q_train_split, TRAIN_SPLIT_SQL),
+    "agg_pushdown": (q_agg_pushdown, AGG_PUSHDOWN_SQL),
+    "broadcast_join": (q_broadcast_join, BROADCAST_JOIN_SQL),
+    "topk": (q_topk, TOPK_SQL),
+}

@@ -1,0 +1,210 @@
+"""Text-analysis / dedup operator queries over the ``documents`` table
+(doc_id, text, lang, source, n_chars). SQL twins where expressible;
+MinHash-LSH and SimHash are rows-only checks (non-SQL ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import text as T
+from ..stages.dedup import (
+    JaccardVerifier,
+    bucket_pairs,
+    minhash_band_table,
+    simhash64,
+)
+from ..stages.featurize import dedup_first
+from ..stages.keyed import map_partitions_by_key
+
+NUM_PARTS = 8
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact dedup by content hash: md5(text) → hash-partitioned
+    keep-min-doc_id (one shuffle on the hash)."""
+    ds = _docs(sf_dir)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.append_column("text_hash", T.md5_hex(t["text"].to_pylist()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return map_partitions_by_key(
+        hashed,
+        "text_hash",
+        lambda t: dedup_first(t, ["text_hash"], ["doc_id"]),
+        num_parts=NUM_PARTS,
+    )
+
+
+DOCS_EXACT_DEDUP_SQL = """
+SELECT doc_id, text, lang, source, n_chars, text_hash
+FROM (
+    SELECT *, md5(text) AS text_hash,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_docs_quality(sf_dir: str):
+    """Quality scoring: token count, char count, avg token length,
+    stopword ratio — vectorized flatten + segment-sum per batch."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = T.quality_metrics(t["text"].combine_chunks())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(m["n_tokens"]),
+                "n_chars_c": pa.array(m["n_chars_c"]),
+                "avg_token_len": pa.array(m["avg_token_len"]),
+                "stopword_ratio": pa.array(m["stopword_ratio"]),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_STOP_IN = ", ".join(repr(s) for s in T.STOPWORDS)
+
+DOCS_QUALITY_SQL = f"""
+SELECT doc_id,
+    length(string_split(text, ' ')) AS n_tokens,
+    length(text) AS n_chars_c,
+    (length(text) - (length(string_split(text, ' ')) - 1))
+        / CAST(length(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+    len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN})))
+        / CAST(length(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_docs_token_count(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(T.token_count(t["text"].combine_chunks())),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_TOKEN_COUNT_SQL = """
+SELECT doc_id, length(string_split(text, ' ')) AS n_tokens FROM documents
+"""
+
+
+def q_docs_langid(sf_dir: str):
+    """Marker-stopword language-ID heuristic (first-max argmax over
+    LANG_MARKERS, 'und' fallback)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "pred_lang": T.lang_id(t["text"].combine_chunks()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_selects, _case = T.lang_id_sql_case("text")
+DOCS_LANGID_SQL = f"""
+SELECT doc_id, lang, {_case} AS pred_lang
+FROM (SELECT doc_id, lang, {_selects} FROM documents)
+"""
+
+
+def q_docs_fingerprint(sf_dir: str):
+    """Document fingerprint: md5 of casefolded text (oracle-parity
+    variant; the scale path uses vectorized splitmix64 shingle hashes,
+    see docs_simhash / docs_minhash_pairs)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"].combine_chunks())
+        return pa.table(
+            {"doc_id": t["doc_id"], "fp": T.md5_hex(low.to_pylist())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(text)) AS fp FROM documents
+"""
+
+
+JACCARD_THRESHOLD = 0.5
+
+
+def q_docs_minhash_pairs(sf_dir: str):
+    """MinHash(64) + LSH(16 bands x 4 rows) near-duplicate pairs, verified
+    by exact shingle Jaccard >= 0.5. Non-SQL op → rows-only check.
+    Pipeline: signatures per batch → bucket groupby → candidate pairs →
+    pair dedup → actor-pool exact verify."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    bands = ds.map_batches(
+        minhash_band_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    uniq = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+    return uniq.map_batches(
+        JaccardVerifier,
+        fn_constructor_args=(f"{sf_dir}/documents.parquet", 3, JACCARD_THRESHOLD),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+def q_docs_simhash(sf_dir: str):
+    """64-bit SimHash signature per document (hex string) + 4x16-bit
+    chunk keys for banded near-dup lookup. Non-SQL → rows-only check."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        sh, offsets = T.shingle_hashes(t["text"].combine_chunks(), k=1)
+        sig = simhash64(sh, offsets)
+        chunks = {
+            f"band{b}": pa.array(
+                ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
+            )
+            for b in range(4)
+        }
+        hexes = np.array([format(s, "016x") for s in sig], dtype=object)
+        return pa.table(
+            {"doc_id": t["doc_id"], "simhash": pa.array(hexes, pa.string()), **chunks}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REGISTRY: dict[str, tuple] = {
+    "docs_exact_dedup": (q_docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
+    "docs_quality": (q_docs_quality, DOCS_QUALITY_SQL),
+    "docs_token_count": (q_docs_token_count, DOCS_TOKEN_COUNT_SQL),
+    "docs_langid": (q_docs_langid, DOCS_LANGID_SQL),
+    "docs_fingerprint": (q_docs_fingerprint, DOCS_FINGERPRINT_SQL),
+    "docs_minhash_pairs": (q_docs_minhash_pairs, None),
+    "docs_simhash": (q_docs_simhash, None),
+}

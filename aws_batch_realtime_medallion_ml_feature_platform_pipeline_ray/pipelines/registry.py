@@ -1,0 +1,25 @@
+"""Merged query registry: every implemented operator exposed through
+``__ray_entry__.queries()`` / ``oracle_sql()``."""
+
+from __future__ import annotations
+
+
+def full_registry() -> dict[str, tuple]:
+    from . import queries, queries_relational
+
+    reg: dict[str, tuple] = {}
+    reg.update(queries.REGISTRY)
+    reg.update(queries_relational.REGISTRY)
+    try:
+        from . import queries_text
+
+        reg.update(queries_text.REGISTRY)
+    except ImportError:
+        pass
+    try:
+        from . import queries_ann
+
+        reg.update(queries_ann.REGISTRY)
+    except ImportError:
+        pass
+    return reg

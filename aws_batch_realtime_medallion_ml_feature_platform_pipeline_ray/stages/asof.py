@@ -1,0 +1,180 @@
+"""Point-in-time / as-of join (north-rule B9, SURVEY.md §2.7).
+
+For each left row ``(key, ts)``, attach the most recent right row with the
+same ``key`` and ``ts' <= ts`` — strict no-future, zero temporal leakage.
+The reference has no explicit join; its only join-like op is the
+latest-wins feature-store upsert (``spark_jobs/silver_and_gold.py:136-180``),
+which is the degenerate as-of probe at ``ts = +inf``.
+
+Two physical plans:
+
+* :func:`asof_probe` — the vectorized per-batch kernel both plans share:
+  dictionary-map left keys onto the right key space, apply the
+  segment-offset trick so ONE global ``np.searchsorted`` resolves every
+  probe (no per-key loop, no Python rows).
+* :class:`BroadcastAsofJoiner` — right side is small (per-entity state):
+  ``ray.put`` the right table once, each actor in the ``map_batches`` pool
+  fetches it in ``__init__`` and pre-sorts; per-batch work is pure numpy.
+  No shuffle at all.
+* :func:`asof_join_partitioned` — both sides large: co-partition through
+  the engine's single hash shuffle (stages/keyed.py:cogroup_by_key) and
+  run the same probe per partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class _SortedRight:
+    """Right side pre-processed for O(log n) vectorized probes."""
+
+    def __init__(self, right: pa.Table, key: str, ts: str):
+        order_keys = right[key].combine_chunks()
+        codes_arr = pc.dictionary_encode(order_keys)
+        codes = np.asarray(codes_arr.indices).astype(np.int64)
+        self.key_dict = codes_arr.dictionary  # unique right keys
+        ts_i = np.asarray(right[ts].combine_chunks().cast(pa.int64()))
+        order = np.lexsort((ts_i, codes))
+        self.table = right.take(pa.array(order))
+        self.codes = codes[order]
+        ts_i = ts_i[order]
+        t0 = int(ts_i.min()) if len(ts_i) else 0
+        self.t0 = t0
+        rel = ts_i - t0
+        self.span = int(rel.max()) + 2 if len(ts_i) else 1
+        self.ts_adj = rel + self.codes * self.span
+
+    def left_codes(self, left_keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        idx = pc.index_in(left_keys, value_set=self.key_dict)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        return np.asarray(idx.fill_null(-1)).astype(np.int64)
+
+    def probe(self, left_keys, left_ts_i: np.ndarray) -> np.ndarray:
+        """Return right row index per left row (-1 = no match)."""
+        if self.table.num_rows == 0:
+            return np.full(len(left_ts_i), -1, dtype=np.int64)
+        codes = self.left_codes(left_keys)
+        # clip the relative query into [-1, span-1]: below-range probes land
+        # just before the segment (-> miss), above-range probes land on the
+        # segment's last row without crossing into the next segment.
+        q = (left_ts_i - self.t0).clip(min=-1, max=self.span - 1)
+        q_adj = q + codes * self.span
+        pos = np.searchsorted(self.ts_adj, q_adj, side="right") - 1
+        pos_c = pos.clip(min=0)
+        ok = (
+            (codes >= 0)
+            & (pos >= 0)
+            & (self.codes[pos_c] == codes)
+            & (left_ts_i >= (self.ts_adj[pos_c] - self.codes[pos_c] * self.span) + self.t0)
+        )
+        return np.where(ok, pos, -1)
+
+
+def asof_attach(
+    left: pa.Table,
+    right_sorted: _SortedRight,
+    left_key: str,
+    left_ts: str,
+    attach_cols: list[str],
+    suffix: str = "",
+) -> pa.Table:
+    """Attach ``attach_cols`` of the as-of matched right row to ``left``
+    (nulls when no right row with ts' <= ts exists)."""
+    lts = np.asarray(left[left_ts].combine_chunks().cast(pa.int64()))
+    pos = right_sorted.probe(left[left_key].combine_chunks(), lts)
+    miss = pos < 0
+    out = left
+    if right_sorted.table.num_rows == 0:
+        for c in attach_cols:
+            out = out.append_column(
+                c + suffix,
+                pa.nulls(left.num_rows, right_sorted.table.schema.field(c).type),
+            )
+        return out
+    take = pa.array(np.where(miss, 0, pos), pa.int64(), mask=miss)
+    for c in attach_cols:
+        out = out.append_column(c + suffix, right_sorted.table[c].take(take))
+    return out
+
+
+class BroadcastAsofJoiner:
+    """Actor-pool ``map_batches`` stage: broadcast small right side once per
+    actor (ray.put ref fetched in __init__), vectorized probe per batch."""
+
+    def __init__(self, right_ref, key: str, ts: str, attach_cols: list[str],
+                 left_key: str | None = None, left_ts: str | None = None,
+                 suffix: str = ""):
+        import ray
+
+        right = ray.get(right_ref) if not isinstance(right_ref, pa.Table) else right_ref
+        self.sorted_right = _SortedRight(right, key, ts)
+        self.left_key = left_key or key
+        self.left_ts = left_ts or ts
+        self.attach_cols = attach_cols
+        self.suffix = suffix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return asof_attach(
+            batch, self.sorted_right, self.left_key, self.left_ts,
+            self.attach_cols, self.suffix,
+        )
+
+
+def asof_join_broadcast(
+    left_ds,
+    right: pa.Table,
+    *,
+    key: str,
+    ts: str,
+    attach_cols: list[str],
+    left_key: str | None = None,
+    left_ts: str | None = None,
+    suffix: str = "",
+    concurrency: int | tuple[int, int] = 4,
+):
+    """Shuffle-free as-of join for a small right side (state table)."""
+    import ray
+
+    right_ref = ray.put(right)
+    return left_ds.map_batches(
+        BroadcastAsofJoiner,
+        fn_constructor_args=(right_ref, key, ts, attach_cols, left_key, left_ts, suffix),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def asof_join_partitioned(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    ts: str,
+    attach_cols: list[str],
+    left_ts: str | None = None,
+    num_parts: int,
+):
+    """Both-sides-large as-of join: ONE co-partitioning shuffle by ``key``
+    (union + groupby, stages/keyed.py), then the same vectorized probe per
+    hash partition."""
+    from .keyed import cogroup_by_key
+
+    lts = left_ts or ts
+
+    def fn(lpart: pa.Table, rpart: pa.Table) -> pa.Table:
+        if lpart.num_rows == 0:
+            out = lpart
+            for c in attach_cols:
+                out = out.append_column(
+                    c, pa.nulls(0, rpart.schema.field(c).type)
+                )
+            return out
+        sr = _SortedRight(rpart, key, ts)
+        return asof_attach(lpart, sr, key, lts, attach_cols)
+
+    return cogroup_by_key(left_ds, right_ds, key, fn, num_parts=num_parts)

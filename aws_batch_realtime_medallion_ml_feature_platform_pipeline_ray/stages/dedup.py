@@ -1,0 +1,139 @@
+"""Deduplication family for training-data pipelines.
+
+- exact dedup: content hash + hash-partitioned keep-first
+  (stages/featurize.py:dedup_first provides the kernel)
+- MinHash + LSH near-dup: shingle → 64-perm minhash → banded buckets →
+  groupby bucket → candidate pairs → exact-Jaccard verify
+- SimHash: 64-bit signature from token hashes; near-dup via chunk banding
+
+Scale shape: signatures are computed embarrassingly parallel per batch;
+the only shuffle is the groupby on (band, band_hash) whose groups are
+tiny (bucket collisions), so candidate generation never materializes a
+cross product. Verification is an actor-pool stage holding the shingle
+index built once per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.text import shingle_hashes
+from .keyed import splitmix64
+
+N_PERMS = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERMS // N_BANDS
+_SALTS = splitmix64(np.arange(1, N_PERMS + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
+
+def minhash_signatures(sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_docs, N_PERMS) uint64 minhash matrix from flat shingle hashes."""
+    n_docs = len(offsets) - 1
+    out = np.full((n_docs, N_PERMS), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return out
+    starts = offsets[:-1]
+    empty = offsets[1:] == offsets[:-1]
+    starts_c = np.minimum(starts, len(sh) - 1)
+    for i in range(N_PERMS):
+        ph = splitmix64(sh ^ _SALTS[i])
+        mins = np.minimum.reduceat(ph, starts_c)
+        mins[empty] = np.iinfo(np.uint64).max
+        out[:, i] = mins
+    return out
+
+
+def band_hashes(sig: np.ndarray) -> np.ndarray:
+    """(n_docs, N_BANDS) uint64 band bucket keys."""
+    n_docs = sig.shape[0]
+    out = np.zeros((n_docs, N_BANDS), dtype=np.uint64)
+    for b in range(N_BANDS):
+        acc = np.full(n_docs, np.uint64(b + 1), dtype=np.uint64)
+        for r in range(ROWS_PER_BAND):
+            acc = splitmix64(acc ^ sig[:, b * ROWS_PER_BAND + r])
+        out[:, b] = acc
+    return out
+
+
+def minhash_band_table(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3) -> pa.Table:
+    """Per-batch map: documents → exploded (band, band_hash, doc_id) rows
+    (N_BANDS rows per doc) ready for the bucket groupby."""
+    sh, offsets = shingle_hashes(batch[text_col], k=k)
+    sig = minhash_signatures(sh, offsets)
+    bh = band_hashes(sig)
+    n = batch.num_rows
+    ids = np.asarray(batch[id_col].combine_chunks())
+    return pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, N_BANDS)),
+        }
+    )
+
+
+def bucket_pairs(group: pa.Table, max_bucket: int = 64) -> pa.Table:
+    """Candidate pairs (doc_a < doc_b) within one LSH bucket. Buckets
+    larger than ``max_bucket`` are truncated (logged via manifest at the
+    pipeline level) — a hot bucket is a degenerate near-dup cluster."""
+    ids = np.unique(np.asarray(group["doc_id"].combine_chunks()))[:max_bucket]
+    m = len(ids)
+    if m < 2:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    i, j = np.triu_indices(m, k=1)
+    return pa.table({"doc_a": pa.array(ids[i]), "doc_b": pa.array(ids[j])})
+
+
+class JaccardVerifier:
+    """Actor-pool verify stage: builds the doc→shingle-set index once per
+    actor from the documents parquet, then verifies candidate pairs with
+    exact Jaccard per batch."""
+
+    def __init__(self, docs_path: str, k: int = 3, threshold: float = 0.5):
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(docs_path, columns=["doc_id", "text"])
+        sh, offsets = shingle_hashes(docs["text"], k=k)
+        ids = np.asarray(docs["doc_id"].combine_chunks())
+        self.sets = {
+            int(ids[d]): np.unique(sh[offsets[d] : offsets[d + 1]])
+            for d in range(len(ids))
+        }
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"].combine_chunks())
+        b = np.asarray(batch["doc_b"].combine_chunks())
+        jac = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            sa = self.sets.get(int(a[i]))
+            sb = self.sets.get(int(b[i]))
+            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+                jac[i] = 0.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        out = batch.append_column("jaccard", pa.array(np.round(jac, 6)))
+        return out.filter(pa.array(jac >= self.threshold))
+
+
+def simhash64(sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per doc from flat (shingle or token) hashes:
+    sum bit votes, sign → bit. Vectorized via bit unpacking + reduceat."""
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(sh) == 0:
+        return out
+    starts = np.minimum(offsets[:-1], len(sh) - 1)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    bits = np.unpackbits(sh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+    maj = votes * 2 > lens[:, None]  # majority of ones per bit
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    out = (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    out[lens == 0] = 0
+    return out

@@ -99,15 +99,15 @@ def cogroup_by_key(
     same ``groupby(__part)`` exchange as :func:`map_partitions_by_key` —
     the portable partitioned-join pattern when both sides are large.
     """
-    l_schema = left.schema()
+    l_schema = left.schema()  # ray.data.Schema (names + arrow types)
     r_schema = right.schema()
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     all_names = l_names + [n for n in r_names if n not in l_names]
     types: dict[str, pa.DataType] = {}
     for sch in (l_schema, r_schema):
-        for f in sch:
-            types.setdefault(f.name, f.type)
+        for n, t in zip(sch.names, sch.types):
+            types.setdefault(n, t)
 
     def align(side: int, names_present: list[str]):
         def _align(t: pa.Table) -> pa.Table:
