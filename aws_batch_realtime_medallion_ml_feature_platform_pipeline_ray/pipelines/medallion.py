@@ -1,0 +1,249 @@
+"""The stream job: bronze → silver → gold → online, resumable + backfillable.
+
+Re-expresses the reference's ``spark_jobs/silver_and_gold.py`` (trace in
+SURVEY.md §3.1) as one Ray Data pipeline with a single hash shuffle:
+
+1. read bronze parquet for an *ingest* window (arrival time — the
+   reference filters event time, :56-59; we window on ``ingest_ts`` so
+   late turns are picked up by later runs and backfilled),
+2. normalize + validate + filter (M1-M4, M12) in stateless map_batches,
+3. hash-partition by ``conv_id`` (the one shuffle),
+4. per partition: append this run's silver rows (atomic parquet + lineage
+   manifest), then recompute that partition's gold from the partition's
+   FULL silver history and overwrite it (atomic + manifest), then refresh
+   the online latest-per-conv table for the partition.
+
+Because gold partitions are recomputed from full per-partition silver,
+late-arriving turns are handled exactly: the blast radius of a late turn
+is its conversation's hash partition (north-rule B12), and the
+watermark/lateness bound the reference parses but never uses
+(silver_and_gold.py:31) becomes the ingest-window lower bound. Unlike the
+reference — whose gold only sees the current window's slice, silently
+truncating 24h/7d features (silver_and_gold.py:200-207) — gold here is
+always computed over full history (SURVEY.md §7.3).
+
+Resume: a partition whose (stage, part, run_id) manifest exists is
+skipped; kill-and-rerun converges to the same bytes.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import schema as S
+from ..stages.featurize import GoldConfig, dedup_first, gold_features_partition
+from ..stages.keyed import PART_COL, add_partition_col
+from ..state import manifest as M
+
+RUN_STAGE_SILVER = "silver"
+RUN_STAGE_GOLD = "gold"
+
+
+def normalize_bronze(batch: pa.Table, *, processed_at: str,
+                     window: tuple | None = None) -> pa.Table:
+    """M1 ingest-window filter + M2 validity + M3 domain predicate + M12
+    canonical casts + M4 audit column (explicit run timestamp for
+    determinism vs the reference's utcnow(), silver_and_gold.py:67)."""
+    t = batch
+    mask = pc.and_(
+        pc.and_(pc.is_valid(t["conv_id"]), pc.is_valid(t["turn_idx"])),
+        pc.greater(pc.utf8_length(t["text"]), 0),
+    )
+    if window is not None:
+        lo, hi = window
+        its = t["ingest_ts"]
+        mask = pc.and_(
+            mask,
+            pc.and_(
+                pc.greater_equal(its, pa.scalar(lo, pa.timestamp("us"))),
+                pc.less_equal(its, pa.scalar(hi, pa.timestamp("us"))),
+            ),
+        )
+    t = t.filter(mask)
+    t = t.append_column("processed_at", pa.array([processed_at] * t.num_rows))
+    return t
+
+
+class StreamRunResult(dict):
+    pass
+
+
+def run_stream(
+    bronze_path: str,
+    out_root: str,
+    *,
+    run_id: str,
+    processed_at: str,
+    ingest_window: tuple | None = None,
+    num_parts: int = 16,
+    gold_cfg: GoldConfig | None = None,
+    ray_kwargs: dict | None = None,
+) -> StreamRunResult:
+    """Execute one stream run. Returns run metrics (from manifests)."""
+    import ray
+    import ray.data as rd
+
+    silver_root = os.path.join(out_root, "silver")
+    gold_root = os.path.join(out_root, "gold")
+    online_root = os.path.join(out_root, "online")
+    # dedup happens explicitly on the silver history read-back, so the
+    # fused pass can skip its own dedup step
+    cfg = gold_cfg or GoldConfig(dedup=False)
+
+    done_silver = M.completed_partitions(silver_root, RUN_STAGE_SILVER, run_id)
+
+    ds = rd.read_parquet(bronze_path)
+    ds = ds.map_batches(
+        lambda t: normalize_bronze(t, processed_at=processed_at, window=ingest_window),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        lambda t: add_partition_col(t, "conv_id", num_parts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if done_silver:
+        done_arr = pa.array(
+            np.array([int(p) for p in done_silver], dtype=np.int32)
+        )
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t[PART_COL], value_set=done_arr))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def process_partition(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        part = int(group[PART_COL][0].as_py())
+        key = f"{part:05d}"
+        g = group.drop_columns([PART_COL])
+
+        # ---- silver: dedup within the run slice, stable sort, append ----
+        g = dedup_first(g, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
+        ts_arr = g["ts"].combine_chunks()
+        dt = pc.strftime(ts_arr, format="%Y-%m-%d")
+        g = g.append_column("dt", dt)
+        silver_file = os.path.join(silver_root, f"part={key}", f"run-{run_id}.parquet")
+        silver_cols = [f.name for f in S.SILVER] + ["ingest_ts"]
+        silver_tbl = g.select(silver_cols)
+        M.atomic_write_table(silver_tbl, silver_file)
+        ing = g["ingest_ts"].combine_chunks()
+        M.write_manifest(
+            silver_root,
+            M.PartitionManifest(
+                stage=RUN_STAGE_SILVER,
+                partition_key=key,
+                run_id=run_id,
+                rows_in=group.num_rows,
+                rows_out=g.num_rows,
+                min_ts=str(pc.min(ts_arr).as_py()) if g.num_rows else None,
+                max_ts=str(pc.max(ts_arr).as_py()) if g.num_rows else None,
+                max_ingest_ts=str(pc.max(ing).as_py()) if g.num_rows else None,
+                wall_s=time.perf_counter() - t0,
+                files=[silver_file],
+            ),
+        )
+
+        # ---- gold: recompute this partition from FULL silver history ----
+        t1 = time.perf_counter()
+        part_dir = os.path.join(silver_root, f"part={key}")
+        files = sorted(glob.glob(os.path.join(part_dir, "run-*.parquet")))
+        import pyarrow.parquet as pq
+
+        hist = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+        # cross-run dedup: keep first (ts, ingest_ts) per (conv_id, turn_idx)
+        hist = dedup_first(hist, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
+        gold_tbl = gold_features_partition(hist, cfg)
+        gold_file = os.path.join(gold_root, f"part={key}", "data.parquet")
+        M.atomic_write_table(gold_tbl, gold_file)
+        M.write_manifest(
+            gold_root,
+            M.PartitionManifest(
+                stage=RUN_STAGE_GOLD,
+                partition_key=key,
+                run_id=run_id,
+                rows_in=hist.num_rows,
+                rows_out=gold_tbl.num_rows,
+                wall_s=time.perf_counter() - t1,
+                files=[gold_file],
+            ),
+        )
+
+        # ---- online: latest feature row per conv (S7 upsert semantics) --
+        online_tbl = latest_per_conv(gold_tbl)
+        M.atomic_write_table(
+            online_tbl, os.path.join(online_root, f"part={key}", "data.parquet")
+        )
+
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "silver_rows": pa.array([g.num_rows], pa.int64()),
+                "gold_rows": pa.array([gold_tbl.num_rows], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.groupby(PART_COL)
+        .map_groups(process_partition, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    silver_ms = [
+        m for m in M.load_manifests(silver_root, RUN_STAGE_SILVER) if m.run_id == run_id
+    ]
+    gold_ms = [
+        m for m in M.load_manifests(gold_root, RUN_STAGE_GOLD) if m.run_id == run_id
+    ]
+    result = StreamRunResult(
+        run_id=run_id,
+        partitions=len(stats),
+        silver=M.summarize(silver_ms),
+        gold=M.summarize(gold_ms),
+    )
+    run_manifest = os.path.join(out_root, f"run-{run_id}.json")
+    with open(run_manifest, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
+def latest_per_conv(gold_tbl: pa.Table) -> pa.Table:
+    """Latest feature row per conv_id (argmax ts, tiebreak max turn_idx) —
+    the typed-Parquet online table replacing the reference's stringified
+    feature-store upsert (silver_and_gold.py:147-162, S13)."""
+    if gold_tbl.num_rows == 0:
+        return gold_tbl
+    conv = pc.dictionary_encode(gold_tbl["conv_id"].combine_chunks()).indices
+    kc = np.asarray(conv).astype(np.int64)
+    ts = np.asarray(gold_tbl["ts"].combine_chunks().cast(pa.int64()))
+    ti = np.asarray(gold_tbl["turn_idx"].combine_chunks().cast(pa.int64()))
+    order = np.lexsort((-ti, -ts, kc))
+    k = kc[order]
+    first = np.zeros(len(k), dtype=bool)
+    first[0] = True
+    first[1:] = k[1:] != k[:-1]
+    return gold_tbl.take(pa.array(order[first]))
+
+
+def read_gold(out_root: str):
+    """Gold layer as a Dataset (partition-pruned read for downstream)."""
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(out_root, "gold"))
+
+
+def read_online(out_root: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(out_root, "online", "part=*", "data.parquet")))
+    return pa.concat_tables([pq.read_table(f) for f in files])

@@ -1,0 +1,163 @@
+"""The full medallion stream pipeline as an oracle-checked query.
+
+``medallion_stream`` deterministically synthesizes a bronze transcript
+table (seeded; size scales with the sf dir), runs the complete
+bronze→silver→gold stream job (one shuffle, per-partition atomic writes,
+lineage manifests), and returns the gold layer. The oracle SQL reads the
+*same bronze parquet files* via read_parquet() and recomputes the gold
+semantics in DuckDB — full value-hash parity for the flagship pipeline.
+
+``ndjson_ingest`` checks the gzip-NDJSON ingest path (reference S1)
+against DuckDB's read_ndjson of the same files.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+
+from ..sources.transcripts import generate_transcripts, write_bronze
+from ..sources.ndjson import read_ndjson_transcripts, write_ndjson_gz
+from .medallion import run_stream
+
+PROCESSED_AT = "2024-02-01T00:00:00"
+SEED = 1234
+
+
+def bronze_fixture_dir(sf_dir: str = "") -> str:
+    """Deterministic bronze transcripts, created once under /tmp; content
+    is a pure function of SEED (independent of sf so the queries() run and
+    the oracle SQL always see the same files)."""
+    n_convs = 800
+    d = "/tmp/medallion_fixture/default/bronze"
+    marker = os.path.join(d, "_complete.json")
+    if not os.path.exists(marker):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        tbl = generate_transcripts(
+            n_convs=n_convs,
+            avg_turns=25,
+            seed=SEED,
+            dup_frac=0.02,
+            null_frac=0.01,
+            empty_text_frac=0.01,
+            late_frac=0.05,
+        )
+        write_bronze(tbl, d, rows_per_file=200_000)
+        with open(marker, "w") as f:
+            f.write("{}")
+    return d
+
+
+def q_medallion_stream(sf_dir: str):
+    import ray.data as rd
+
+    bronze = bronze_fixture_dir(sf_dir)
+    out = "/tmp/medallion_fixture/default/lake"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    run_stream(bronze, out, run_id="ci", processed_at=PROCESSED_AT, num_parts=8)
+    # drop the hive-style `part=` partition column the reader infers
+    return rd.read_parquet(
+        sorted(glob.glob(os.path.join(out, "gold", "part=*", "data.parquet")))
+    ).drop_columns(["part"])
+
+
+def medallion_oracle_sql(sf_dir: str = "") -> str:
+    bronze = bronze_fixture_dir()
+    return f"""
+WITH src AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY ts, ingest_ts) AS rn
+        FROM read_parquet('{bronze}/*.parquet')
+        WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND length(text) > 0
+    ) WHERE rn = 1
+),
+f AS (
+    SELECT conv_id, turn_idx, role, tool, text, ts,
+        strftime(ts, '%Y-%m-%d') AS dt,
+        CAST(epoch_us(ts) AS DOUBLE) / 1000000 AS event_time,
+        count(*) OVER w1h AS turns_1h,
+        CAST(sum(length(text)) OVER w1h AS DOUBLE) AS chars_1h,
+        count(DISTINCT tool) OVER w24h AS tool_count_24h,
+        CAST(sum(length(text)) OVER w7d AS DOUBLE)
+            / count(*) OVER w7d AS avg_chars_7d,
+        count(CASE WHEN role = 'user' THEN 1 END) OVER w1h AS user_turns_1h,
+        count(CASE WHEN role = 'assistant' THEN 1 END) OVER w1h AS assistant_turns_1h,
+        lag(ts) OVER wo AS lag1_ts,
+        lead(ts) OVER wo AS lead1_ts,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER wo AS gap_us
+    FROM src
+    WINDOW
+        w1h AS (PARTITION BY conv_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+        w24h AS (PARTITION BY conv_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW),
+        w7d AS (PARTITION BY conv_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW),
+        wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sess AS (
+    SELECT *,
+        CAST(gap_us AS DOUBLE) / 1000000 AS gap_s,
+        CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+    FROM f
+)
+SELECT conv_id, turn_idx, role, tool, text, ts, dt, event_time,
+    turns_1h, chars_1h, tool_count_24h, avg_chars_7d,
+    user_turns_1h, assistant_turns_1h,
+    lag1_ts, lead1_ts, gap_s, session_id,
+    CAST(row_number() OVER (PARTITION BY conv_id, session_id
+                            ORDER BY ts, turn_idx) - 1 AS INTEGER)
+        AS session_turn_idx
+FROM sess
+"""
+
+
+NDJSON_SEED = 77
+
+
+def _ndjson_dir(sf_dir: str = "") -> str:
+    d = "/tmp/medallion_fixture/default/ndjson"
+    marker = os.path.join(d, "_complete.json")
+    if not os.path.exists(marker):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        tbl = generate_transcripts(n_convs=60, avg_turns=20, seed=NDJSON_SEED)
+        write_ndjson_gz(tbl, d, rows_per_file=2000)
+        with open(marker, "w") as f:
+            f.write("{}")
+    return d
+
+
+def q_ndjson_ingest(sf_dir: str):
+    ds = read_ndjson_transcripts(_ndjson_dir(sf_dir))
+    return ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def ndjson_oracle_sql(sf_dir: str = "") -> str:
+    d = _ndjson_dir()
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool,
+       CAST(ts AS TIMESTAMP) AS ts
+FROM read_ndjson('{d}/*.json.gz')
+"""
+
+
+def build_registry() -> dict[str, tuple]:
+    """Fixture content is a pure function of the seeds, so generating it
+    at registry-build time is safe and idempotent."""
+    return {
+        "medallion_stream": (q_medallion_stream, medallion_oracle_sql()),
+        "ndjson_ingest": (q_ndjson_ingest, ndjson_oracle_sql()),
+    }

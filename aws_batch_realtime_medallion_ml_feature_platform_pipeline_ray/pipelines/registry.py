@@ -22,4 +22,7 @@ def full_registry() -> dict[str, tuple]:
         reg.update(queries_ann.REGISTRY)
     except ImportError:
         pass
+    from . import queries_medallion
+
+    reg.update(queries_medallion.build_registry())
     return reg

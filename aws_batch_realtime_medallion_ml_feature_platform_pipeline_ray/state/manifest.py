@@ -1,0 +1,109 @@
+"""Lineage manifests: per-partition checkpoint + metrics records.
+
+Generalizes the reference's ad-hoc metadata sink (``spark_jobs/
+build_datasets.py:76-84, 116-139``) into the resume/backfill backbone
+(SURVEY.md §4.4): every silver/gold partition write lands atomically
+(write temp → rename) together with a JSON manifest recording input
+fragments, row counts, ts ranges and stage metrics. A rerun skips
+partitions whose manifest is complete; late-data backfill targets
+partitions whose ``max_ingest_ts`` overlaps the late window. This fixes
+the reference's append-duplication hazard (``silver_and_gold.py:75`` —
+rerunning a window appends duplicate rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartitionManifest:
+    stage: str
+    partition_key: str
+    run_id: str
+    rows_out: int
+    rows_in: int = -1
+    min_ts: str | None = None
+    max_ts: str | None = None
+    max_ingest_ts: str | None = None
+    wall_s: float = 0.0
+    files: list[str] = field(default_factory=list)
+    extra: dict = field(default_factory=dict)
+
+
+def manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifests")
+
+
+def manifest_path(root: str, stage: str, partition_key: str, run_id: str | None) -> str:
+    name = f"{stage}__{partition_key}" + (f"__{run_id}" if run_id else "") + ".json"
+    return os.path.join(manifest_dir(root), name)
+
+
+def write_manifest(root: str, m: PartitionManifest) -> None:
+    os.makedirs(manifest_dir(root), exist_ok=True)
+    path = manifest_path(root, m.stage, m.partition_key, m.run_id)
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(asdict(m), f)
+    os.replace(tmp, path)  # atomic: a manifest exists only if complete
+
+
+def load_manifests(root: str, stage: str | None = None) -> list[PartitionManifest]:
+    d = manifest_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".json"):
+            continue
+        if stage is not None and not name.startswith(stage + "__"):
+            continue
+        with open(os.path.join(d, name)) as f:
+            out.append(PartitionManifest(**json.load(f)))
+    return out
+
+
+def completed_partitions(root: str, stage: str, run_id: str | None = None) -> set[str]:
+    return {
+        m.partition_key
+        for m in load_manifests(root, stage)
+        if run_id is None or m.run_id == run_id
+    }
+
+
+def atomic_write_table(tbl, path: str) -> None:
+    """Write a parquet file atomically (temp + rename) so partial outputs
+    never count as complete."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(tbl, tmp, compression="snappy")
+    os.replace(tmp, path)
+
+
+class StageTimer:
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.wall_s = time.perf_counter() - self.t0
+
+
+def summarize(manifests: list[PartitionManifest]) -> dict:
+    """Run-level metrics from partition manifests (rows, turns/sec) —
+    replaces the reference's CloudWatch success metric + count() passes."""
+    rows = sum(m.rows_out for m in manifests)
+    wall = sum(m.wall_s for m in manifests)
+    return {
+        "partitions": len(manifests),
+        "rows_out": rows,
+        "sum_task_wall_s": round(wall, 3),
+        "rows_per_task_s": round(rows / wall, 1) if wall > 0 else None,
+    }

@@ -1,0 +1,220 @@
+"""End-to-end medallion tests on synthetic transcripts: gold parity vs a
+DuckDB oracle (the north-rule allclose gate, here bit-exact), resume
+idempotence, backfill equivalence, parallelism invariance, daily job."""
+
+import glob
+import json
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray import schema as S
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.sources.transcripts import (
+    generate_transcripts,
+    write_bronze,
+)
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+    run_stream,
+    read_online,
+)
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.daily import (
+    run_daily,
+)
+
+PROCESSED_AT = "2024-02-01T00:00:00"
+
+GOLD_ORACLE_SQL = """
+WITH src AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY ts, ingest_ts) AS rn
+        FROM read_parquet('{bronze}/*.parquet')
+        WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND length(text) > 0
+    ) WHERE rn = 1
+),
+f AS (
+    SELECT conv_id, turn_idx, role, tool, text, ts,
+        strftime(ts, '%Y-%m-%d') AS dt,
+        CAST(epoch_us(ts) AS DOUBLE) / 1000000 AS event_time,
+        count(*) OVER w1h AS turns_1h,
+        CAST(sum(length(text)) OVER w1h AS DOUBLE) AS chars_1h,
+        count(DISTINCT tool) OVER w24h AS tool_count_24h,
+        CAST(sum(length(text)) OVER w7d AS DOUBLE)
+            / count(*) OVER w7d AS avg_chars_7d,
+        count(CASE WHEN role = 'user' THEN 1 END) OVER w1h AS user_turns_1h,
+        count(CASE WHEN role = 'assistant' THEN 1 END) OVER w1h AS assistant_turns_1h,
+        lag(ts) OVER wo AS lag1_ts,
+        lead(ts) OVER wo AS lead1_ts,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER wo AS gap_us
+    FROM src
+    WINDOW
+        w1h AS (PARTITION BY conv_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+        w24h AS (PARTITION BY conv_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW),
+        w7d AS (PARTITION BY conv_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW),
+        wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sess AS (
+    SELECT *,
+        CAST(gap_us AS DOUBLE) / 1000000 AS gap_s,
+        CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+    FROM f
+)
+SELECT conv_id, turn_idx, role, tool, text, ts, dt, event_time,
+    turns_1h, chars_1h, tool_count_24h, avg_chars_7d,
+    user_turns_1h, assistant_turns_1h,
+    lag1_ts, lead1_ts, gap_s, session_id,
+    CAST(row_number() OVER (PARTITION BY conv_id, session_id
+                            ORDER BY ts, turn_idx) - 1 AS INTEGER)
+        AS session_turn_idx
+FROM sess
+ORDER BY conv_id, turn_idx
+"""
+
+
+@pytest.fixture(scope="module")
+def bronze_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bronze"))
+    tbl = generate_transcripts(
+        n_convs=120,
+        avg_turns=30,
+        seed=7,
+        dup_frac=0.02,
+        null_frac=0.01,
+        empty_text_frac=0.01,
+        late_frac=0.05,
+    )
+    write_bronze(tbl, d, rows_per_file=1500)
+    return d
+
+
+def gold_to_pandas(out_root: str) -> pd.DataFrame:
+    files = sorted(glob.glob(os.path.join(out_root, "gold", "part=*", "data.parquet")))
+    import pyarrow.parquet as pq
+
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    return t.to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+
+
+def compare_gold(got: pd.DataFrame, exp: pd.DataFrame):
+    assert len(got) == len(exp)
+    assert sorted(got.columns) == sorted(exp.columns)
+    for c in sorted(exp.columns):
+        a, b = got[c], exp[c]
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+            av, bv = a.to_numpy(float), b.to_numpy(float)
+            assert np.array_equal(av, bv, equal_nan=True), f"{c} mismatch"
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), f"{c} mismatch"
+
+
+def test_stream_gold_parity(ray_session, bronze_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    res = run_stream(
+        bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=8
+    )
+    assert res["gold"]["rows_out"] > 0
+    got = gold_to_pandas(out)
+    exp = duckdb.connect().execute(
+        GOLD_ORACLE_SQL.format(bronze=bronze_dir)
+    ).df().sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    compare_gold(got, exp)
+    # text byte-equality under stable (conv_id, turn_idx) ordering
+    assert (got["text"] == exp["text"]).all()
+    # temporal-leakage spot check: recompute turns_1h using only past rows
+    g = got[got["conv_id"] == got["conv_id"].iloc[0]]
+    ts = g["ts"].to_numpy()
+    for i in range(len(g)):
+        w = (ts >= ts[i] - np.timedelta64(3600, "s")) & (ts <= ts[i])
+        assert g["turns_1h"].iloc[i] == int(w.sum())
+
+
+def test_resume_idempotent(ray_session, bronze_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    run_stream(bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4)
+    g1 = gold_to_pandas(out)
+    # simulate a crashed rerun: manifests exist -> all partitions skipped
+    res2 = run_stream(
+        bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4
+    )
+    assert res2["silver"]["partitions"] == 4  # manifests still counted
+    g2 = gold_to_pandas(out)
+    pd.testing.assert_frame_equal(g1, g2)
+    # silver files were not duplicated (the reference's append hazard)
+    files = glob.glob(os.path.join(out, "silver", "part=*", "run-r1.parquet"))
+    assert len(files) == 4
+
+
+def test_backfill_equivalence(ray_session, bronze_dir, tmp_path):
+    """Two ingest-windowed runs (late rows in run 2) == one full run."""
+    import pyarrow.parquet as pq
+
+    full = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(f"{bronze_dir}/*.parquet"))]
+    )
+    ing = full["ingest_ts"].to_pandas()
+    cut = ing.quantile(0.7)
+    lo, hi = ing.min(), ing.max()
+
+    out_a = str(tmp_path / "lake_split")
+    run_stream(
+        bronze_dir, out_a, run_id="w1", processed_at=PROCESSED_AT,
+        ingest_window=(lo, cut), num_parts=4,
+    )
+    run_stream(
+        bronze_dir, out_a, run_id="w2", processed_at=PROCESSED_AT,
+        ingest_window=(cut + pd.Timedelta(microseconds=1), hi), num_parts=4,
+    )
+    out_b = str(tmp_path / "lake_once")
+    run_stream(bronze_dir, out_b, run_id="all", processed_at=PROCESSED_AT, num_parts=4)
+    pd.testing.assert_frame_equal(gold_to_pandas(out_a), gold_to_pandas(out_b))
+
+
+def test_parallelism_invariance(ray_session, bronze_dir, tmp_path):
+    out1 = str(tmp_path / "p1")
+    out2 = str(tmp_path / "p2")
+    run_stream(bronze_dir, out1, run_id="r", processed_at=PROCESSED_AT, num_parts=1)
+    run_stream(bronze_dir, out2, run_id="r", processed_at=PROCESSED_AT, num_parts=16)
+    pd.testing.assert_frame_equal(gold_to_pandas(out1), gold_to_pandas(out2))
+
+
+def test_online_latest(ray_session, bronze_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    run_stream(bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4)
+    online = read_online(out).to_pandas()
+    gold = gold_to_pandas(out)
+    assert len(online) == gold["conv_id"].nunique()
+    last = gold.sort_values(["conv_id", "ts", "turn_idx"]).groupby("conv_id").tail(1)
+    m = online.sort_values("conv_id", ignore_index=True)
+    l = last.sort_values("conv_id", ignore_index=True)
+    assert (m["ts"].to_numpy() == l["ts"].to_numpy()).all()
+
+
+def test_daily_job(ray_session, bronze_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    run_stream(bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4)
+    meta = run_daily(out, created_at=PROCESSED_AT)
+    c = meta["counts"]
+    gold_n = len(gold_to_pandas(out))
+    assert c["train"] + c["validation"] == gold_n
+    assert 0.7 < c["train"] / gold_n < 0.9
+    # inference excludes label-ish cols and dt
+    import pyarrow.parquet as pq
+
+    inf_files = glob.glob(os.path.join(out, "datasets", "inference", "*.parquet"))
+    sch = pq.read_schema(inf_files[0])
+    assert "dt" not in sch.names and "text" not in sch.names and "is_long" not in sch.names
+    # deterministic split: rerun gives identical counts
+    meta2 = run_daily(out, created_at=PROCESSED_AT)
+    assert meta2["counts"] == c
+    assert os.path.exists(os.path.join(out, "datasets", "metadata.json"))
+    json.load(open(os.path.join(out, "datasets", "metadata.json")))
