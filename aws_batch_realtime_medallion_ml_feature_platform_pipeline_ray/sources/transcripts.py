@@ -99,6 +99,7 @@ def generate_transcripts(
     start_us: int = 1_704_067_200_000_000,  # 2024-01-01 UTC
     mean_gap_s: float = 120.0,
     n_tools: int = 50,
+    conv_id_offset: int = 0,
 ) -> pa.Table:
     """Deterministic synthetic bronze transcript table (schema.BRONZE).
 
@@ -115,7 +116,12 @@ def generate_transcripts(
     n = int(sizes.sum())
 
     conv_ids = np.repeat(np.arange(n_convs), sizes)
-    conv_str = np.char.add("conv_", np.char.zfill(conv_ids.astype("U8"), 8))
+    # index a per-conv string pool: np.char kernels are ~50 s at 35M rows,
+    # object-pool fancy indexing is <1 s
+    conv_pool = np.array(
+        [f"conv_{conv_id_offset + i:08d}" for i in range(n_convs)], dtype=object
+    )
+    conv_str = conv_pool[conv_ids]
     boundaries = np.zeros(n, dtype=bool)
     boundaries[np.cumsum(sizes)[:-1]] = True
     boundaries[0] = True
@@ -131,9 +137,11 @@ def generate_transcripts(
     conv_offset = rng.integers(0, 30 * 24 * 3600, n_convs) * S.US_PER_S
     ts = start_us + np.repeat(conv_offset, sizes) + (cum - cum[seg_first])
 
-    role = rng.choice(ROLES, n, p=ROLE_P)
+    role_pool = ROLES.astype(object)
+    role = role_pool[rng.choice(len(ROLES), n, p=ROLE_P)]
     tool_ids = rng.integers(0, n_tools, n)
-    tool = np.char.add("tool_", tool_ids.astype("U3"))
+    tool_pool = np.array([f"tool_{i}" for i in range(n_tools)], dtype=object)
+    tool = tool_pool[tool_ids]
     has_tool = (role == "tool") | (rng.random(n) < 0.15)
 
     n_words = np.maximum(1, rng.lognormal(2.5, 1.0, n)).astype(np.int64)
@@ -151,7 +159,10 @@ def generate_transcripts(
             "conv_id": pa.array(conv_str, pa.string()),
             "turn_idx": pa.array(turn_idx, pa.int32()),
             "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
+            # large_string during construction: >2 GB total text would
+            # overflow int32 string offsets inside take/concat; cast back
+            # to canonical string (chunked) at the end.
+            "text": pa.array(text, pa.large_string()),
             "tool": pa.array(tool, pa.string(), mask=~has_tool),
             "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
             "ingest_ts": pa.array(ingest_ts, pa.int64()).cast(pa.timestamp("us")),
@@ -179,26 +190,95 @@ def generate_transcripts(
         txt = tbl["text"].combine_chunks()
         if empty_text_frac > 0:
             mask = rng.random(m) < empty_text_frac
-            txt = pc.if_else(pa.array(mask), pa.scalar("", pa.string()), txt)
+            txt = pc.if_else(pa.array(mask), pa.scalar("", txt.type), txt)
         tbl = tbl.set_column(0, "conv_id", conv)
         tbl = tbl.set_column(tbl.schema.get_field_index("text"), "text", txt)
 
-    # shuffle row order (bronze arrival order is not conv order)
+    # shuffle row order (bronze arrival order is not conv order).
+    # combine_chunks first: take over a chunked source resolves chunks
+    # per index (~200 s at 35M rows); over contiguous columns it is one
+    # vectorized gather (large_string text keeps >2 GB legal).
     perm = rng.permutation(tbl.num_rows)
-    return tbl.take(pa.array(perm))
+    tbl = tbl.combine_chunks().take(pa.array(perm))
+    return _cast_text_to_string(tbl)
+
+
+def _cast_text_to_string(tbl: pa.Table, chunk: int = 2_000_000) -> pa.Table:
+    """large_string → canonical string as bounded chunks (no >2 GB chunk)."""
+    idx = tbl.schema.get_field_index("text")
+    col = tbl["text"]
+    chunks = []
+    for start in range(0, tbl.num_rows, chunk):
+        sl = col.slice(start, chunk).combine_chunks()
+        chunks.append(sl.cast(pa.string()))
+    return tbl.set_column(idx, "text", pa.chunked_array(chunks, pa.string()))
+
+
+_TEXT_POOL_SIZE = 8192
 
 
 def _make_texts(rng: np.random.Generator, n_words: np.ndarray) -> np.ndarray:
-    total = int(n_words.sum())
+    """Seeded texts via a pre-built sentence pool: the Python join loop runs
+    over 8k pool entries, not N rows, so generating 10^7+ turns stays
+    seconds-fast; rows index the pool vectorized. Pool sentence lengths are
+    drawn from the same per-row length distribution, preserving the
+    text-length spread the window features aggregate over."""
+    n = len(n_words)
+    pool_n = min(_TEXT_POOL_SIZE, n)
+    pool_words = n_words[rng.integers(0, n, pool_n)]
+    total = int(pool_words.sum())
     words = rng.choice(_WORDS, total)
-    out = np.empty(len(n_words), dtype=object)
+    pool = np.empty(pool_n, dtype=object)
     pos = 0
-    # np.add.reduceat-style join; python loop only over rows for join —
-    # acceptable in the seeded generator (not a pipeline hot path)
-    for i, k in enumerate(n_words):
-        out[i] = " ".join(words[pos : pos + k])
+    for i, k in enumerate(pool_words):
+        pool[i] = " ".join(words[pos : pos + k])
         pos += k
-    return out
+    return pool[rng.integers(0, pool_n, n)]
+
+
+def generate_bronze_distributed(
+    n_convs: int,
+    avg_turns: int,
+    path: str,
+    *,
+    shards: int = 32,
+    seed: int = 42,
+    rows_per_file: int = 250_000,
+    **gen_kwargs,
+) -> int:
+    """Parallel synthetic-bronze generation: each Ray task generates a
+    disjoint conv-id range (seed derived per shard, deterministic) and
+    writes its own parquet files. This is how gen-data stays feasible at
+    bench scale (one process: ~210 s for 35M turns; 32 tasks: ~20 s) and
+    how a 10^12-turn corpus would be laid down on a real cluster. Returns
+    total rows written."""
+    import os
+
+    import ray
+
+    os.makedirs(path, exist_ok=True)
+    per_shard = max(1, n_convs // shards)
+
+    @ray.remote
+    def _gen(shard: int) -> int:
+        tbl = generate_transcripts(
+            per_shard,
+            avg_turns,
+            seed=seed + shard,
+            conv_id_offset=shard * per_shard,
+            **gen_kwargs,
+        )
+        import pyarrow.parquet as pq
+
+        for j, start in enumerate(range(0, tbl.num_rows, rows_per_file)):
+            pq.write_table(
+                tbl.slice(start, rows_per_file),
+                f"{path}/part-{shard:03d}-{j:04d}.parquet",
+                compression="snappy",
+            )
+        return tbl.num_rows
+
+    return sum(ray.get([_gen.remote(s) for s in range(shards)]))
 
 
 def write_bronze(tbl: pa.Table, path: str, rows_per_file: int = 500_000) -> None:

@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data-native medallion feature engine.
+
+Default mode: times every registered query pipeline (SURVEY.md §2 coverage)
+over ``$GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE
+JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "headline_turns_per_sec": ...}
+
+``--scaling``: evidences the north-rule two-cluster-size criterion in this
+single-node sandbox — generates a deterministic synthetic bronze transcript
+table once, then runs the SAME gold feature-build job in two FRESH processes
+(``ray.init(num_cpus=8)`` and ``num_cpus=32``), reporting turns/sec at both
+plus scaling efficiency = (tp32/tp8)/4 (target >= 0.8, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# scaling-run corpus: ~70M turns across 160k conversations (Zipf sizes →
+# includes mega-conversation skew, dup + late injections like production
+# bronze). Sized so the keyed shuffle + fused window pass dominates Ray
+# fixed overhead (worker spawn, shuffle coordination) at 32 CPUs — the
+# regime a 100 TB run lives in.
+SCALING_CONVS = 160_000
+SCALING_AVG_TURNS = 100
+SCALING_PARTS = 128   # fixed across cpu levels so total work is identical
+SCALING_BLOCKS = 128  # input blocks feeding the shuffle map side
+SCALING_REPS = 2      # timed reps per level (after one untimed warm-up)
+
+
+def _consume(res) -> int:
+    """Execute a query result fully; return row count."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    return len(res)
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.registry import (
+        full_registry,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.sources.transcripts import (
+        read_events_as_transcripts,
+    )
+
+    reg = full_registry()
+    timings: dict[str, float] = {}
+    # warm up Ray Data executor once so the first query isn't charged for it
+    read_events_as_transcripts(sf_dir).count()
+
+    n_turns = 0
+    total0 = time.perf_counter()
+    for name in sorted(reg):
+        fn = reg[name][0]
+        t0 = time.perf_counter()
+        rows = _consume(fn(sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "gold_features":
+            n_turns = rows
+    total = time.perf_counter() - total0
+
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = sf_dir
+    return {
+        "metric": "query-suite wall time (all registered pipelines)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "headline_turns_per_sec": (
+            round(n_turns / timings["gold_features"]) if n_turns else None
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# scaling mode
+# ---------------------------------------------------------------------------
+
+def _gen_corpus(path: str) -> int:
+    """Write the deterministic scaling corpus once (cached); return rows."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.sources.transcripts import (
+        generate_bronze_distributed,
+    )
+
+    marker = os.path.join(path, "_COMPLETE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read())
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", num_cpus=DEFAULT_CPUS, include_dashboard=False)
+    n = generate_bronze_distributed(
+        SCALING_CONVS,
+        SCALING_AVG_TURNS,
+        path,
+        shards=32,
+        seed=42,
+        dup_frac=0.01,
+        late_frac=0.02,
+    )
+    if owns_ray:
+        ray.shutdown()
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return n
+
+
+def _child(bronze_path: str, num_cpus: int) -> None:
+    """Fresh-process gold feature build at a given parallelism level.
+
+    Measures steady-state throughput: one untimed warm-up run (spawns the
+    worker pool, touches the page cache — costs a real cluster amortizes
+    over a 100 TB job), then ``SCALING_REPS`` timed runs, best kept.
+    """
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+    )
+    import ray.data as rd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.featurize import (
+        GoldConfig,
+        gold_features_partition,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.keyed import (
+        map_partitions_by_key,
+    )
+
+    cfg = GoldConfig(dedup=True)
+
+    def build():
+        ds = rd.read_parquet(bronze_path, override_num_blocks=SCALING_BLOCKS)
+        return map_partitions_by_key(
+            ds,
+            "conv_id",
+            lambda t: gold_features_partition(t, cfg),
+            num_parts=SCALING_PARTS,
+        )
+
+    n_in = rd.read_parquet(bronze_path).count()  # parquet metadata only
+    n_out = build().count()  # warm-up, untimed
+    best = float("inf")
+    for _ in range(SCALING_REPS):
+        t0 = time.perf_counter()
+        build().count()
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"rows_in": n_in, "rows_out": n_out, "sec": best}))
+    ray.shutdown()
+
+
+def run_scaling(lo: int, hi: int) -> dict:
+    corpus = os.path.join("/tmp", "graft_scaling_bronze")
+    n_rows = _gen_corpus(corpus)
+    results = {}
+    for cpus in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_child",
+             "--num-cpus", str(cpus), "--input", corpus],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        child = json.loads(out.stdout.strip().splitlines()[-1])
+        results[cpus] = {
+            "sec": round(child["sec"], 3),
+            "turns_per_sec": round(child["rows_in"] / child["sec"]),
+            "rows_out": child["rows_out"],
+        }
+    ratio = hi / lo
+    eff = (
+        results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]
+    ) / ratio
+    return {
+        "metric": "gold feature-build scaling (fresh processes, same input)",
+        "value": round(eff, 3),
+        "unit": "scaling_efficiency",
+        "corpus_turns": n_rows,
+        "num_cpus": {str(lo): results[lo], str(hi): results[hi]},
+        "efficiency_target": 0.8,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus-lo", type=int, default=8)
+    ap.add_argument("--cpus-hi", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    if args._child:
+        _child(args.input, args.num_cpus)
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling(args.cpus_lo, args.cpus_hi)))
+        return
+
+    import ray
+
+    result = run_suite(args.sf_dir, args.num_cpus)
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
