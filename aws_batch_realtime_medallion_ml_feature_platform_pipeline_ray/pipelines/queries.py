@@ -300,8 +300,27 @@ WINDOW wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 """
 
 
+def q_gold_features_salted(sf_dir: str):
+    """B14: same gold pass with hot conversations split into time-bucket
+    shards (overlap-prefix windows + stitch) — output must be bit-identical
+    to q_gold_features, verified against the same SQL oracle."""
+    from ..stages.salted import gold_features_salted
+
+    ds = read_events_as_transcripts(sf_dir)
+    cfg = GoldConfig(
+        compute_turn_idx=True,
+        tiebreak_col="event_id",
+        dedup=False,
+        role_counts=EVENT_ROLES,
+    )
+    # low threshold so real shards exist at sf0.01 (top convs ~86 turns
+    # across 30 days => ~5 seven-day buckets each)
+    return gold_features_salted(ds, cfg, num_parts=NUM_PARTS, hot_threshold=60)
+
+
 REGISTRY: dict[str, tuple] = {
     "gold_features": (q_gold_features, GOLD_SQL),
+    "gold_features_salted": (q_gold_features_salted, GOLD_SQL),
     "rolling_windows": (q_rolling_windows, ROLLING_SQL),
     "silver_normalize": (q_silver_normalize, SILVER_NORMALIZE_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
