@@ -81,7 +81,30 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF top-k with exhaustive probing (n_probe == n_lists) — exercises
+    the coarse-quantizer scale path end-to-end while remaining exactly
+    equal to brute force, so it shares the KNN SQL oracle. Partial-probe
+    recall is measured in tests/test_ann_ivf.py."""
+    from ..stages.ann import knn_ivf
+
+    sample = _query_sample(sf_dir)
+    return knn_ivf(
+        _emb(sf_dir), _query_tbl(sf_dir), sample, k=K, n_lists=8, n_probe=8
+    )
+
+
+def _query_sample(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return t.slice(0, 512)  # bounded, deterministic training sample
+
+
 REGISTRY: dict[str, tuple] = {
     "knn": (q_knn, KNN_SQL),
+    "knn_ivf": (q_knn_ivf, KNN_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
 }

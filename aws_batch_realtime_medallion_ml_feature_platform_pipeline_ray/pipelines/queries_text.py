@@ -199,8 +199,80 @@ def q_docs_simhash(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_docs_ngram_jaccard(sf_dir: str):
+    """Exact n-gram (word-trigram) Jaccard similarity join, >= 0.5 pairs:
+    (doc, gram) explode → posting-list pair expansion via gram groupby →
+    pair-count groupby (intersection sizes) → jaccard against broadcast
+    set sizes. The distributed exact baseline; the scale path for low
+    thresholds is docs_minhash_pairs (LSH)."""
+    import pyarrow.parquet as pq
+    from ..stages.dedup import gram_group_pairs, ngram_table
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        ngram_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = grams.groupby("gram").map_groups(
+        gram_group_pairs, batch_format="pyarrow"
+    )
+    counts = pairs.groupby(["doc_a", "doc_b"]).count()
+
+    # set sizes: tiny (one row per doc) — computed once, shipped in-closure
+    docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    gt = ngram_table(docs_tbl)
+    ids, szs = np.unique(np.asarray(gt["doc_id"]), return_counts=True)
+    size_of = dict(zip(ids.tolist(), szs.tolist()))
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"].combine_chunks())
+        b = np.asarray(batch["doc_b"].combine_chunks())
+        c = np.asarray(batch["count()"].combine_chunks()).astype(np.float64)
+        na = np.array([size_of.get(int(x), 0) for x in a], dtype=np.float64)
+        nb = np.array([size_of.get(int(x), 0) for x in b], dtype=np.float64)
+        jac = np.round(c / (na + nb - c), 6)
+        keep = jac >= JACCARD_THRESHOLD
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return counts.map_batches(jaccard, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_NGRAM_JACCARD_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+tri AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+           )) AS g
+    FROM tok
+    WHERE len(ts) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+    FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "docs_exact_dedup": (q_docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
+    "docs_ngram_jaccard": (q_docs_ngram_jaccard, DOCS_NGRAM_JACCARD_SQL),
     "docs_quality": (q_docs_quality, DOCS_QUALITY_SQL),
     "docs_token_count": (q_docs_token_count, DOCS_TOKEN_COUNT_SQL),
     "docs_langid": (q_docs_langid, DOCS_LANGID_SQL),

@@ -121,6 +121,60 @@ class JaccardVerifier:
         return out.filter(pa.array(jac >= self.threshold))
 
 
+def ngram_table(batch: pa.Table, k: int = 3) -> pa.Table:
+    """(doc_id, gram) distinct word-k-gram STRING pairs per document —
+    the exact-similarity-join building block (SQL-twin-able, unlike the
+    hashed shingles). Docs with < k tokens contribute nothing. Fully
+    vectorized: flattened token array + element-wise joins of shifted
+    views, boundary windows masked out."""
+    import pyarrow.compute as pc
+    from ..functions.text import tokens_list, _flat_tokens
+
+    toks = tokens_list(batch["text"].combine_chunks())
+    flat, offsets = _flat_tokens(toks)
+    n_docs = len(offsets) - 1
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    n_tok = len(flat)
+    if n_tok == 0:
+        return pa.table(
+            {"doc_id": pa.array([], batch["doc_id"].type),
+             "gram": pa.array([], pa.string())}
+        )
+    parts = [flat]
+    for j in range(1, k):
+        shifted = flat.slice(j).combine_chunks() if hasattr(flat.slice(j), "combine_chunks") else flat.slice(j)
+        pad = pa.array([""] * j, pa.string())
+        parts.append(pa.concat_arrays([shifted, pad]))
+    gram = pc.binary_join_element_wise(*parts, " ")
+    doc_per_tok = np.repeat(np.arange(n_docs), lens)
+    pos = np.arange(n_tok) - np.repeat(offsets[:-1].astype(np.int64), lens)
+    keep = pos <= np.repeat(lens, lens) - k
+    ids = np.asarray(batch["doc_id"].combine_chunks().cast(pa.int64()))
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids[doc_per_tok[keep]], pa.int64()),
+            "gram": gram.filter(pa.array(keep)),
+        }
+    )
+    # distinct (doc, gram) within batch (docs never span batches here)
+    return out.group_by(["doc_id", "gram"]).aggregate([]).sort_by("doc_id")
+
+
+def gram_group_pairs(group: pa.Table) -> pa.Table:
+    """All (a < b) doc pairs sharing one gram (posting-list expansion)."""
+    ids = np.unique(np.asarray(group["doc_id"].combine_chunks()))
+    m = len(ids)
+    if m < 2:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    iu = np.triu_indices(m, k=1)
+    return pa.table(
+        {"doc_a": pa.array(ids[iu[0]], pa.int64()),
+         "doc_b": pa.array(ids[iu[1]], pa.int64())}
+    )
+
+
 def simhash64(sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """64-bit SimHash per doc from flat (shingle or token) hashes:
     sum bit votes, sign → bit. Vectorized via bit unpacking + reduceat."""

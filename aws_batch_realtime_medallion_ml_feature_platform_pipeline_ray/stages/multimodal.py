@@ -1,0 +1,196 @@
+"""Multimodal (image/audio) columns as opaque binary + typed metadata.
+
+A 100 TB training-data pipeline carries media as Parquet ``binary``
+columns with typed metadata beside them; decode / feature-extract /
+resize / frame-sample run as actor-pool ``map_batches`` stages (decoder
+built once per actor in ``__init__``). The real decoders (PIL / librosa /
+ffmpeg) are NOT in this container, so the decode step is STUBBED:
+:func:`decode_real` raises ``NotImplementedError`` and the pipeline uses a
+deterministic fake decoder instead — the Ray-side plumbing (schema,
+binary payload handling, actor signature, batch sizing, output layout) is
+real and tested.
+
+The media table is synthesized deterministically from the ``documents``
+table (payload = UTF-8 bytes of the text), so metadata features have an
+exact DuckDB twin (``octet_length(encode(text))`` etc.) and the driver's
+value-hash parity applies to the metadata query; payload-decoding
+features (checksums over raw bytes) are covered by pytest against a
+pure-Python reference.
+
+Scale notes: payloads ride the object store as zero-copy Arrow binary
+buffers; ``batch_size`` for media stages must be sized by *bytes* not
+rows (default here: 64 rows/batch ≈ payload-bound), and the featurizer
+never concatenates payloads — per-row slices are reduced with
+``np.add.reduceat`` over the Arrow data buffer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+HEADER_BYTES = 8
+FRAME_BYTES = 1024  # fake "frame" granularity for frame-count / sampling
+
+
+def decode_real(kind: str):
+    """Placeholder for the real decoder factory (PIL for images, an audio
+    codec for audio). Not available in this environment by design."""
+    raise NotImplementedError(
+        f"real {kind} decoding requires image/audio libraries not present "
+        "in this container; use FakeDecoder (deterministic) — the Ray "
+        "plumbing is identical"
+    )
+
+
+class FakeDecoder:
+    """Deterministic stand-in decoder: byte sums / slicing instead of
+    pixel/sample decoding. Same call shape a real decoder adapter has."""
+
+    def __init__(self, kind: str):
+        self.kind = kind
+
+    def checksum(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Per-item sum of payload bytes (vectorized over the whole batch:
+        one reduceat on the shared Arrow data buffer)."""
+        if len(offsets) <= 1:
+            return np.zeros(0, dtype=np.int64)
+        starts = offsets[:-1]
+        sums = np.add.reduceat(
+            np.concatenate([data.astype(np.int64), [0]]),
+            np.minimum(starts, len(data)),
+        )
+        empty = offsets[1:] == starts
+        return np.where(empty, 0, sums)
+
+
+def media_from_documents(batch: pa.Table) -> pa.Table:
+    """documents → media table: (doc_id, kind, payload:binary, n_bytes,
+    width, height, est_frames). Deterministic, SQL-expressible metadata."""
+    text = batch["text"].combine_chunks()
+    payload = text.cast(pa.binary())
+    n_bytes = pc.binary_length(payload).cast(pa.int64())
+    nb = np.asarray(n_bytes)
+    doc_id = np.asarray(batch["doc_id"].combine_chunks().cast(pa.int64()))
+    kind = np.where(doc_id % 2 == 0, "image", "audio")
+    n_chars = np.asarray(pc.utf8_length(text).cast(pa.int64()))
+    width = 64 + (n_chars % 576)
+    height = 64 + ((n_chars * 7) % 416)
+    est_frames = nb // FRAME_BYTES + 1
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "kind": pa.array(kind.astype(object), pa.string()),
+            "payload": payload,
+            "n_bytes": n_bytes,
+            "width": pa.array(width, pa.int64()),
+            "height": pa.array(height, pa.int64()),
+            "est_frames": pa.array(est_frames, pa.int64()),
+        }
+    )
+
+
+MEDIA_META_SQL = """
+SELECT
+    doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    CAST(64 + length(text) % 576 AS BIGINT) AS width,
+    CAST(64 + (length(text) * 7) % 416 AS BIGINT) AS height,
+    CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS est_frames
+FROM documents
+"""
+
+
+class MediaFeaturizer:
+    """Actor-pool decode/feature stage: decoder constructed ONCE per actor
+    (``__init__``), per-batch work fully vectorized. Emits per-item decode
+    features: payload checksum, header checksum, sampled frame count.
+
+    Use as ``ds.map_batches(MediaFeaturizer, concurrency=N,
+    batch_size=64, batch_format="pyarrow")``.
+    """
+
+    def __init__(self, frame_stride: int = 4, use_real_decoder: bool = False):
+        if use_real_decoder:  # pragma: no cover - stub gate
+            self.image = decode_real("image")
+            self.audio = decode_real("audio")
+        else:
+            self.image = FakeDecoder("image")
+            self.audio = FakeDecoder("audio")
+        self.frame_stride = frame_stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"].combine_chunks()
+        # zero-copy views of the binary column's buffers
+        offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            payload.offset : payload.offset + len(payload) + 1
+        ].astype(np.int64)
+        data_buf = payload.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        checksum = self.image.checksum(data, offsets)
+
+        lens = offsets[1:] - offsets[:-1]
+        hdr_end = offsets[:-1] + np.minimum(lens, HEADER_BYTES)
+        hdr_sums = _range_sums(data, offsets[:-1], hdr_end)
+        sampled = (np.asarray(batch["est_frames"].combine_chunks())
+                   + self.frame_stride - 1) // self.frame_stride
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "kind": batch["kind"],
+                "n_bytes": batch["n_bytes"],
+                "payload_checksum": pa.array(checksum, pa.int64()),
+                "header_checksum": pa.array(hdr_sums, pa.int64()),
+                "sampled_frames": pa.array(sampled.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def _range_sums(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Per-range byte sums via one reduceat over interleaved bounds."""
+    n = len(starts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    bounds = np.empty(2 * n, dtype=np.int64)
+    bounds[0::2] = starts
+    bounds[1::2] = ends
+    padded = np.concatenate([data.astype(np.int64), [0]])
+    sums = np.add.reduceat(padded, np.minimum(bounds, len(data)))[0::2]
+    return np.where(ends == starts, 0, sums)
+
+
+def media_pipeline(sf_dir: str, *, concurrency: int = 2, batch_size: int = 64):
+    """documents parquet → media synth (task pool) → MediaFeaturizer
+    (actor pool). batch_size is small on purpose: media batches are sized
+    by payload bytes, not row count."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = ds.map_batches(
+        media_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return media.map_batches(
+        MediaFeaturizer,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def media_meta_pipeline(sf_dir: str):
+    """Metadata-only projection (oracle-backed): no payload leaves the
+    synth stage."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: media_from_documents(t).drop_columns(["payload"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,65 @@
+"""Multimodal plumbing: binary payload columns through an actor-pool
+decode stage; checksums vs a pure-Python reference; batch-size
+independence; the real-decoder gate stays stubbed."""
+
+import numpy as np
+import pytest
+
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.multimodal import (
+    FakeDecoder,
+    MediaFeaturizer,
+    decode_real,
+    media_from_documents,
+    media_pipeline,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real("image")
+
+
+def test_featurizer_checksums_match_python(ray_session):
+    import pyarrow as pa
+
+    texts = ["hello", "", "héllo wörld", "x" * 5000, "abc"]
+    docs = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    media = media_from_documents(docs)
+    out = MediaFeaturizer()(media).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        assert out.loc[i, "payload_checksum"] == sum(raw)
+        assert out.loc[i, "header_checksum"] == sum(raw[:8])
+        assert out.loc[i, "n_bytes"] == len(raw)
+
+
+def test_media_pipeline_batch_size_invariance(ray_session):
+    a = (
+        media_pipeline(SF, concurrency=2, batch_size=16)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        media_pipeline(SF, concurrency=1, batch_size=499)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b)
+    assert len(a) == 500
+    assert set(a["kind"]) == {"image", "audio"}
+    assert (a["payload_checksum"] >= 0).all()
+
+
+def test_media_schema(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    media = docs.map_batches(media_from_documents, batch_format="pyarrow")
+    sch = media.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["payload"] == pa.binary()
+    assert types["n_bytes"] == pa.int64()
