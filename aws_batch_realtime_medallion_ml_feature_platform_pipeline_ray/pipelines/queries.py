@@ -313,9 +313,10 @@ def q_gold_features_salted(sf_dir: str):
         dedup=False,
         role_counts=EVENT_ROLES,
     )
-    # low threshold so real shards exist at sf0.01 (top convs ~86 turns
-    # across 30 days => ~5 seven-day buckets each)
-    return gold_features_salted(ds, cfg, num_parts=NUM_PARTS, hot_threshold=60)
+    # threshold so a handful of real multi-bucket shards exist at sf0.01
+    # (13 hot convs of ~80-86 turns across 30 days => ~5 weekly buckets
+    # each) without over-salting the sf0.1 bench (104 of 1500 convs hot)
+    return gold_features_salted(ds, cfg, num_parts=NUM_PARTS, hot_threshold=80)
 
 
 REGISTRY: dict[str, tuple] = {

@@ -206,16 +206,21 @@ def q_docs_ngram_jaccard(sf_dir: str):
     set sizes. The distributed exact baseline; the scale path for low
     thresholds is docs_minhash_pairs (LSH)."""
     import pyarrow.parquet as pq
-    from ..stages.dedup import gram_group_pairs, ngram_table
+    from ..stages.dedup import ngram_table, partition_pair_counts, sum_pair_partials
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     grams = ds.map_batches(
         ngram_table, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = grams.groupby("gram").map_groups(
-        gram_group_pairs, batch_format="pyarrow"
+    # hash-partition by gram; each task expands thousands of posting lists
+    # vectorized (a per-gram map_groups would mean one Python call per
+    # distinct gram — ~500k at sf0.1)
+    partials = map_partitions_by_key(
+        grams, "gram", partition_pair_counts, num_parts=NUM_PARTS
     )
-    counts = pairs.groupby(["doc_a", "doc_b"]).count()
+    counts = map_partitions_by_key(
+        partials, "pair", sum_pair_partials, num_parts=NUM_PARTS
+    )
 
     # set sizes: tiny (one row per doc) — computed once, shipped in-closure
     docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -226,7 +231,7 @@ def q_docs_ngram_jaccard(sf_dir: str):
     def jaccard(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["doc_a"].combine_chunks())
         b = np.asarray(batch["doc_b"].combine_chunks())
-        c = np.asarray(batch["count()"].combine_chunks()).astype(np.float64)
+        c = np.asarray(batch["c"].combine_chunks()).astype(np.float64)
         na = np.array([size_of.get(int(x), 0) for x in a], dtype=np.float64)
         nb = np.array([size_of.get(int(x), 0) for x in b], dtype=np.float64)
         jac = np.round(c / (na + nb - c), 6)
