@@ -76,6 +76,22 @@ def completed_partitions(root: str, stage: str, run_id: str | None = None) -> se
     }
 
 
+def backfill_targets(root: str, stage: str, late_min_ts: str) -> set[str]:
+    """B12 targeting: partition keys whose data could be affected by turns
+    whose event time is >= ``late_min_ts`` (ISO string, lexicographic on
+    ISO timestamps == chronological). Windows are per-entity, so the blast
+    radius of late data is exactly the partitions whose ``max_ts`` reaches
+    past the late window start; everything else can be skipped on the
+    backfill rerun. The reference parsed ``watermark_delay_minutes``
+    (silver_and_gold.py:31) but never used it — here it bounds
+    ``late_min_ts = window_start - watermark_delay``."""
+    out = set()
+    for m in load_manifests(root, stage):
+        if m.max_ts is not None and m.max_ts >= late_min_ts:
+            out.add(m.partition_key)
+    return out
+
+
 def atomic_write_table(tbl, path: str) -> None:
     """Write a parquet file atomically (temp + rename) so partial outputs
     never count as complete."""

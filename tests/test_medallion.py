@@ -218,3 +218,28 @@ def test_daily_job(ray_session, bronze_dir, tmp_path):
     assert meta2["counts"] == c
     assert os.path.exists(os.path.join(out, "datasets", "metadata.json"))
     json.load(open(os.path.join(out, "datasets", "metadata.json")))
+
+
+def test_backfill_targets(ray_session, bronze_dir, tmp_path):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.state import (
+        manifest as M,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+        RUN_STAGE_SILVER,
+    )
+
+    out = str(tmp_path / "lake")
+    run_stream(bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=8)
+    silver_root = os.path.join(out, "silver")
+    ms = M.load_manifests(silver_root, RUN_STAGE_SILVER)
+    assert len(ms) == 8
+    # a late window before every partition's max_ts touches all of them;
+    # one after the global max touches none
+    all_parts = M.backfill_targets(silver_root, RUN_STAGE_SILVER, "2000-01-01")
+    assert all_parts == {m.partition_key for m in ms}
+    assert M.backfill_targets(silver_root, RUN_STAGE_SILVER, "2999-01-01") == set()
+    # a mid-range cut selects exactly the manifests whose max_ts reaches it
+    cut = sorted(m.max_ts for m in ms)[4]
+    got = M.backfill_targets(silver_root, RUN_STAGE_SILVER, cut)
+    exp = {m.partition_key for m in ms if m.max_ts >= cut}
+    assert got == exp and 0 < len(got) <= 8

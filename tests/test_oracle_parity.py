@@ -102,3 +102,34 @@ def test_query_parity(qname, ray_session):
         return
     sql_df = oracle_run(sql)
     compare(qname, ray_df, sql_df)
+
+
+def test_asof_no_temporal_leakage(ray_session):
+    """Property: every attached right row satisfies ts' <= ts (never a
+    future row), and where a match exists it is the latest eligible one."""
+    import pandas as pd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_relational import (
+        q_asof_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_asof_join(sf).to_pandas()
+    hit = out[out["o_orderdate"].notna()]
+    assert (hit["o_orderdate"] <= hit["ts"]).all()
+
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    ro = (
+        orders.groupby(["o_custkey", "o_orderdate"], as_index=False)
+        .agg(n_orders=("o_totalprice", "size"))
+    )
+    ro["o_orderdate"] = pd.to_datetime(ro["o_orderdate"])
+    by_cust = {k: g.sort_values("o_orderdate") for k, g in ro.groupby("o_custkey")}
+    sample = out.sample(n=min(300, len(out)), random_state=0)
+    for _, r in sample.iterrows():
+        g = by_cust.get(r["user_id"])
+        elig = g[g["o_orderdate"] <= r["ts"]] if g is not None else None
+        if elig is None or not len(elig):
+            assert pd.isna(r["o_orderdate"])
+        else:
+            assert r["o_orderdate"] == elig["o_orderdate"].iloc[-1]

@@ -101,3 +101,28 @@ def test_bucket_too_small_rejected(ray_session):
         gold_features_salted(
             rd.from_arrow(tbl), GoldConfig(), num_parts=2, bucket_us=1000
         )
+
+
+def test_block_boundary_invariance(ray_session):
+    """Adversarial block sizes (SURVEY §7.3): output must not depend on how
+    Ray blocks the input — whole-partition semantics come from the keyed
+    exchange, not from block luck."""
+    import ray.data as rd
+
+    tbl = generate_transcripts(120, 30, seed=37, dup_frac=0.03)
+    cfg = GoldConfig(dedup=True)
+
+    def run(ds):
+        return (
+            map_partitions_by_key(
+                ds, "conv_id",
+                lambda t: gold_features_partition(t, cfg),
+                num_parts=4,
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+        )
+
+    a = run(rd.from_arrow(tbl))
+    b = run(rd.from_arrow(tbl).repartition(97))  # many tiny blocks
+    assert a.equals(b)
