@@ -39,7 +39,7 @@ SCALING_CONVS = 160_000
 SCALING_AVG_TURNS = 100
 SCALING_PARTS = 128   # fixed across cpu levels so total work is identical
 SCALING_BLOCKS = 128  # input blocks feeding the shuffle map side
-SCALING_REPS = 2      # timed reps per level (after one untimed warm-up)
+SCALING_REPS = 1      # timed reps per child (more rounds > more reps)
 
 
 def _consume(res) -> int:
@@ -136,7 +136,7 @@ def _gen_corpus(path: str) -> int:
     return n
 
 
-def _child(bronze_path: str, num_cpus: int) -> None:
+def _child(bronze_path: str, num_cpus: int, reps: int = SCALING_REPS) -> None:
     """Fresh-process gold feature build at a given parallelism level.
 
     Measures steady-state throughput: one untimed warm-up run (spawns the
@@ -172,32 +172,77 @@ def _child(bronze_path: str, num_cpus: int) -> None:
         )
 
     n_in = rd.read_parquet(bronze_path).count()  # parquet metadata only
-    n_out = build().count()  # warm-up, untimed
+    # full warm-up run, untimed: the first real run in a fresh session pays
+    # ~2-3x (worker spawn + per-worker imports + shuffle-path setup) that a
+    # long-running job amortizes; a synthetic warm-up does NOT cover it
+    n_out = build().count()
     best = float("inf")
-    for _ in range(SCALING_REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        build().count()
+        n_out = build().count()
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({"rows_in": n_in, "rows_out": n_out, "sec": best}))
     ray.shutdown()
 
 
+def _wait_for_quiet(thresh: float = 6.0, max_wait: float = 150.0) -> None:
+    """Best-effort fair-weather gate: the sandbox host runs co-tenant work
+    in bursts (1-min load can sit at 20+ with nothing of ours running),
+    which corrupts wall-clock samples. Wait briefly for load to subside;
+    proceed regardless after max_wait."""
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        if os.getloadavg()[0] < thresh:
+            return
+        time.sleep(5.0)
+
+
+def _drain_ray(max_wait: float = 30.0) -> None:
+    """Wait for stray raylet/worker processes from the previous child to
+    exit — overlap would contend CPU and corrupt the measurement."""
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        probe = subprocess.run(
+            ["pgrep", "-f", "raylet|ray::"], capture_output=True, text=True
+        )
+        if probe.returncode != 0 or not probe.stdout.strip():
+            return
+        time.sleep(1.0)
+
+
+SCALING_ROUNDS = 2        # interleaved (lo, hi) rounds; best per level
+SCALING_TIME_BUDGET = 500  # skip later rounds when the wall budget is spent
+
+
 def run_scaling(lo: int, hi: int) -> dict:
+    """Interleave the two levels across rounds and keep each level's best
+    sample: on a shared host, throughput weather changes minute to minute,
+    and measuring the levels far apart in time corrupts the ratio."""
     corpus = os.path.join("/tmp", "graft_scaling_bronze")
     n_rows = _gen_corpus(corpus)
     results = {}
-    for cpus in (lo, hi):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_child",
-             "--num-cpus", str(cpus), "--input", corpus],
-            capture_output=True, text=True, cwd=REPO, check=True,
-        )
-        child = json.loads(out.stdout.strip().splitlines()[-1])
-        results[cpus] = {
-            "sec": round(child["sec"], 3),
-            "turns_per_sec": round(child["rows_in"] / child["sec"]),
-            "rows_out": child["rows_out"],
-        }
+    t_start = time.time()
+    for rnd in range(SCALING_ROUNDS):
+        if rnd and time.time() - t_start > SCALING_TIME_BUDGET - 110:
+            break  # a (lo, hi) round costs ~100 s in fair weather
+        for cpus in (lo, hi):
+            _drain_ray()
+            _wait_for_quiet()
+            reps = SCALING_REPS  # identical treatment at both levels
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_child",
+                 "--num-cpus", str(cpus), "--input", corpus,
+                 "--reps", str(reps)],
+                capture_output=True, text=True, cwd=REPO, check=True,
+            )
+            child = json.loads(out.stdout.strip().splitlines()[-1])
+            cur = {
+                "sec": round(child["sec"], 3),
+                "turns_per_sec": round(child["rows_in"] / child["sec"]),
+                "rows_out": child["rows_out"],
+            }
+            if cpus not in results or cur["sec"] < results[cpus]["sec"]:
+                results[cpus] = cur
     ratio = hi / lo
     eff = (
         results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]
@@ -219,12 +264,13 @@ def main() -> None:
     ap.add_argument("--cpus-hi", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--reps", type=int, default=SCALING_REPS)
     ap.add_argument("--input", default=None)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     args = ap.parse_args()
 
     if args._child:
-        _child(args.input, args.num_cpus)
+        _child(args.input, args.num_cpus, args.reps)
         return
     if args.scaling:
         print(json.dumps(run_scaling(args.cpus_lo, args.cpus_hi)))
