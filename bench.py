@@ -178,6 +178,7 @@ def _child(bronze_path: str, num_cpus: int, reps: int = SCALING_REPS) -> None:
     n_out = build().count()
     best = float("inf")
     for _ in range(reps):
+        _wait_for_quiet(thresh=max(6.0, num_cpus * 0.2), max_wait=120.0)
         t0 = time.perf_counter()
         n_out = build().count()
         best = min(best, time.perf_counter() - t0)
@@ -235,6 +236,8 @@ def run_scaling(lo: int, hi: int) -> dict:
                  "--reps", str(reps)],
                 capture_output=True, text=True, cwd=REPO, check=True,
             )
+            print(f"[scaling] round={rnd} cpus={cpus} done t+{round(time.time()-t_start)}s",
+                  file=sys.stderr, flush=True)
             child = json.loads(out.stdout.strip().splitlines()[-1])
             cur = {
                 "sec": round(child["sec"], 3),
