@@ -154,10 +154,49 @@ FROM read_ndjson('{d}/*.json.gz')
 """
 
 
+def q_medallion_incremental(sf_dir: str):
+    """The streaming path: the same bronze fixture split into two ingest
+    windows (by ingest_ts median — late turns land in window 2), run
+    through run_stream_incremental with cross-run session/window state,
+    merged with newest-version-wins. Shares the medallion oracle SQL:
+    incremental must equal the single full-history run bit-for-bit."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .incremental import read_gold_incremental, run_stream_incremental
+
+    bronze = bronze_fixture_dir(sf_dir)
+    base = "/tmp/medallion_fixture/default/inc"
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    tbl = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(os.path.join(bronze, "*.parquet")))]
+    )
+    ing = np.asarray(tbl["ingest_ts"].combine_chunks().cast(pa.int64()))
+    cut = int(np.median(ing))
+    for i, mask in enumerate([ing <= cut, ing > cut]):
+        d = os.path.join(base, f"bronze_{i}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl.filter(pa.array(mask)), os.path.join(d, "part-0.parquet"))
+    out = os.path.join(base, "lake")
+    for i in range(2):
+        run_stream_incremental(
+            os.path.join(base, f"bronze_{i}"),
+            out,
+            run_id=f"inc{i}",
+            run_seq=i,
+            processed_at=PROCESSED_AT,
+            num_parts=8,
+        )
+    return read_gold_incremental(out)
+
+
 def build_registry() -> dict[str, tuple]:
     """Fixture content is a pure function of the seeds, so generating it
     at registry-build time is safe and idempotent."""
     return {
         "medallion_stream": (q_medallion_stream, medallion_oracle_sql()),
+        "medallion_incremental": (q_medallion_incremental, medallion_oracle_sql()),
         "ndjson_ingest": (q_ndjson_ingest, ndjson_oracle_sql()),
     }
