@@ -162,8 +162,8 @@ def _child(bronze_path: str, num_cpus: int, reps: int = SCALING_REPS) -> None:
 
     cfg = GoldConfig(dedup=True)
 
-    def build():
-        ds = rd.read_parquet(bronze_path, override_num_blocks=SCALING_BLOCKS)
+    def build(paths=bronze_path, blocks=SCALING_BLOCKS):
+        ds = rd.read_parquet(paths, override_num_blocks=blocks)
         return map_partitions_by_key(
             ds,
             "conv_id",
@@ -172,13 +172,13 @@ def _child(bronze_path: str, num_cpus: int, reps: int = SCALING_REPS) -> None:
         )
 
     n_in = rd.read_parquet(bronze_path).count()  # parquet metadata only
-    # full warm-up run, untimed: the first real run in a fresh session pays
-    # ~2-3x (worker spawn + per-worker imports + shuffle-path setup) that a
-    # long-running job amortizes; a synthetic warm-up does NOT cover it
+    # FULL warm-up run, untimed: the first real run in a fresh session pays
+    # ~2-3x (worker spawn + per-worker imports + push-shuffle merge-path
+    # setup, which scales with data volume) that a long-running job
+    # amortizes; synthetic or fractional warm-ups do not cover it
     n_out = build().count()
     best = float("inf")
     for _ in range(reps):
-        _wait_for_quiet(thresh=max(6.0, num_cpus * 0.2), max_wait=120.0)
         t0 = time.perf_counter()
         n_out = build().count()
         best = min(best, time.perf_counter() - t0)
@@ -224,8 +224,8 @@ def run_scaling(lo: int, hi: int) -> dict:
     results = {}
     t_start = time.time()
     for rnd in range(SCALING_ROUNDS):
-        if rnd and time.time() - t_start > SCALING_TIME_BUDGET - 110:
-            break  # a (lo, hi) round costs ~100 s in fair weather
+        if rnd and time.time() - t_start > SCALING_TIME_BUDGET - 340:
+            break  # a full (lo, hi) round costs ~300 s wall
         for cpus in (lo, hi):
             _drain_ray()
             _wait_for_quiet()
