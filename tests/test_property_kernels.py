@@ -1,0 +1,118 @@
+"""Hypothesis property tests for the window/session/dedup kernels —
+randomized inputs against obviously-correct brute force (SURVEY.md §5.2)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.functions import (
+    windows as W,
+)
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.featurize import (
+    dedup_first,
+)
+
+
+@st.composite
+def keyed_ts(draw):
+    n = draw(st.integers(1, 120))
+    keys = np.sort(np.array(draw(st.lists(st.integers(0, 5), min_size=n, max_size=n))))
+    gaps = np.array(draw(st.lists(st.integers(0, 50), min_size=n, max_size=n)), np.int64)
+    ts = np.cumsum(gaps)
+    # restart ts inside each segment so segments are independent
+    seg_start = W.segment_starts(keys)
+    seg_id = W.segment_ids(seg_start)
+    arange = np.arange(n)
+    seg_first = np.maximum.accumulate(np.where(seg_start, arange, 0))
+    ts = ts - ts[seg_first]
+    return keys, ts
+
+
+@settings(max_examples=40, deadline=None)
+@given(keyed_ts(), st.integers(0, 60))
+def test_trailing_windows_match_bruteforce(data, delta):
+    keys, ts = data
+    n = len(ts)
+    seg_start = W.segment_starts(keys)
+    seg_id = W.segment_ids(seg_start)
+    ts_adj = W.adjusted_ts(ts, seg_id, delta)
+    l, r = W.trailing_bounds(ts_adj, delta)
+    vals = np.arange(n, dtype=np.float64)
+    cnt = W.windowed_count(l, r)
+    sm = W.windowed_sum(vals, l, r)
+    for i in range(n):
+        in_win = (seg_id == seg_id[i]) & (ts >= ts[i] - delta) & (ts <= ts[i])
+        assert cnt[i] == in_win.sum(), (i, delta)
+        assert sm[i] == vals[in_win].sum()
+
+
+@settings(max_examples=40, deadline=None)
+@given(keyed_ts(), st.integers(1, 40))
+def test_sessionize_matches_bruteforce(data, gap):
+    keys, ts = data
+    seg_start = W.segment_starts(keys)
+    sid, sturn, gap_prev = W.sessionize(ts, seg_start, gap)
+    n = len(ts)
+    exp_sid, exp_sturn = np.zeros(n, np.int64), np.zeros(n, np.int64)
+    cur_sid = cur_sturn = 0
+    for i in range(n):
+        if seg_start[i]:
+            cur_sid, cur_sturn = 0, 0
+        elif ts[i] - ts[i - 1] > gap:
+            cur_sid += 1
+            cur_sturn = 0
+        else:
+            cur_sturn += 1
+        exp_sid[i], exp_sturn[i] = cur_sid, cur_sturn
+    assert np.array_equal(sid, exp_sid)
+    assert np.array_equal(sturn, exp_sturn)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4), st.integers(0, 20)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_dedup_first_keeps_min_order_row(rows):
+    tbl = pa.table(
+        {
+            "k1": pa.array([r[0] for r in rows], pa.int64()),
+            "k2": pa.array([r[1] for r in rows], pa.int64()),
+            "o": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    out = dedup_first(tbl, ["k1", "k2"], ["o"]).to_pandas()
+    # expected: per (k1,k2), the row with the smallest o (ties: any one of
+    # the tied-minimum rows, deterministically the same across calls)
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    exp_min = df.groupby(["k1", "k2"])["o"].min()
+    assert len(out) == len(exp_min)
+    got = out.set_index(["k1", "k2"])["o"]
+    for k, v in exp_min.items():
+        assert got[k] == v
+    out2 = dedup_first(tbl, ["k1", "k2"], ["o"]).to_pandas()
+    assert out.equals(out2)
+
+
+@settings(max_examples=30, deadline=None)
+@given(keyed_ts())
+def test_lag_lead_inverse(data):
+    keys, ts = data
+    seg_start = W.segment_starts(keys)
+    lag = W.lag_within(ts, seg_start, -1)
+    lead = W.lead_within(ts, seg_start, -1)
+    n = len(ts)
+    for i in range(n):
+        if i > 0 and not seg_start[i]:
+            assert lag[i] == ts[i - 1]
+        else:
+            assert lag[i] == -1
+        if i + 1 < n and not seg_start[i + 1]:
+            assert lead[i] == ts[i + 1]
+        else:
+            assert lead[i] == -1
