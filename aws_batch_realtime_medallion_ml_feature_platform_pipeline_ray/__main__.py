@@ -27,11 +27,13 @@ import sys
 
 
 def _ensure_ray():
+    """Init Ray if nobody has; return (ray, owns_session)."""
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
-    return ray
+        return ray, True
+    return ray, False
 
 
 def cmd_run_stream(args) -> dict:
@@ -112,12 +114,13 @@ def main(argv=None) -> int:
     g.set_defaults(fn=cmd_gen_data)
 
     args = p.parse_args(argv)
-    ray = _ensure_ray()
+    ray, owns = _ensure_ray()
     try:
         result = args.fn(args)
         print(json.dumps(result, default=str))
     finally:
-        ray.shutdown()
+        if owns:
+            ray.shutdown()
     return 0
 
 

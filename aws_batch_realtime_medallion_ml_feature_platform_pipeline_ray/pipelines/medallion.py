@@ -46,6 +46,17 @@ RUN_STAGE_SILVER = "silver"
 RUN_STAGE_GOLD = "gold"
 
 
+def _coerce_ts(v):
+    """Accept ISO strings (the CLI path, __main__.py run-stream), datetime /
+    pd.Timestamp objects (the library path) — anything pa.scalar(...,
+    timestamp) takes — and return a datetime usable as a timestamp bound."""
+    if isinstance(v, str):
+        import datetime as _dt
+
+        return _dt.datetime.fromisoformat(v)
+    return v
+
+
 def normalize_bronze(batch: pa.Table, *, processed_at: str,
                      window: tuple | None = None) -> pa.Table:
     """M1 ingest-window filter + M2 validity + M3 domain predicate + M12
@@ -57,7 +68,7 @@ def normalize_bronze(batch: pa.Table, *, processed_at: str,
         pc.greater(pc.utf8_length(t["text"]), 0),
     )
     if window is not None:
-        lo, hi = window
+        lo, hi = (_coerce_ts(b) for b in window)
         its = t["ingest_ts"]
         mask = pc.and_(
             mask,

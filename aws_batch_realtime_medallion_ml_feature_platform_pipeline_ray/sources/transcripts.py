@@ -257,15 +257,21 @@ def generate_bronze_distributed(
     import ray
 
     os.makedirs(path, exist_ok=True)
-    per_shard = max(1, n_convs // shards)
+    shards = min(shards, n_convs)
+    # distribute the remainder so exactly n_convs conversations are produced
+    base, rem = divmod(n_convs, shards)
+    counts = [base + (1 if s < rem else 0) for s in range(shards)]
+    offsets = [0] * shards
+    for s in range(1, shards):
+        offsets[s] = offsets[s - 1] + counts[s - 1]
 
     @ray.remote
     def _gen(shard: int) -> int:
         tbl = generate_transcripts(
-            per_shard,
+            counts[shard],
             avg_turns,
             seed=seed + shard,
-            conv_id_offset=shard * per_shard,
+            conv_id_offset=offsets[shard],
             **gen_kwargs,
         )
         import pyarrow.parquet as pq
