@@ -10,13 +10,16 @@ import pyarrow.compute as pc
 
 from ..functions import text as T
 from ..stages.dedup import (
-    JaccardVerifier,
-    bucket_pairs,
+    attach_shingles,
+    lsh_partition_pairs,
     minhash_band_table,
+    pair_jaccard,
+    pair_refs,
+    shingle_table,
     simhash64,
 )
 from ..stages.featurize import dedup_first
-from ..stages.keyed import map_partitions_by_key
+from ..stages.keyed import cogroup_by_key, map_partitions_by_key
 
 NUM_PARTS = 8
 
@@ -156,24 +159,31 @@ JACCARD_THRESHOLD = 0.5
 
 def q_docs_minhash_pairs(sf_dir: str):
     """MinHash(64) + LSH(16 bands x 4 rows) near-duplicate pairs, verified
-    by exact shingle Jaccard >= 0.5. Non-SQL op → rows-only check.
-    Pipeline: signatures per batch → bucket groupby → candidate pairs →
-    pair dedup → actor-pool exact verify."""
+    by exact shingle Jaccard >= 0.5. Non-SQL op → rows-only driver check;
+    pytest pins golden values and cross-checks against the SQL-exact
+    n-gram join. Fully distributed (VERDICT r1 §next-2): signatures per
+    batch → bucket-partitioned vectorized pair expansion → pair-keyed
+    global dedup → doc_id cogroup with per-doc shingle sets → pair-keyed
+    exact Jaccard. No stage holds more than one hash partition."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     bands = ds.map_batches(
         minhash_band_table, batch_format="pyarrow", zero_copy_batch=True
     )
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    cand = map_partitions_by_key(
+        bands, "bkey", lsh_partition_pairs, num_parts=NUM_PARTS
     )
-    uniq = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    refs = map_partitions_by_key(cand, "pair", pair_refs, num_parts=NUM_PARTS)
+    shingles = ds.map_batches(
+        shingle_table, batch_format="pyarrow", zero_copy_batch=True
     )
-    return uniq.map_batches(
-        JaccardVerifier,
-        fn_constructor_args=(f"{sf_dir}/documents.parquet", 3, JACCARD_THRESHOLD),
-        batch_format="pyarrow",
-        concurrency=2,
+    joined = cogroup_by_key(
+        refs, shingles, "doc_id", attach_shingles, num_parts=NUM_PARTS
+    )
+    return map_partitions_by_key(
+        joined,
+        "pair",
+        lambda t: pair_jaccard(t, JACCARD_THRESHOLD),
+        num_parts=NUM_PARTS,
     )
 
 
@@ -205,8 +215,13 @@ def q_docs_ngram_jaccard(sf_dir: str):
     pair-count groupby (intersection sizes) → jaccard against broadcast
     set sizes. The distributed exact baseline; the scale path for low
     thresholds is docs_minhash_pairs (LSH)."""
-    import pyarrow.parquet as pq
-    from ..stages.dedup import ngram_table, partition_pair_counts, sum_pair_partials
+    from ..stages.dedup import (
+        attach_doc_size,
+        doc_gram_sizes,
+        ngram_table,
+        partition_pair_counts,
+        sum_pair_partials,
+    )
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     grams = ds.map_batches(
@@ -222,18 +237,35 @@ def q_docs_ngram_jaccard(sf_dir: str):
         partials, "pair", sum_pair_partials, num_parts=NUM_PARTS
     )
 
-    # set sizes: tiny (one row per doc) — computed once, shipped in-closure
-    docs_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    gt = ngram_table(docs_tbl)
-    ids, szs = np.unique(np.asarray(gt["doc_id"]), return_counts=True)
-    size_of = dict(zip(ids.tolist(), szs.tolist()))
+    # set sizes: distributed per-batch counts (one row per doc), attached
+    # to the pair counts through two doc_id cogroups — no driver-side
+    # full-corpus pass (VERDICT r1 §next-6)
+    sizes = grams.map_batches(
+        doc_gram_sizes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    as_a = counts.map_batches(
+        lambda t: t.rename_columns(["doc_id", "doc_b", "c"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    with_na = cogroup_by_key(
+        as_a, sizes, "doc_id",
+        lambda l, r: attach_doc_size(l, r, "na"), num_parts=NUM_PARTS,
+    )
+    as_b = with_na.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_id", "c", "na"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    with_nb = cogroup_by_key(
+        as_b, sizes, "doc_id",
+        lambda l, r: attach_doc_size(l, r, "nb"), num_parts=NUM_PARTS,
+    )
 
     def jaccard(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["doc_a"].combine_chunks())
-        b = np.asarray(batch["doc_b"].combine_chunks())
+        b = np.asarray(batch["doc_id"].combine_chunks())
         c = np.asarray(batch["c"].combine_chunks()).astype(np.float64)
-        na = np.array([size_of.get(int(x), 0) for x in a], dtype=np.float64)
-        nb = np.array([size_of.get(int(x), 0) for x in b], dtype=np.float64)
+        na = np.asarray(batch["na"].combine_chunks()).astype(np.float64)
+        nb = np.asarray(batch["nb"].combine_chunks()).astype(np.float64)
         jac = np.round(c / (na + nb - c), 6)
         keep = jac >= JACCARD_THRESHOLD
         return pa.table(
@@ -244,7 +276,7 @@ def q_docs_ngram_jaccard(sf_dir: str):
             }
         )
 
-    return counts.map_batches(jaccard, batch_format="pyarrow", zero_copy_batch=True)
+    return with_nb.map_batches(jaccard, batch_format="pyarrow", zero_copy_batch=True)
 
 
 DOCS_NGRAM_JACCARD_SQL = f"""

@@ -3,14 +3,17 @@
 - exact dedup: content hash + hash-partitioned keep-first
   (stages/featurize.py:dedup_first provides the kernel)
 - MinHash + LSH near-dup: shingle → 64-perm minhash → banded buckets →
-  groupby bucket → candidate pairs → exact-Jaccard verify
+  bucket-partitioned candidate pairs → distributed exact-Jaccard verify
 - SimHash: 64-bit signature from token hashes; near-dup via chunk banding
 
 Scale shape: signatures are computed embarrassingly parallel per batch;
-the only shuffle is the groupby on (band, band_hash) whose groups are
-tiny (bucket collisions), so candidate generation never materializes a
-cross product. Verification is an actor-pool stage holding the shingle
-index built once per actor.
+candidate generation hash-partitions the exploded (bucket, doc) rows and
+expands posting lists segment-vectorized, so no cross product and no
+per-bucket Python calls. Verification is fully distributed: candidate
+pairs are joined with the per-doc shingle-hash sets through a doc_id
+cogroup, then Jaccard is computed per pair-partition — no stage ever
+holds the whole corpus (the round-1 ``JaccardVerifier`` actor indexed
+ALL documents per actor; replaced per VERDICT r1 §wrong-3).
 """
 
 from __future__ import annotations
@@ -56,69 +59,206 @@ def band_hashes(sig: np.ndarray) -> np.ndarray:
     return out
 
 
+_PAIR_MASK = np.int64(0xFFFFFFFF)
+
+
+def _check_packable(ids: np.ndarray) -> None:
+    """Pair packing is ``(lo << 32) | hi`` over int64 — doc ids must fit
+    in 31 bits (non-negative). Cheap runtime guard (ADVICE r1)."""
+    if len(ids) and (ids.min() < 0 or ids.max() >= np.int64(1) << np.int64(31)):
+        raise ValueError(
+            f"doc_id out of packable range [0, 2^31): "
+            f"[{ids.min()}, {ids.max()}]"
+        )
+
+
+def pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return (lo << np.int64(32)) | hi
+
+
+def unpack_pairs(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return p >> np.int64(32), p & _PAIR_MASK
+
+
 def minhash_band_table(batch: pa.Table, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3) -> pa.Table:
-    """Per-batch map: documents → exploded (band, band_hash, doc_id) rows
-    (N_BANDS rows per doc) ready for the bucket groupby."""
+    """Per-batch map: documents → exploded (bkey, doc_id) rows (N_BANDS
+    rows per doc). ``bkey`` is the band bucket hash — the band index is
+    already folded into the hash accumulator seed (band_hashes), so one
+    int64 key addresses all bands; a cross-band collision only adds a
+    spurious candidate that exact verification discards."""
     sh, offsets = shingle_hashes(batch[text_col], k=k)
     sig = minhash_signatures(sh, offsets)
     bh = band_hashes(sig)
-    n = batch.num_rows
-    ids = np.asarray(batch[id_col].combine_chunks())
+    ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+    _check_packable(ids)
     return pa.table(
         {
-            "band": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
-            "doc_id": pa.array(np.repeat(ids, N_BANDS)),
+            "bkey": pa.array(bh.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
         }
     )
 
 
-def bucket_pairs(group: pa.Table, max_bucket: int = 64) -> pa.Table:
-    """Candidate pairs (doc_a < doc_b) within one LSH bucket. Buckets
-    larger than ``max_bucket`` are truncated (logged via manifest at the
-    pipeline level) — a hot bucket is a degenerate near-dup cluster."""
-    ids = np.unique(np.asarray(group["doc_id"].combine_chunks()))[:max_bucket]
-    m = len(ids)
-    if m < 2:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    i, j = np.triu_indices(m, k=1)
-    return pa.table({"doc_a": pa.array(ids[i]), "doc_b": pa.array(ids[j])})
+def _pair_expand(d: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Segment-vectorized posting-list expansion: for sorted-per-segment
+    doc ids ``d`` where row i leads ``cnt[i]`` pairs with the following
+    rows of its segment, return packed (a < b) pair keys."""
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    arange = np.arange(len(d), dtype=np.int64)
+    a_idx = np.repeat(arange, cnt)
+    row_start = np.cumsum(cnt) - cnt
+    off = np.arange(total, dtype=np.int64) - np.repeat(row_start, cnt)
+    b_idx = a_idx + 1 + off
+    return pack_pairs(d[a_idx], d[b_idx])
 
 
-class JaccardVerifier:
-    """Actor-pool verify stage: builds the doc→shingle-set index once per
-    actor from the documents parquet, then verifies candidate pairs with
-    exact Jaccard per batch."""
+def lsh_partition_pairs(part: pa.Table, max_bucket: int = 64) -> pa.Table:
+    """Candidate pairs for one hash partition of (bkey, doc_id) rows:
+    sort, distinct, segment by bucket, truncate hot buckets at
+    ``max_bucket`` (a hot bucket is a degenerate near-dup cluster), then
+    expand each bucket's doc list to packed (a < b) pair keys — one
+    vectorized pass over thousands of buckets, no per-bucket Python.
+    Output: distinct ``pair`` keys (partition-local; global dedup happens
+    in the downstream pair-keyed stage)."""
+    empty = pa.table({"pair": pa.array([], pa.int64())})
+    if part.num_rows == 0:
+        return empty
+    bk = np.asarray(part["bkey"].combine_chunks())
+    d = np.asarray(part["doc_id"].combine_chunks())
+    order = np.lexsort((d, bk))
+    bk, d = bk[order], d[order]
+    keep = np.empty(len(bk), dtype=bool)
+    keep[0] = True
+    keep[1:] = (bk[1:] != bk[:-1]) | (d[1:] != d[:-1])
+    bk, d = bk[keep], d[keep]
+    n = len(bk)
+    seg_start = np.empty(n, dtype=bool)
+    seg_start[0] = True
+    np.not_equal(bk[1:], bk[:-1], out=seg_start[1:])
+    seg_id = np.cumsum(seg_start) - 1
+    arange = np.arange(n, dtype=np.int64)
+    seg_first = np.maximum.accumulate(np.where(seg_start, arange, 0))
+    p = arange - seg_first
+    trunc = p < max_bucket
+    d, seg_id, p = d[trunc], seg_id[trunc], p[trunc]
+    m = np.minimum(np.bincount(seg_id)[seg_id], max_bucket)
+    cnt = m - 1 - p
+    pairs = _pair_expand(d, cnt)
+    if len(pairs) == 0:
+        return empty
+    return pa.table({"pair": pa.array(np.unique(pairs), pa.int64())})
 
-    def __init__(self, docs_path: str, k: int = 3, threshold: float = 0.5):
-        import pyarrow.parquet as pq
 
-        docs = pq.read_table(docs_path, columns=["doc_id", "text"])
-        sh, offsets = shingle_hashes(docs["text"], k=k)
-        ids = np.asarray(docs["doc_id"].combine_chunks())
-        self.sets = {
-            int(ids[d]): np.unique(sh[offsets[d] : offsets[d + 1]])
-            for d in range(len(ids))
+def pair_refs(part: pa.Table) -> pa.Table:
+    """Globally-deduped candidate pairs → (doc_id, pair) reference rows,
+    two per pair, ready for the doc_id cogroup with shingle sets."""
+    pr = np.unique(np.asarray(part["pair"].combine_chunks()))
+    a, b = unpack_pairs(pr)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "pair": pa.array(np.concatenate([pr, pr]), pa.int64()),
         }
-        self.threshold = threshold
+    )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["doc_a"].combine_chunks())
-        b = np.asarray(batch["doc_b"].combine_chunks())
-        jac = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            sa = self.sets.get(int(a[i]))
-            sb = self.sets.get(int(b[i]))
-            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
-                jac[i] = 0.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            jac[i] = inter / (len(sa) + len(sb) - inter)
-        out = batch.append_column("jaccard", pa.array(np.round(jac, 6)))
-        return out.filter(pa.array(jac >= self.threshold))
+
+def shingle_table(batch: pa.Table, k: int = 3) -> pa.Table:
+    """Per-batch map: documents → distinct (doc_id, sh) shingle-hash rows.
+    Valid because each batch row is a whole document (docs never span
+    batches), so per-batch per-doc distinct is globally distinct."""
+    sh, offsets = shingle_hashes(batch["text"], k=k)
+    ids = np.asarray(batch["doc_id"].combine_chunks().cast(pa.int64()))
+    _check_packable(ids)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    doc = np.repeat(ids, lens)
+    s = sh.astype(np.int64)
+    order = np.lexsort((s, doc))
+    doc, s = doc[order], s[order]
+    if len(doc):
+        keep = np.empty(len(doc), dtype=bool)
+        keep[0] = True
+        keep[1:] = (doc[1:] != doc[:-1]) | (s[1:] != s[:-1])
+        doc, s = doc[keep], s[keep]
+    return pa.table(
+        {"doc_id": pa.array(doc, pa.int64()), "sh": pa.array(s, pa.int64())}
+    )
+
+
+def attach_shingles(refs: pa.Table, shingles: pa.Table) -> pa.Table:
+    """Cogroup kernel (both sides partitioned by doc_id): for every
+    (doc_id, pair) reference emit that doc's shingle rows tagged with the
+    pair key — searchsorted range lookup + repeat/gather, no Python loop.
+    Only docs referenced by candidate pairs ship any shingles."""
+    empty = pa.table({"pair": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())})
+    if refs.num_rows == 0 or shingles.num_rows == 0:
+        return empty
+    rdoc = np.asarray(refs["doc_id"].combine_chunks())
+    rpair = np.asarray(refs["pair"].combine_chunks())
+    sdoc = np.asarray(shingles["doc_id"].combine_chunks())
+    sv = np.asarray(shingles["sh"].combine_chunks())
+    order = np.argsort(sdoc, kind="stable")
+    sdoc, sv = sdoc[order], sv[order]
+    lo = np.searchsorted(sdoc, rdoc, side="left")
+    hi = np.searchsorted(sdoc, rdoc, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return empty
+    row_start = np.cumsum(cnt) - cnt
+    idx = np.repeat(lo, cnt) + (np.arange(total, dtype=np.int64)
+                                - np.repeat(row_start, cnt))
+    return pa.table(
+        {
+            "pair": pa.array(np.repeat(rpair, cnt), pa.int64()),
+            "sh": pa.array(sv[idx], pa.int64()),
+        }
+    )
+
+
+def pair_jaccard(part: pa.Table, threshold: float = 0.5) -> pa.Table:
+    """Exact Jaccard per candidate pair from its joined shingle rows
+    (one partition holds all rows of a pair): with both docs' distinct
+    shingles concatenated per pair, |A|+|B| = row count, |A∪B| = distinct
+    count, |A∩B| = rows − distinct. Pairs where either doc shipped no
+    shingles get jaccard 0 and are dropped by the threshold, matching the
+    round-1 verifier's semantics."""
+    if part.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    p = np.asarray(part["pair"].combine_chunks())
+    s = np.asarray(part["sh"].combine_chunks())
+    order = np.lexsort((s, p))
+    p, s = p[order], s[order]
+    n = len(p)
+    pair_start = np.empty(n, dtype=bool)
+    pair_start[0] = True
+    np.not_equal(p[1:], p[:-1], out=pair_start[1:])
+    pid = np.cumsum(pair_start) - 1
+    n_pairs = int(pid[-1]) + 1
+    total = np.bincount(pid, minlength=n_pairs)
+    distinct_mask = np.empty(n, dtype=bool)
+    distinct_mask[0] = True
+    distinct_mask[1:] = pair_start[1:] | (s[1:] != s[:-1])
+    union = np.bincount(pid[distinct_mask], minlength=n_pairs)
+    inter = total - union
+    jac = np.round(inter / union, 6)
+    keep = jac >= threshold
+    pr = p[pair_start][keep]
+    a, b = unpack_pairs(pr)
+    return pa.table(
+        {
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        }
+    )
 
 
 def ngram_table(batch: pa.Table, k: int = 3) -> pa.Table:
@@ -137,7 +277,7 @@ def ngram_table(batch: pa.Table, k: int = 3) -> pa.Table:
     n_tok = len(flat)
     if n_tok == 0:
         return pa.table(
-            {"doc_id": pa.array([], batch["doc_id"].type),
+            {"doc_id": pa.array([], pa.int64()),
              "gram": pa.array([], pa.string())}
         )
     parts = [flat]
@@ -150,6 +290,7 @@ def ngram_table(batch: pa.Table, k: int = 3) -> pa.Table:
     pos = np.arange(n_tok) - np.repeat(offsets[:-1].astype(np.int64), lens)
     keep = pos <= np.repeat(lens, lens) - k
     ids = np.asarray(batch["doc_id"].combine_chunks().cast(pa.int64()))
+    _check_packable(ids)
     out = pa.table(
         {
             "doc_id": pa.array(ids[doc_per_tok[keep]], pa.int64()),
@@ -244,6 +385,38 @@ def sum_pair_partials(part: pa.Table) -> pa.Table:
             "c": pa.array(sums, pa.int64()),
         }
     )
+
+
+def doc_gram_sizes(batch: pa.Table) -> pa.Table:
+    """|distinct grams| per doc from ngram_table output. Docs never span
+    batches, so per-batch counts are final — no shuffle needed; replaces
+    the round-1 driver-side full-corpus pass (VERDICT r1 §next-6)."""
+    doc = np.asarray(batch["doc_id"].combine_chunks())
+    ids, n = np.unique(doc, return_counts=True)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "n": pa.array(n.astype(np.int64), pa.int64())}
+    )
+
+
+def attach_doc_size(left: pa.Table, right: pa.Table, size_name: str) -> pa.Table:
+    """Cogroup kernel (both sides partitioned by doc_id): append the
+    (doc_id → n) lookup from ``right`` to every ``left`` row as
+    ``size_name`` (0 when missing) — sorted searchsorted, no Python loop."""
+    n_left = left.num_rows
+    if n_left == 0:
+        return left.append_column(size_name, pa.array([], pa.int64()))
+    ld = np.asarray(left["doc_id"].combine_chunks())
+    out = np.zeros(n_left, dtype=np.int64)
+    if right.num_rows:
+        rd = np.asarray(right["doc_id"].combine_chunks())
+        rn = np.asarray(right["n"].combine_chunks())
+        order = np.argsort(rd, kind="stable")
+        rd, rn = rd[order], rn[order]
+        pos = np.minimum(np.searchsorted(rd, ld), len(rd) - 1)
+        ok = rd[pos] == ld
+        out[ok] = rn[pos[ok]]
+    return left.append_column(size_name, pa.array(out, pa.int64()))
 
 
 def simhash64(sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:

@@ -1,0 +1,163 @@
+"""Golden-value checks for the driver's ``no_oracle`` trio
+(docs_minhash_pairs, docs_simhash, media_decode) at sf0.001, plus
+kernel-level tests for the distributed exact-Jaccard verify that
+replaced the whole-corpus-per-actor verifier (VERDICT r1 §next-2/7)."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# committed goldens (sf0.001, deterministic pipeline)
+MINHASH_GOLDEN = [
+    (0, 50, 0.952381), (0, 82, 0.954545), (5, 450, 0.97561),
+    (8, 12, 0.973684), (8, 120, 0.986486), (8, 360, 0.986667),
+    (12, 120, 0.960526), (12, 360, 0.986842), (16, 369, 0.988235),
+    (26, 176, 0.988506), (33, 436, 0.888889), (45, 487, 0.964286),
+    (50, 82, 0.909091), (56, 157, 0.981481), (77, 459, 0.987179),
+    (89, 114, 0.928571), (99, 174, 0.988095), (110, 467, 0.98913),
+    (119, 425, 0.971429), (120, 360, 0.973333), (144, 161, 0.988636),
+    (211, 404, 0.984615), (229, 263, 0.956522), (260, 391, 0.988764),
+    (270, 329, 0.988095), (328, 428, 0.974359), (349, 411, 0.980769),
+    (474, 498, 0.989362),
+]
+SIMHASH_MD5 = "754358f964d0775be91b5f608a788d36"
+MEDIA_DECODE_MD5 = "c116dcae27d7764db9d99b2eab6a4f13"
+
+
+@pytest.fixture(scope="module")
+def queries(ray_session):
+    import __ray_entry__ as E
+
+    return E.queries()
+
+
+def test_minhash_pairs_golden(queries):
+    df = (
+        queries["docs_minhash_pairs"](SF)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    exp = pd.DataFrame(MINHASH_GOLDEN, columns=["doc_a", "doc_b", "jaccard"])
+    pd.testing.assert_frame_equal(df.astype(exp.dtypes.to_dict()), exp)
+
+
+def test_minhash_jaccard_values_match_exact_sql(queries):
+    """The verified jaccard of every emitted pair must equal the exact
+    word-trigram Jaccard computed by DuckDB over the raw text (shingle
+    HASHES vs gram STRINGS — equal absent hash collisions)."""
+    df = queries["docs_minhash_pairs"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    con.execute("CREATE TABLE pairs AS SELECT * FROM df")
+    sql = """
+    WITH tri AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(ts) - 2),
+                   i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+               )) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        WHERE len(ts) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1)
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           (SELECT count(*) FROM tri a JOIN tri b ON a.g = b.g
+            WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b) * 1.0
+           / (sa.n + sb.n - (SELECT count(*) FROM tri a JOIN tri b ON a.g = b.g
+              WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b)) AS exact_j
+    FROM pairs p
+    JOIN sz sa ON sa.doc_id = p.doc_a
+    JOIN sz sb ON sb.doc_id = p.doc_b
+    """
+    chk = con.execute(sql).df()
+    assert len(chk) == len(df)
+    assert np.allclose(chk["jaccard"], chk["exact_j"], atol=2e-6)
+
+
+def test_simhash_golden(queries):
+    sh = queries["docs_simhash"](SF).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    h = hashlib.md5(
+        "|".join(sh["doc_id"].astype(str) + ":" + sh["simhash"]).encode()
+    ).hexdigest()
+    assert len(sh) == 500
+    assert h == SIMHASH_MD5
+
+
+def test_media_decode_golden(queries):
+    md = queries["media_decode"](SF)
+    md = md.to_pandas() if hasattr(md, "to_pandas") else md
+    md = md.sort_values(md.columns.tolist()[0], ignore_index=True)
+    assert len(md) == 500
+    assert hashlib.md5(md.to_csv(index=False).encode()).hexdigest() == MEDIA_DECODE_MD5
+
+
+def test_no_whole_corpus_verifier():
+    """The round-1 JaccardVerifier (whole documents table indexed per
+    actor) must stay dead: the dedup stage exposes only the distributed
+    cogroup verify."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages import dedup
+
+    assert not hasattr(dedup, "JaccardVerifier")
+    for name in ("shingle_table", "attach_shingles", "pair_jaccard",
+                 "lsh_partition_pairs", "pair_refs"):
+        assert hasattr(dedup, name)
+
+
+def test_pair_jaccard_kernel_matches_bruteforce():
+    """pair_jaccard + attach_shingles against a brute-force set
+    computation on random docs, across partition splits."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.dedup import (
+        attach_shingles,
+        pack_pairs,
+        pair_jaccard,
+        shingle_table,
+        unpack_pairs,
+    )
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(1, 40))) for _ in range(40)]
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    sh = shingle_table(tbl)
+    # all pairs as candidates
+    a, b = np.triu_indices(40, k=1)
+    pr = pack_pairs(a.astype(np.int64), b.astype(np.int64))
+    refs = pa.table(
+        {"doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+         "pair": pa.array(np.concatenate([pr, pr]), pa.int64())}
+    )
+    joined = attach_shingles(refs, sh)
+    out = pair_jaccard(joined, threshold=0.0).to_pandas()
+    # brute force over hash sets
+    sd = np.asarray(sh["doc_id"])
+    sv = np.asarray(sh["sh"])
+    sets = {d: set(sv[sd == d].tolist()) for d in range(40)}
+    got = {pack_pairs(np.array([r.doc_a]), np.array([r.doc_b]))[0]: r.jaccard
+           for r in out.itertuples(index=False)}
+    for i, p in enumerate(pr):
+        sa, sb = sets.get(a[i], set()), sets.get(b[i], set())
+        union = len(sa | sb)
+        exp = round(len(sa & sb) / union, 6) if union else None
+        if exp is None:
+            assert p not in got  # both empty: pair vanishes (dropped)
+        else:
+            assert got[p] == pytest.approx(exp, abs=1e-9)
+    # split invariance: computing per-partition halves gives same result
+    pj = np.asarray(joined["pair"])
+    for mask in (pj % 2 == 0, pj % 2 == 1):
+        sub = joined.filter(pa.array(mask))
+        sub_out = pair_jaccard(sub, threshold=0.0).to_pandas()
+        for r in sub_out.itertuples(index=False):
+            k = pack_pairs(np.array([r.doc_a]), np.array([r.doc_b]))[0]
+            assert got[k] == pytest.approx(r.jaccard, abs=1e-9)
