@@ -1,14 +1,21 @@
 """The daily job: gold → training / validation / inference datasets.
 
 Re-expresses ``spark_jobs/build_datasets.py`` (trace in SURVEY.md §3.2):
-dt-range filter (M9) → label derivation (M8) → deterministic md5 hash
-split (O2 — stable under any parallelism, unlike Spark's randomSplit
-seed, build_datasets.py:63) → overwrite writes (S5) + metadata manifest
-with counts (A1/S6). Shuffle-free: every step is embarrassingly parallel.
+dt-range fragment pruning (M9 — physical ``dt=`` Hive dirs, reference
+build_datasets.py:51-53) → label derivation (M8) → deterministic
+splitmix64 hash split (O2 — stable under any parallelism, unlike Spark's
+randomSplit seed, build_datasets.py:63) → ONE streaming pass writing both
+splits via ``partition_cols`` (S5) + metadata manifest with counts
+(A1/S6). Counts come from parquet footers (metadata only), the recent-dt
+list from directory names — the round-1 version ran the labeled pipeline
+once per split, re-read its own outputs to count, and pulled the whole
+``dt`` column to the driver (VERDICT r1 §wrong-4, §missing-1); every one
+of those lake passes is gone.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -17,9 +24,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .queries_relational import md5_bucket
+from .medallion import gold_dt_fragments
+from .queries_relational import split_bucket_str
 
 LABEL_THRESHOLD = 1000  # is_long := len(text) > 1000 (reference: amount > 1000)
+TRAIN_PCT = 80
 
 
 def label_batch(t: pa.Table) -> pa.Table:
@@ -29,13 +38,24 @@ def label_batch(t: pa.Table) -> pa.Table:
     return t.append_column("is_long", is_long)
 
 
-def split_batch(t: pa.Table, which: str, train_pct: int = 80) -> pa.Table:
-    conv = np.asarray(t["conv_id"].combine_chunks().cast(pa.string()))
+def split_column(t: pa.Table, train_pct: int = TRAIN_PCT) -> pa.Table:
+    """Append the deterministic split assignment (vectorized siphash +
+    splitmix64 over (conv_id, turn_idx) — no per-row Python)."""
+    conv = t["conv_id"].combine_chunks()
     ti = np.asarray(t["turn_idx"].combine_chunks().cast(pa.int64()))
-    keys = np.char.add(np.char.add(conv.astype("U"), "#"), ti.astype("U"))
-    bucket = md5_bucket(keys)
-    mask = bucket < train_pct if which == "train" else bucket >= train_pct
-    return t.filter(pa.array(mask))
+    bucket = split_bucket_str(conv, ti)
+    split = np.where(bucket < train_pct, "train", "validation")
+    return t.append_column("split", pa.array(split, pa.string()))
+
+
+def _dir_row_count(d: str) -> int:
+    """Row count from parquet footers only — no data pages read."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    )
 
 
 def run_daily(
@@ -51,66 +71,55 @@ def run_daily(
     import ray.data as rd
 
     gold_dir = os.path.join(out_root, "gold")
-    ds = rd.read_parquet(gold_dir)
-    if dt_start is not None:
-        ds = ds.map_batches(
-            lambda t: t.filter(
-                pc.and_(
-                    pc.greater_equal(t["dt"], dt_start),
-                    pc.less_equal(t["dt"], dt_end),
-                )
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    files, _ = gold_dt_fragments(gold_dir, dt_start, dt_end)
+    datasets_root = os.path.join(out_root, "datasets")
+
+    # ---- train/validation: ONE pass over the pruned fragments ----------
+    split_root = os.path.join(datasets_root, "_splits")
+    if os.path.isdir(split_root):
+        shutil.rmtree(split_root)  # overwrite semantics (build_datasets.py:68)
+    ds = rd.read_parquet(files)
+
+    def drop_hive_part(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["part"]) if "part" in t.column_names else t
+
+    ds = ds.map_batches(drop_hive_part, batch_format="pyarrow", zero_copy_batch=True)
     labeled = ds.map_batches(label_batch, batch_format="pyarrow", zero_copy_batch=True)
+    with_split = labeled.map_batches(
+        split_column, batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_split.write_parquet(split_root, partition_cols=["split"])
 
     counts = {}
     for which in ("train", "validation"):
-        out_dir = os.path.join(out_root, "datasets", which)
+        out_dir = os.path.join(datasets_root, which)
         if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)  # overwrite semantics (build_datasets.py:68)
-        part = labeled.map_batches(
-            lambda t, w=which: split_batch(t, w),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        part.write_parquet(out_dir)
-        counts[which] = sum(
-            b.num_rows
-            for b in rd.read_parquet(out_dir).iter_batches(batch_format="pyarrow")
-        )
+            shutil.rmtree(out_dir)
+        src = os.path.join(split_root, f"split={which}")
+        if os.path.isdir(src):
+            os.replace(src, out_dir)
+        else:
+            os.makedirs(out_dir, exist_ok=True)
+        counts[which] = _dir_row_count(out_dir)
+    shutil.rmtree(split_root, ignore_errors=True)
 
-    # inference: last N dt partitions, labels + dt dropped (M10, M11)
-    dts = sorted(
-        {
-            d
-            for b in rd.read_parquet(gold_dir, columns=["dt"]).iter_batches(
-                batch_format="pyarrow"
-            )
-            for d in b["dt"].to_pylist()
-        }
+    # ---- inference: last N dt fragments only (M10), labels+dt dropped --
+    _, all_dts = gold_dt_fragments(gold_dir)
+    recent = all_dts[-inference_days:]
+    inf_files, _ = gold_dt_fragments(
+        gold_dir, recent[0] if recent else None, recent[-1] if recent else None
     )
-    recent = dts[-inference_days:]
-    inf_dir = os.path.join(out_root, "datasets", "inference")
+    inf_dir = os.path.join(datasets_root, "inference")
     if os.path.isdir(inf_dir):
         shutil.rmtree(inf_dir)
-    inf = (
-        rd.read_parquet(gold_dir)
-        .map_batches(
-            lambda t: t.filter(
-                pc.is_in(t["dt"], value_set=pa.array(recent, pa.string()))
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+    if inf_files:
+        inf = rd.read_parquet(inf_files).map_batches(
+            drop_hive_part, batch_format="pyarrow", zero_copy_batch=True
         )
-        .drop_columns(["dt", "text"])
-    )
-    inf.write_parquet(inf_dir)
-    counts["inference"] = sum(
-        b.num_rows
-        for b in rd.read_parquet(inf_dir).iter_batches(batch_format="pyarrow")
-    )
+        inf.drop_columns(["dt", "text"]).write_parquet(inf_dir)
+    else:
+        os.makedirs(inf_dir, exist_ok=True)
+    counts["inference"] = _dir_row_count(inf_dir)
 
     meta = {
         "created_at": created_at,
@@ -120,7 +129,7 @@ def run_daily(
         "feature_version": feature_version,
         "label": f"is_long := utf8_length(text) > {LABEL_THRESHOLD}",
     }
-    meta_path = os.path.join(out_root, "datasets", "metadata.json")
+    meta_path = os.path.join(datasets_root, "metadata.json")
     os.makedirs(os.path.dirname(meta_path), exist_ok=True)
     with open(meta_path, "w") as f:
         json.dump(meta, f, indent=1)

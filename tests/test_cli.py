@@ -54,7 +54,7 @@ def test_run_stream_window_end_cli(ray_session, cli_bronze, tmp_path, capsys):
     assert rc == 0
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert result["silver"]["rows_out"] > 0
-    assert glob.glob(os.path.join(out, "gold", "part=*", "*.parquet"))
+    assert glob.glob(os.path.join(out, "gold", "part=*", "dt=*", "*.parquet"))
 
 
 def test_string_window_matches_timestamp_window(ray_session, cli_bronze, tmp_path):
@@ -72,7 +72,7 @@ def test_string_window_matches_timestamp_window(ray_session, cli_bronze, tmp_pat
     )
 
     def gold(root):
-        files = sorted(glob.glob(os.path.join(root, "gold", "part=*", "*.parquet")))
+        files = sorted(glob.glob(os.path.join(root, "gold", "part=*", "dt=*", "*.parquet")))
         t = pd.concat([pq.read_table(f).to_pandas() for f in files])
         return t.sort_values(["conv_id", "turn_idx"], ignore_index=True)
 

@@ -53,7 +53,7 @@ def _full_gold(bronze_all: str, tmp) -> pd.DataFrame:
 
     out = str(tmp / "full_lake")
     run_stream(bronze_all, out, run_id="full", processed_at=PROCESSED_AT, num_parts=4)
-    files = sorted(g.glob(os.path.join(out, "gold", "part=*", "data.parquet")))
+    files = sorted(g.glob(os.path.join(out, "gold", "part=*", "dt=*", "data.parquet")))
     t = pa.concat_tables([pq.read_table(f) for f in files])
     return t.to_pandas().sort_values(["conv_id", "turn_idx"], ignore_index=True)
 

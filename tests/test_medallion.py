@@ -98,7 +98,7 @@ def bronze_dir(tmp_path_factory):
 
 
 def gold_to_pandas(out_root: str) -> pd.DataFrame:
-    files = sorted(glob.glob(os.path.join(out_root, "gold", "part=*", "data.parquet")))
+    files = sorted(glob.glob(os.path.join(out_root, "gold", "part=*", "dt=*", "data.parquet")))
     import pyarrow.parquet as pq
 
     t = pa.concat_tables([pq.read_table(f) for f in files])
@@ -243,3 +243,46 @@ def test_backfill_targets(ray_session, bronze_dir, tmp_path):
     got = M.backfill_targets(silver_root, RUN_STAGE_SILVER, cut)
     exp = {m.partition_key for m in ms if m.max_ts >= cut}
     assert got == exp and 0 < len(got) <= 8
+
+
+def test_daily_dt_fragment_pruning(ray_session, bronze_dir, tmp_path):
+    """run_daily must only touch the dt range's physical fragments: the
+    pruned file list is a strict subset for a sub-range, and the built
+    datasets contain exactly the rows of that range."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+        gold_dt_fragments,
+    )
+
+    out = str(tmp_path / "lake")
+    run_stream(bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4)
+    gold_dir = os.path.join(out, "gold")
+    all_files, all_dts = gold_dt_fragments(gold_dir)
+    assert len(all_dts) > 2, "fixture must span several days"
+    lo, hi = all_dts[1], all_dts[-2]
+    sub_files, sub_dts = gold_dt_fragments(gold_dir, lo, hi)
+    assert sub_dts == [d for d in all_dts if lo <= d <= hi]
+    assert set(sub_files) < set(all_files)
+    # every pruned file path lies inside the requested dt range
+    for f in sub_files:
+        dt = os.path.basename(os.path.dirname(f))[3:]
+        assert lo <= dt <= hi
+
+    meta = run_daily(out, created_at=PROCESSED_AT, dt_start=lo, dt_end=hi)
+    gold = gold_to_pandas(out)
+    in_range = gold[(gold["dt"] >= lo) & (gold["dt"] <= hi)]
+    c = meta["counts"]
+    assert c["train"] + c["validation"] == len(in_range)
+
+
+def test_gold_dt_layout_matches_column(ray_session, bronze_dir, tmp_path):
+    """Physical dt= dir of every gold file equals the dt column inside."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "lake")
+    run_stream(bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4)
+    files = glob.glob(os.path.join(out, "gold", "part=*", "dt=*", "*.parquet"))
+    assert files
+    for f in files:
+        dt = os.path.basename(os.path.dirname(f))[3:]
+        col = pq.read_table(f, columns=["dt"])["dt"].to_pylist()
+        assert all(v == dt for v in col)
