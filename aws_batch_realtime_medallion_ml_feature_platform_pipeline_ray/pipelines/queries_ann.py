@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.ann import embedding_near_dup_pairs, knn_bruteforce
+from ..stages.ann import embedding_near_dup_ivf, knn_bruteforce
 
 K = 3
 N_QUERIES = 5
@@ -57,16 +57,14 @@ SELECT q_id, vec_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= {K}
 
 
 def q_embedding_neardup(sf_dir: str):
-    """All vector pairs with cosine >= {thr}: blocked matmul against the
-    broadcast normalized matrix (the brute-force baseline; an IVF-bucketed
-    variant shards by coarse centroid first)."""
-    import pyarrow.parquet as pq
-
-    all_tbl = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    return embedding_near_dup_pairs(
-        _emb(sf_dir), all_tbl, threshold=NEARDUP_THRESHOLD
+    """All vector pairs with cosine >= {thr}: EXACT IVF-bucketed block
+    pairing — spherical-cap pruning of list pairs, one bucket-key shuffle,
+    per-bucket matmuls; no full-matrix broadcast (stages/ann.py
+    embedding_near_dup_ivf). Oracle-checked against the DuckDB cross
+    join below."""
+    return embedding_near_dup_ivf(
+        _emb(sf_dir), _query_sample(sf_dir), threshold=NEARDUP_THRESHOLD,
+        n_lists=8,
     )
 
 

@@ -91,42 +91,190 @@ def knn_bruteforce(ds, query_tbl: pa.Table, k: int = 3, concurrency=2):
     return cand.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
 
 
-class _NearDupScorer:
-    def __init__(self, m_ref, threshold: float):
+class _RadiusPartials:
+    """Per-batch pass A of the IVF near-dup: assign rows to their primary
+    centroid list and emit (list, min cos-to-centroid) partials — a tiny
+    table per block, reduced driver-side to per-list angular radii."""
+
+    def __init__(self, cent_ref):
         import ray
 
-        self.all_ids, self.all_mat = ray.get(m_ref)
-        self.threshold = threshold
+        self.centroids = ray.get(cent_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_matrix(batch))
-        ids = np.asarray(batch["vec_id"].combine_chunks())
-        sims = m @ self.all_mat.T  # (n_batch, n_all)
-        hit_r, hit_c = np.nonzero(sims >= self.threshold)
-        a = ids[hit_r]
-        b = self.all_ids[hit_c]
-        keep = a < b  # each pair once, no self-pairs
+        sims = m @ self.centroids.T
+        lists = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(m)), lists]
+        uniq, inv = np.unique(lists, return_inverse=True)
+        mins = np.full(len(uniq), np.inf)
+        np.minimum.at(mins, inv, best)
         return pa.table(
-            {
-                "vec_a": pa.array(a[keep]),
-                "vec_b": pa.array(b[keep]),
-                "cos_sim": pa.array(np.round(sims[hit_r, hit_c][keep], 6)),
-            }
+            {"list": pa.array(uniq.astype(np.int64)),
+             "min_cos": pa.array(mins, pa.float64())}
         )
 
 
-def embedding_near_dup_pairs(ds, all_tbl: pa.Table, threshold: float, concurrency=2):
-    """All (a < b) pairs with cosine similarity >= threshold."""
+class _IvfPairEmitter:
+    """Per-batch pass B: assign rows to their primary list, then replicate
+    each row to every admissible list-pair bucket its list participates
+    in. Each unordered vector pair (a, b) lives in exactly one bucket —
+    (list(a), list(b)) — so no global pair dedup is needed."""
+
+    def __init__(self, state_ref):
+        import ray
+
+        self.centroids, self.pks_per_list = ray.get(state_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch))
+        lists = np.argmax(m @ self.centroids.T, axis=1)
+        parts = []
+        for l in np.unique(lists):
+            pks = self.pks_per_list[int(l)]
+            rows = np.flatnonzero(lists == l)
+            if not len(pks) or not len(rows):
+                continue
+            rep = batch.take(pa.array(np.tile(rows, len(pks))))
+            rep = rep.append_column(
+                "__list", pa.array(np.full(len(rows) * len(pks), l, np.int64))
+            )
+            rep = rep.append_column(
+                "pk", pa.array(np.repeat(pks, len(rows)), pa.int64())
+            )
+            parts.append(rep)
+        if not parts:
+            empty = batch.slice(0, 0)
+            empty = empty.append_column("__list", pa.array([], pa.int64()))
+            return empty.append_column("pk", pa.array([], pa.int64()))
+        return pa.concat_tables(parts)
+
+
+def _pair_bucket_kernel(part: pa.Table, threshold: float) -> pa.Table:
+    """One hash partition of replicated rows, several list-pair buckets:
+    per bucket, matmul side i against side j (upper triangle when
+    i == j) and keep cos >= threshold. The Python loop is over list-pair
+    buckets (<= n_lists^2 total across ALL partitions), never rows."""
+    empty = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+         "cos_sim": pa.array([], pa.float64())}
+    )
+    if part.num_rows == 0:
+        return empty
+    pk = np.asarray(part["pk"].combine_chunks())
+    lists = np.asarray(part["__list"].combine_chunks())
+    ids = np.asarray(part["vec_id"].combine_chunks().cast(pa.int64()))
+    m = _normalize(_matrix(part))
+    out_a, out_b, out_s = [], [], []
+    order = np.argsort(pk, kind="stable")
+    bounds = np.flatnonzero(np.diff(pk[order])) + 1
+    for seg in np.split(order, bounds):
+        i = int(pk[seg[0]] >> 16)
+        j = int(pk[seg[0]] & 0xFFFF)
+        li = seg[lists[seg] == i]
+        if i == j:
+            if len(li) < 2:
+                continue
+            sims = m[li] @ m[li].T
+            r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b = ids[li[r]], ids[li[c]]
+            s = sims[r, c]
+        else:
+            lj = seg[lists[seg] == j]
+            if not len(li) or not len(lj):
+                continue
+            sims = m[li] @ m[lj].T
+            r, c = np.nonzero(sims >= threshold)
+            a, b = ids[li[r]], ids[lj[c]]
+            s = sims[r, c]
+        out_a.append(np.minimum(a, b))
+        out_b.append(np.maximum(a, b))
+        out_s.append(s)
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cos_sim": pa.array(np.round(np.concatenate(out_s), 6), pa.float64()),
+        }
+    )
+
+
+def embedding_near_dup_ivf(
+    ds,
+    sample_tbl: pa.Table,
+    threshold: float,
+    *,
+    n_lists: int = 8,
+    num_parts: int = 8,
+    concurrency=2,
+    seed: int = 42,
+):
+    """All (a < b) pairs with cosine >= threshold — EXACT, via IVF-bucketed
+    block pairing instead of the round-1 full-matrix broadcast (VERDICT r1
+    §next-4). Two streaming passes:
+
+    pass A: per-batch primary-list assignment → per-list angular radius
+            r_l = max angle(member, centroid) (tiny partials, driver max);
+    pass B: rows replicated to every ADMISSIBLE list-pair bucket of their
+            list, one co-partitioning shuffle on the bucket key, then a
+            per-bucket matmul. Pair (i, j) is admissible iff
+            angle(c_i, c_j) <= arccos(threshold) + r_i + r_j — by the
+            spherical triangle inequality any qualifying pair must live in
+            an admissible bucket, so pruning loses nothing (exactness is
+            oracle-checked). Per-task memory is one hash partition of
+            bucket rows, never the corpus; shuffle volume is corpus x
+            (avg admissible partners per list), which collapses toward 1
+            as clusters tighten or the threshold rises."""
     import ray
 
-    all_ids = np.asarray(all_tbl["vec_id"].combine_chunks())
-    m_ref = ray.put((all_ids, _normalize(_matrix(all_tbl))))
-    return ds.map_batches(
-        _NearDupScorer,
-        fn_constructor_args=(m_ref, threshold),
+    from .keyed import map_partitions_by_key
+
+    centroids = kmeans_cosine(_matrix(sample_tbl), n_lists, seed=seed)
+    n_lists = len(centroids)
+    cent_ref = ray.put(centroids)
+
+    # pass A — per-list radii from tiny per-block partials
+    partials = ds.map_batches(
+        _RadiusPartials,
+        fn_constructor_args=(cent_ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
+    ).take_all()  # <= n_lists * n_blocks rows
+    min_cos = np.full(n_lists, np.inf)
+    for row in partials:
+        l = int(row["list"])
+        min_cos[l] = min(min_cos[l], row["min_cos"])
+    radius = np.where(
+        np.isfinite(min_cos), np.arccos(np.clip(min_cos, -1.0, 1.0)), -np.inf
+    )
+
+    # admissible list pairs (i <= j), packed (i << 16) | j
+    theta = np.arccos(np.clip(threshold, -1.0, 1.0))
+    cang = np.arccos(np.clip(centroids @ centroids.T, -1.0, 1.0))
+    i_idx, j_idx = np.triu_indices(n_lists)
+    ok = cang[i_idx, j_idx] <= theta + radius[i_idx] + radius[j_idx]
+    pks = (i_idx[ok].astype(np.int64) << 16) | j_idx[ok].astype(np.int64)
+    pks_per_list = [
+        pks[(i_idx[ok] == l) | (j_idx[ok] == l)] for l in range(n_lists)
+    ]
+    state_ref = ray.put((centroids, pks_per_list))
+
+    # pass B — replicate to admissible buckets, one shuffle, bucket matmuls
+    emitted = ds.map_batches(
+        _IvfPairEmitter,
+        fn_constructor_args=(state_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    return map_partitions_by_key(
+        emitted,
+        "pk",
+        lambda t: _pair_bucket_kernel(t, threshold),
+        num_parts=num_parts,
     )
 
 

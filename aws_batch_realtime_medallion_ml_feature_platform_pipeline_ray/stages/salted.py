@@ -378,6 +378,13 @@ def _segmented_maximum_accumulate(x: np.ndarray, seg_start: np.ndarray) -> np.nd
     seg_id = np.cumsum(seg_start, dtype=np.int64) - 1
     # x values are small (ridx) — offset by seg_id * big
     big = np.int64(1) << np.int64(40)
+    n_seg = int(seg_id[-1]) + 1
+    if n_seg * int(big) + max(int(x.max(initial=0)), 0) >= (1 << 62):
+        # same explicit guard as functions/windows.py adjusted_ts — numpy
+        # int64 wraps silently past this (ADVICE r1)
+        raise OverflowError(
+            f"segment offset ramp would overflow int64: {n_seg} segments"
+        )
     shifted = x.astype(np.int64) + seg_id * big
     acc = np.maximum.accumulate(np.where(x == -1, lo + seg_id * big, shifted))
     out = acc - seg_id * big
@@ -519,9 +526,13 @@ def gold_features_salted(
     if hot_keys is None:
         hot_keys = detect_hot_keys(ds, "conv_id", hot_threshold)
 
+    # overlap must cover BOTH the longest window and the session gap: the
+    # session-break argument needs "no prefix row => true gap > gap_us",
+    # which only holds when the prefix spans >= gap_us (ADVICE r1)
+    overlap_us = max(max_delta, cfg.gap_us)
     tagged = ds.map_batches(
         lambda t: _tag_salted(
-            t, "conv_id", num_parts, hot_parts, hot_keys, bucket_us, max_delta
+            t, "conv_id", num_parts, hot_parts, hot_keys, bucket_us, overlap_us
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -539,18 +550,29 @@ def gold_features_salted(
             zero_copy_batch=True,
         )
 
-    # summaries ride on shard-first rows; materialize phase A once so the
-    # summary collection and the stitch map share the computed blocks
-    phase_a = phase_a.materialize()
+    # The stitch needs EVERY shard summary before its first output batch —
+    # an inherent barrier. Instead of pinning the whole phase-A output in
+    # the object store (round-1 materialize(), VERDICT r1 §next-9), spool
+    # it to parquet: the write streams with backpressure and frees blocks
+    # as it goes; summaries come back via a column-pruned read (tiny
+    # bytes), and the stitch map streams over the spool.
+    import tempfile
+
+    import ray.data as rd
+
+    spool = tempfile.mkdtemp(prefix="salted_phase_a_", dir="/tmp")
+    phase_a.write_parquet(spool)
     summary_tbl = (
-        phase_a.map_batches(_extract_summaries, batch_format="pyarrow", zero_copy_batch=True)
+        rd.read_parquet(spool, columns=["conv_id", SHARD_COL, *_SUM_COLS])
+        .map_batches(_extract_summaries_pruned, batch_format="pyarrow",
+                     zero_copy_batch=True)
         .take_all()
     )
     summary = pd.DataFrame(summary_tbl) if summary_tbl else pd.DataFrame(
         columns=["conv_id", SHARD_COL, *(_SUM_COLS)]
     )
     corr = _build_corrections(summary)
-    return phase_a.map_batches(
+    return rd.read_parquet(spool).map_batches(
         lambda t: _apply_corrections(t, corr, cfg.compute_turn_idx),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -564,6 +586,16 @@ def _extract_summaries(batch: pa.Table) -> pa.Table:
     )
     cols = ["conv_id", SHARD_COL, *_SUM_COLS]
     return batch.select(cols).filter(mask)
+
+
+def _extract_summaries_pruned(batch: pa.Table) -> pa.Table:
+    """Same as _extract_summaries but for the column-pruned spool read
+    (batch already holds exactly the summary columns)."""
+    mask = pc.and_(
+        pc.is_valid(batch["__sum_n_real"]),
+        pc.not_equal(batch[SHARD_COL], pa.scalar(int(NON_SALTED), pa.int64())),
+    )
+    return batch.filter(mask)
 
 
 def _empty_phase_a(cfg: GoldConfig) -> pa.Table:
