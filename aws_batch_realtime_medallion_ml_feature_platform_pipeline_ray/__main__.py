@@ -66,6 +66,19 @@ def cmd_build_datasets(args) -> dict:
     )
 
 
+def cmd_bootstrap(args) -> dict:
+    from .pipelines.medallion import bootstrap_lake
+
+    return bootstrap_lake(args.out)
+
+
+def cmd_lookup(args) -> dict:
+    from .pipelines.medallion import lookup_online
+
+    t = lookup_online(args.out, args.conv_ids)
+    return {"rows": t.num_rows, "records": t.to_pylist()}
+
+
 def cmd_gen_data(args) -> dict:
     from .sources.transcripts import generate_bronze_distributed
 
@@ -102,6 +115,15 @@ def main(argv=None) -> int:
     d.add_argument("--inference-days", type=int, default=2)
     d.add_argument("--processed-at", default=None)
     d.set_defaults(fn=cmd_build_datasets)
+
+    b = sub.add_parser("bootstrap", help="register layer schemas + empty online table")
+    b.add_argument("--out", required=True)
+    b.set_defaults(fn=cmd_bootstrap)
+
+    lk = sub.add_parser("lookup", help="point/batch online feature lookup")
+    lk.add_argument("--out", required=True)
+    lk.add_argument("conv_ids", nargs="+")
+    lk.set_defaults(fn=cmd_lookup)
 
     g = sub.add_parser("gen-data", help="deterministic synthetic bronze")
     g.add_argument("--out", required=True)

@@ -57,11 +57,23 @@ def _coerce_ts(v):
     return v
 
 
+VALID_COL = "__valid"
+
+
 def normalize_bronze(batch: pa.Table, *, processed_at: str,
-                     window: tuple | None = None) -> pa.Table:
+                     window: tuple | None = None,
+                     tag_invalid: bool = False) -> pa.Table:
     """M1 ingest-window filter + M2 validity + M3 domain predicate + M12
     canonical casts + M4 audit column (explicit run timestamp for
-    determinism vs the reference's utcnow(), silver_and_gold.py:67)."""
+    determinism vs the reference's utcnow(), silver_and_gold.py:67).
+
+    With ``tag_invalid`` the validity failures are kept and tagged in
+    ``__valid`` instead of silently dropped, so the partition task can
+    count them into its manifest — the S8 put-error accounting channel
+    (reference ingest_features.py:63-98 tallies per-batch failures; here
+    rejects are durable per-partition metrics, and 'retry' is the
+    idempotent resume of the atomic write + manifest protocol). Window
+    misses are dropped either way: they are not errors, just out-of-slice."""
     t = batch
     mask = pc.and_(
         pc.and_(pc.is_valid(t["conv_id"]), pc.is_valid(t["turn_idx"])),
@@ -70,14 +82,22 @@ def normalize_bronze(batch: pa.Table, *, processed_at: str,
     if window is not None:
         lo, hi = (_coerce_ts(b) for b in window)
         its = t["ingest_ts"]
-        mask = pc.and_(
-            mask,
-            pc.and_(
-                pc.greater_equal(its, pa.scalar(lo, pa.timestamp("us"))),
-                pc.less_equal(its, pa.scalar(hi, pa.timestamp("us"))),
-            ),
+        wmask = pc.and_(
+            pc.greater_equal(its, pa.scalar(lo, pa.timestamp("us"))),
+            pc.less_equal(its, pa.scalar(hi, pa.timestamp("us"))),
         )
-    t = t.filter(mask)
+    else:
+        wmask = None
+    if tag_invalid:
+        if wmask is not None:
+            t = t.filter(wmask)
+            mask = pc.and_(
+                pc.and_(pc.is_valid(t["conv_id"]), pc.is_valid(t["turn_idx"])),
+                pc.greater(pc.utf8_length(t["text"]), 0),
+            )
+        t = t.append_column(VALID_COL, pc.cast(mask, pa.int8()))
+    else:
+        t = t.filter(mask if wmask is None else pc.and_(mask, wmask))
     t = t.append_column("processed_at", pa.array([processed_at] * t.num_rows))
     return t
 
@@ -112,7 +132,9 @@ def run_stream(
 
     ds = rd.read_parquet(bronze_path)
     ds = ds.map_batches(
-        lambda t: normalize_bronze(t, processed_at=processed_at, window=ingest_window),
+        lambda t: normalize_bronze(
+            t, processed_at=processed_at, window=ingest_window, tag_invalid=True
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -139,6 +161,11 @@ def run_stream(
         key = f"{part:05d}"
         g = group.drop_columns([PART_COL])
 
+        # S8 error accounting: count tagged validity rejects, then drop
+        valid = np.asarray(g[VALID_COL].combine_chunks())
+        rows_rejected = int((valid == 0).sum())
+        g = g.filter(pa.array(valid == 1)).drop_columns([VALID_COL])
+
         # ---- silver: dedup within the run slice, stable sort, append ----
         g = dedup_first(g, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
         ts_arr = g["ts"].combine_chunks()
@@ -162,6 +189,7 @@ def run_stream(
                 max_ingest_ts=str(pc.max(ing).as_py()) if g.num_rows else None,
                 wall_s=time.perf_counter() - t0,
                 files=[silver_file],
+                extra={"rows_rejected": rows_rejected},
             ),
         )
 
@@ -210,6 +238,11 @@ def run_stream(
         .map_groups(process_partition, batch_format="pyarrow")
         .to_pandas()
     )
+
+    # persist the partitioning so keyed online lookups can route by hash
+    os.makedirs(online_root, exist_ok=True)
+    with open(os.path.join(online_root, "_meta.json"), "w") as f:
+        json.dump({"num_parts": num_parts, "key": "conv_id"}, f)
 
     silver_ms = [
         m for m in M.load_manifests(silver_root, RUN_STAGE_SILVER) if m.run_id == run_id
@@ -318,3 +351,58 @@ def read_online(out_root: str) -> pa.Table:
 
     files = sorted(glob.glob(os.path.join(out_root, "online", "part=*", "data.parquet")))
     return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def lookup_online(out_root: str, conv_ids: list[str]) -> pa.Table:
+    """S9 point/batch feature lookup (reference
+    feature_store/ingest_features.py:107-143 get_record/batch_get_record):
+    route each requested conv_id to its hash partition via the persisted
+    partitioning meta, read ONLY those partitions' files, and filter with
+    a vectorized ``pc.is_in``. Cost is O(|ids| / num_parts) files touched,
+    independent of lake size."""
+    import pyarrow.parquet as pq
+
+    from ..stages.keyed import hash_key
+
+    online_root = os.path.join(out_root, "online")
+    with open(os.path.join(online_root, "_meta.json")) as f:
+        meta = json.load(f)
+    num_parts = int(meta["num_parts"])
+    ids_arr = pa.array(conv_ids, pa.string())
+    parts = np.unique(hash_key(ids_arr) % np.uint64(num_parts)).astype(np.int64)
+    tables = []
+    for p in parts:
+        f = os.path.join(online_root, f"part={int(p):05d}", "data.parquet")
+        if not os.path.exists(f):
+            continue
+        t = pq.read_table(f)
+        tables.append(t.filter(pc.is_in(t["conv_id"], value_set=ids_arr)))
+    if not tables:
+        return pa.table({f.name: pa.array([], f.type) for f in S.GOLD})
+    return pa.concat_tables(tables)
+
+
+def bootstrap_lake(out_root: str) -> dict:
+    """C7 feature-group bootstrap (reference
+    feature_store/register_feature_groups.py:13-76 registers typed
+    features and polls creation): write the canonical layer schemas as a
+    JSON manifest plus an empty typed online table, idempotently, so
+    downstream consumers can resolve types before any data lands. Returns
+    the registration summary."""
+    layers = {"bronze": S.BRONZE, "silver": S.SILVER, "gold": S.GOLD}
+    reg = {
+        name: [{"name": f.name, "type": str(f.type)} for f in sch]
+        for name, sch in layers.items()
+    }
+    os.makedirs(out_root, exist_ok=True)
+    schema_path = os.path.join(out_root, "_schemas.json")
+    with open(schema_path, "w") as f:
+        json.dump(reg, f, indent=1)
+    online_root = os.path.join(out_root, "online")
+    empty = pa.table({f.name: pa.array([], f.type) for f in S.GOLD})
+    M.atomic_write_table(empty, os.path.join(online_root, "part=00000", "data.parquet"))
+    meta_path = os.path.join(online_root, "_meta.json")
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+            json.dump({"num_parts": 1, "key": "conv_id"}, f)
+    return {"schemas": schema_path, "layers": sorted(reg), "status": "Created"}

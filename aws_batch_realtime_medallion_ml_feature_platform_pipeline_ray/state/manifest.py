@@ -120,6 +120,7 @@ def summarize(manifests: list[PartitionManifest]) -> dict:
     return {
         "partitions": len(manifests),
         "rows_out": rows,
+        "rows_rejected": sum(m.extra.get("rows_rejected", 0) for m in manifests),
         "sum_task_wall_s": round(wall, 3),
         "rows_per_task_s": round(rows / wall, 1) if wall > 0 else None,
     }

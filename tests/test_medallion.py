@@ -286,3 +286,62 @@ def test_gold_dt_layout_matches_column(ray_session, bronze_dir, tmp_path):
         dt = os.path.basename(os.path.dirname(f))[3:]
         col = pq.read_table(f, columns=["dt"])["dt"].to_pylist()
         assert all(v == dt for v in col)
+
+
+def test_lookup_online_roundtrip(ray_session, bronze_dir, tmp_path):
+    """S9 keyed lookup: returns exactly the online rows of the requested
+    conv_ids, touching only their hash partitions."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+        lookup_online,
+    )
+
+    out = str(tmp_path / "lake")
+    run_stream(bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=8)
+    online = read_online(out).to_pandas()
+    want = sorted(online["conv_id"].unique()[:7])
+    got = lookup_online(out, want).to_pandas().sort_values("conv_id", ignore_index=True)
+    exp = online[online["conv_id"].isin(want)].sort_values(
+        "conv_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # missing ids return empty, not error
+    assert len(lookup_online(out, ["no-such-conv"])) == 0
+
+
+def test_bootstrap_lake(ray_session, tmp_path):
+    """C7 bootstrap: schemas registered, empty typed online table, lookup
+    works before any data lands, idempotent."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+        bootstrap_lake,
+        lookup_online,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray import schema as S
+
+    out = str(tmp_path / "lake")
+    r1 = bootstrap_lake(out)
+    assert r1["status"] == "Created"
+    reg = json.load(open(os.path.join(out, "_schemas.json")))
+    assert set(reg) == {"bronze", "silver", "gold"}
+    assert [c["name"] for c in reg["gold"]] == [f.name for f in S.GOLD]
+    t = lookup_online(out, ["anything"])
+    assert t.num_rows == 0 and t.schema.names == [f.name for f in S.GOLD]
+    r2 = bootstrap_lake(out)  # idempotent
+    assert r2["status"] == "Created"
+
+
+def test_reject_accounting(ray_session, tmp_path):
+    """S8: validity rejects are counted into manifests and the run
+    summary; silver output excludes exactly those rows."""
+    d = str(tmp_path / "bronze")
+    tbl = generate_transcripts(
+        n_convs=40, avg_turns=20, seed=5, null_frac=0.05, empty_text_frac=0.05
+    )
+    write_bronze(tbl, d, rows_per_file=500)
+    n_bad = sum(
+        1 for r in tbl.to_pylist()
+        if r["conv_id"] is None or r["turn_idx"] is None or not r["text"]
+    )
+    out = str(tmp_path / "lake")
+    res = run_stream(d, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4)
+    assert res["silver"]["rows_rejected"] == n_bad
+    assert res["silver"]["rows_out"] <= tbl.num_rows - n_bad
