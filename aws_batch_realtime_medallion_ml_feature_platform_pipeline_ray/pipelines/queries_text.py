@@ -172,7 +172,10 @@ def q_docs_minhash_pairs(sf_dir: str):
     cand = map_partitions_by_key(
         bands, "bkey", lsh_partition_pairs, num_parts=NUM_PARTS
     )
-    refs = map_partitions_by_key(cand, "pair", pair_refs, num_parts=NUM_PARTS)
+    # side-tagged refs straight off the bucket partitions: duplicate pairs
+    # from multiple buckets collapse in the distinct counts of
+    # pair_jaccard, so no pair-dedup shuffle is needed
+    refs = cand.map_batches(pair_refs, batch_format="pyarrow", zero_copy_batch=True)
     shingles = ds.map_batches(
         shingle_table, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -215,15 +218,12 @@ def q_docs_ngram_jaccard(sf_dir: str):
     pair-count groupby (intersection sizes) → jaccard against broadcast
     set sizes. The distributed exact baseline; the scale path for low
     thresholds is docs_minhash_pairs (LSH)."""
-    from ..stages.dedup import (
-        attach_doc_size,
-        doc_gram_sizes,
-        ngram_table,
-        partition_pair_counts,
-        sum_pair_partials,
-    )
+    from ..stages.dedup import ngram_table, partition_pair_counts, sum_pair_partials
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
+    # ngram_table carries each doc's GLOBAL distinct-gram count on every
+    # (doc, gram) row, so set sizes ride the one gram shuffle — no
+    # driver-side corpus pass (round 1) and no extra size join
     grams = ds.map_batches(
         ngram_table, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -237,32 +237,9 @@ def q_docs_ngram_jaccard(sf_dir: str):
         partials, "pair", sum_pair_partials, num_parts=NUM_PARTS
     )
 
-    # set sizes: distributed per-batch counts (one row per doc), attached
-    # to the pair counts through two doc_id cogroups — no driver-side
-    # full-corpus pass (VERDICT r1 §next-6)
-    sizes = grams.map_batches(
-        doc_gram_sizes, batch_format="pyarrow", zero_copy_batch=True
-    )
-    as_a = counts.map_batches(
-        lambda t: t.rename_columns(["doc_id", "doc_b", "c"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    with_na = cogroup_by_key(
-        as_a, sizes, "doc_id",
-        lambda l, r: attach_doc_size(l, r, "na"), num_parts=NUM_PARTS,
-    )
-    as_b = with_na.map_batches(
-        lambda t: t.rename_columns(["doc_a", "doc_id", "c", "na"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    with_nb = cogroup_by_key(
-        as_b, sizes, "doc_id",
-        lambda l, r: attach_doc_size(l, r, "nb"), num_parts=NUM_PARTS,
-    )
-
     def jaccard(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["doc_a"].combine_chunks())
-        b = np.asarray(batch["doc_id"].combine_chunks())
+        b = np.asarray(batch["doc_b"].combine_chunks())
         c = np.asarray(batch["c"].combine_chunks()).astype(np.float64)
         na = np.asarray(batch["na"].combine_chunks()).astype(np.float64)
         nb = np.asarray(batch["nb"].combine_chunks()).astype(np.float64)
@@ -276,7 +253,7 @@ def q_docs_ngram_jaccard(sf_dir: str):
             }
         )
 
-    return with_nb.map_batches(jaccard, batch_format="pyarrow", zero_copy_batch=True)
+    return counts.map_batches(jaccard, batch_format="pyarrow", zero_copy_batch=True)
 
 
 DOCS_NGRAM_JACCARD_SQL = f"""

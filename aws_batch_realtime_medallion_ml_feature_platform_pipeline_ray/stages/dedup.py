@@ -155,14 +155,22 @@ def lsh_partition_pairs(part: pa.Table, max_bucket: int = 64) -> pa.Table:
 
 
 def pair_refs(part: pa.Table) -> pa.Table:
-    """Globally-deduped candidate pairs → (doc_id, pair) reference rows,
-    two per pair, ready for the doc_id cogroup with shingle sets."""
+    """Candidate pairs → (doc_id, pair, side) reference rows, two per
+    pair, ready for the doc_id cogroup with shingle sets. The side tag
+    (0 = low doc, 1 = high doc) lets the verify stage collapse duplicate
+    refs — the same pair surfacing from several LSH buckets in different
+    partitions — via a distinct count, so NO global pair-dedup shuffle is
+    needed before the join."""
     pr = np.unique(np.asarray(part["pair"].combine_chunks()))
     a, b = unpack_pairs(pr)
+    side = np.concatenate(
+        [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+    )
     return pa.table(
         {
             "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
             "pair": pa.array(np.concatenate([pr, pr]), pa.int64()),
+            "side": pa.array(side, pa.int8()),
         }
     )
 
@@ -194,11 +202,15 @@ def attach_shingles(refs: pa.Table, shingles: pa.Table) -> pa.Table:
     (doc_id, pair) reference emit that doc's shingle rows tagged with the
     pair key — searchsorted range lookup + repeat/gather, no Python loop.
     Only docs referenced by candidate pairs ship any shingles."""
-    empty = pa.table({"pair": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())})
+    empty = pa.table(
+        {"pair": pa.array([], pa.int64()), "side": pa.array([], pa.int8()),
+         "sh": pa.array([], pa.int64())}
+    )
     if refs.num_rows == 0 or shingles.num_rows == 0:
         return empty
     rdoc = np.asarray(refs["doc_id"].combine_chunks())
     rpair = np.asarray(refs["pair"].combine_chunks())
+    rside = np.asarray(refs["side"].combine_chunks())
     sdoc = np.asarray(shingles["doc_id"].combine_chunks())
     sv = np.asarray(shingles["sh"].combine_chunks())
     order = np.argsort(sdoc, kind="stable")
@@ -215,6 +227,7 @@ def attach_shingles(refs: pa.Table, shingles: pa.Table) -> pa.Table:
     return pa.table(
         {
             "pair": pa.array(np.repeat(rpair, cnt), pa.int64()),
+            "side": pa.array(np.repeat(rside, cnt), pa.int8()),
             "sh": pa.array(sv[idx], pa.int64()),
         }
     )
@@ -222,31 +235,35 @@ def attach_shingles(refs: pa.Table, shingles: pa.Table) -> pa.Table:
 
 def pair_jaccard(part: pa.Table, threshold: float = 0.5) -> pa.Table:
     """Exact Jaccard per candidate pair from its joined shingle rows
-    (one partition holds all rows of a pair): with both docs' distinct
-    shingles concatenated per pair, |A|+|B| = row count, |A∪B| = distinct
-    count, |A∩B| = rows − distinct. Pairs where either doc shipped no
-    shingles get jaccard 0 and are dropped by the threshold, matching the
-    round-1 verifier's semantics."""
+    (one partition holds all rows of a pair): |A|+|B| = distinct
+    (pair, side, sh) count — duplicate refs from multi-bucket candidates
+    collapse here — |A∪B| = distinct (pair, sh), |A∩B| = the difference.
+    Pairs where either doc shipped no shingles get jaccard 0 and are
+    dropped by the threshold, matching the round-1 verifier's semantics."""
     if part.num_rows == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
     p = np.asarray(part["pair"].combine_chunks())
+    sd = np.asarray(part["side"].combine_chunks())
     s = np.asarray(part["sh"].combine_chunks())
-    order = np.lexsort((s, p))
-    p, s = p[order], s[order]
+    order = np.lexsort((sd, s, p))
+    p, sd, s = p[order], sd[order], s[order]
     n = len(p)
     pair_start = np.empty(n, dtype=bool)
     pair_start[0] = True
     np.not_equal(p[1:], p[:-1], out=pair_start[1:])
     pid = np.cumsum(pair_start) - 1
     n_pairs = int(pid[-1]) + 1
-    total = np.bincount(pid, minlength=n_pairs)
-    distinct_mask = np.empty(n, dtype=bool)
-    distinct_mask[0] = True
-    distinct_mask[1:] = pair_start[1:] | (s[1:] != s[:-1])
-    union = np.bincount(pid[distinct_mask], minlength=n_pairs)
+    sh_start = np.empty(n, dtype=bool)
+    sh_start[0] = True
+    sh_start[1:] = pair_start[1:] | (s[1:] != s[:-1])
+    side_start = np.empty(n, dtype=bool)
+    side_start[0] = True
+    side_start[1:] = sh_start[1:] | (sd[1:] != sd[:-1])
+    total = np.bincount(pid[side_start], minlength=n_pairs)   # |A| + |B|
+    union = np.bincount(pid[sh_start], minlength=n_pairs)     # |A ∪ B|
     inter = total - union
     jac = np.round(inter / union, 6)
     keep = jac >= threshold
@@ -278,7 +295,8 @@ def ngram_table(batch: pa.Table, k: int = 3) -> pa.Table:
     if n_tok == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
-             "gram": pa.array([], pa.string())}
+             "gram": pa.array([], pa.string()),
+             "dn": pa.array([], pa.int64())}
         )
     parts = [flat]
     for j in range(1, k):
@@ -298,7 +316,14 @@ def ngram_table(batch: pa.Table, k: int = 3) -> pa.Table:
         }
     )
     # distinct (doc, gram) within batch (docs never span batches here)
-    return out.group_by(["doc_id", "gram"]).aggregate([]).sort_by("doc_id")
+    out = out.group_by(["doc_id", "gram"]).aggregate([]).sort_by("doc_id")
+    # carry each doc's GLOBAL distinct-gram count on every row: +8B/row
+    # through the gram shuffle buys the Jaccard denominator with ZERO
+    # extra passes or joins (round 1 recomputed sizes driver-side;
+    # VERDICT r1 §next-6)
+    od = np.asarray(out["doc_id"])
+    uniq, inv, cnt = np.unique(od, return_inverse=True, return_counts=True)
+    return out.append_column("dn", pa.array(cnt[inv].astype(np.int64), pa.int64()))
 
 
 def gram_group_pairs(group: pa.Table) -> pa.Table:
@@ -317,24 +342,24 @@ def gram_group_pairs(group: pa.Table) -> pa.Table:
 
 
 def partition_pair_counts(part: pa.Table) -> pa.Table:
-    """Partial intersection counts for one hash partition of (doc_id, gram)
-    rows: sort by gram, expand each posting list to (a < b) pairs with the
-    cumsum/repeat construction (no per-gram Python call — one distinct
-    gram per *segment*, thousands of segments per task), then np.unique
-    over packed pair keys. Output: (doc_a, doc_b, c) partials, summed by a
-    tiny downstream groupby."""
+    """Partial intersection counts for one hash partition of
+    (doc_id, gram, dn) rows: sort by gram, expand each posting list to
+    (a < b) pairs with the cumsum/repeat construction (no per-gram Python
+    call — one distinct gram per *segment*, thousands of segments per
+    task), then np.unique over packed pair keys. Output:
+    (pair, c, n_lo, n_hi) partials — the global set sizes ride along from
+    the ``dn`` column, so Jaccard needs no further join."""
     if part.num_rows == 0:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "c": pa.array([], pa.int64())}
-        )
+        return _empty_pair_partials()
     gram_codes = np.asarray(
         pa.compute.dictionary_encode(part["gram"].combine_chunks()).indices
     ).astype(np.int64)
     ids = np.asarray(part["doc_id"].combine_chunks().cast(pa.int64()))
+    dns = np.asarray(part["dn"].combine_chunks())
     order = np.lexsort((ids, gram_codes))
     g = gram_codes[order]
     d = ids[order]
+    dn_s = dns[order]
     n = len(g)
     seg_start = np.empty(n, dtype=bool)
     seg_start[0] = True
@@ -348,75 +373,55 @@ def partition_pair_counts(part: pa.Table) -> pa.Table:
     cnt = m - 1 - p                          # pairs led by this row
     total = int(cnt.sum())
     if total == 0:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "c": pa.array([], pa.int64())}
-        )
+        return _empty_pair_partials()
     a_idx = np.repeat(arange, cnt)
     row_start = np.cumsum(cnt) - cnt
     off = np.arange(total, dtype=np.int64) - np.repeat(row_start, cnt)
     b_idx = a_idx + 1 + off
     a = d[a_idx]
     b = d[b_idx]
-    lo = np.minimum(a, b)
-    hi = np.maximum(a, b)
+    swap = a > b
+    lo = np.where(swap, b, a)
+    hi = np.where(swap, a, b)
+    n_lo = np.where(swap, dn_s[b_idx], dn_s[a_idx])
+    n_hi = np.where(swap, dn_s[a_idx], dn_s[b_idx])
     packed = (lo << np.int64(32)) | hi       # doc ids < 2^31
-    uniq, c = np.unique(packed, return_counts=True)
+    uniq, first, c = np.unique(packed, return_index=True, return_counts=True)
     return pa.table(
         {
             "pair": pa.array(uniq, pa.int64()),
             "c": pa.array(c.astype(np.int64), pa.int64()),
+            "n_lo": pa.array(n_lo[first].astype(np.int64), pa.int64()),
+            "n_hi": pa.array(n_hi[first].astype(np.int64), pa.int64()),
         }
+    )
+
+
+def _empty_pair_partials() -> pa.Table:
+    return pa.table(
+        {"pair": pa.array([], pa.int64()), "c": pa.array([], pa.int64()),
+         "n_lo": pa.array([], pa.int64()), "n_hi": pa.array([], pa.int64())}
     )
 
 
 def sum_pair_partials(part: pa.Table) -> pa.Table:
     """Final per-pair intersection size: np groupby-sum over packed pair
     keys (all partials of a pair land in one partition). Replaces a
-    two-key Dataset groupby-sum that cost 30 s at sf0.1."""
+    two-key Dataset groupby-sum that cost 30 s at sf0.1. The per-doc set
+    sizes n_lo/n_hi are constants per pair — first occurrence wins."""
     pair = np.asarray(part["pair"].combine_chunks())
     c = np.asarray(part["c"].combine_chunks()).astype(np.float64)
-    uniq, inv = np.unique(pair, return_inverse=True)
+    uniq, first, inv = np.unique(pair, return_index=True, return_inverse=True)
     sums = np.bincount(inv, weights=c).astype(np.int64)
     return pa.table(
         {
             "doc_a": pa.array(uniq >> np.int64(32), pa.int64()),
             "doc_b": pa.array(uniq & np.int64(0xFFFFFFFF), pa.int64()),
             "c": pa.array(sums, pa.int64()),
+            "na": pa.array(np.asarray(part["n_lo"].combine_chunks())[first], pa.int64()),
+            "nb": pa.array(np.asarray(part["n_hi"].combine_chunks())[first], pa.int64()),
         }
     )
-
-
-def doc_gram_sizes(batch: pa.Table) -> pa.Table:
-    """|distinct grams| per doc from ngram_table output. Docs never span
-    batches, so per-batch counts are final — no shuffle needed; replaces
-    the round-1 driver-side full-corpus pass (VERDICT r1 §next-6)."""
-    doc = np.asarray(batch["doc_id"].combine_chunks())
-    ids, n = np.unique(doc, return_counts=True)
-    return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()),
-         "n": pa.array(n.astype(np.int64), pa.int64())}
-    )
-
-
-def attach_doc_size(left: pa.Table, right: pa.Table, size_name: str) -> pa.Table:
-    """Cogroup kernel (both sides partitioned by doc_id): append the
-    (doc_id → n) lookup from ``right`` to every ``left`` row as
-    ``size_name`` (0 when missing) — sorted searchsorted, no Python loop."""
-    n_left = left.num_rows
-    if n_left == 0:
-        return left.append_column(size_name, pa.array([], pa.int64()))
-    ld = np.asarray(left["doc_id"].combine_chunks())
-    out = np.zeros(n_left, dtype=np.int64)
-    if right.num_rows:
-        rd = np.asarray(right["doc_id"].combine_chunks())
-        rn = np.asarray(right["n"].combine_chunks())
-        order = np.argsort(rd, kind="stable")
-        rd, rn = rd[order], rn[order]
-        pos = np.minimum(np.searchsorted(rd, ld), len(rd) - 1)
-        ok = rd[pos] == ld
-        out[ok] = rn[pos[ok]]
-    return left.append_column(size_name, pa.array(out, pa.int64()))
 
 
 def simhash64(sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:

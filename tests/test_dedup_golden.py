@@ -133,10 +133,14 @@ def test_pair_jaccard_kernel_matches_bruteforce():
     # all pairs as candidates
     a, b = np.triu_indices(40, k=1)
     pr = pack_pairs(a.astype(np.int64), b.astype(np.int64))
+    side = np.concatenate([np.zeros(len(a), np.int8), np.ones(len(b), np.int8)])
     refs = pa.table(
         {"doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
-         "pair": pa.array(np.concatenate([pr, pr]), pa.int64())}
+         "pair": pa.array(np.concatenate([pr, pr]), pa.int64()),
+         "side": pa.array(side, pa.int8())}
     )
+    # duplicate refs (same pair from two LSH buckets) must collapse
+    refs = pa.concat_tables([refs, refs.slice(0, 10)])
     joined = attach_shingles(refs, sh)
     out = pair_jaccard(joined, threshold=0.0).to_pandas()
     # brute force over hash sets
