@@ -24,10 +24,14 @@ def _emb(sf_dir: str):
 def _query_tbl(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    # predicate pushed into the read: only row groups containing the
+    # query ids are decoded, not the whole embeddings file (VERDICT r1
+    # §wrong-5 driver-side materialization note)
+    return pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
     )
-    return t.filter(pc.less(t["vec_id"], N_QUERIES))
 
 
 def q_knn(sf_dir: str):
@@ -95,10 +99,13 @@ def q_knn_ivf(sf_dir: str):
 def _query_sample(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    # bounded, deterministic training sample; predicate pushdown keeps the
+    # read to the matching row groups
+    return pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 512)],
     )
-    return t.slice(0, 512)  # bounded, deterministic training sample
 
 
 REGISTRY: dict[str, tuple] = {
