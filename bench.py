@@ -260,9 +260,28 @@ def run_scaling(lo: int, hi: int) -> dict:
     }
 
 
+def run_stats(sf_dir: str, num_cpus: int) -> None:
+    """Print the flagship gold pass's per-stage ``ds.stats()`` breakdown —
+    the feedback loop for 'wall-time dominated by useful compute'."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries import (
+        q_gold_features,
+    )
+
+    mat = q_gold_features(sf_dir).materialize()  # stats live on the executed plan
+    print(f"# gold_features rows={mat.count()} sf_dir={sf_dir} cpus={num_cpus}")
+    print(mat.stats())
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="per-stage ds.stats() of the flagship gold pass")
     ap.add_argument("--cpus-lo", type=int, default=8)
     ap.add_argument("--cpus-hi", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
@@ -277,6 +296,9 @@ def main() -> None:
         return
     if args.scaling:
         print(json.dumps(run_scaling(args.cpus_lo, args.cpus_hi)))
+        return
+    if args.stats:
+        run_stats(args.sf_dir, args.num_cpus)
         return
 
     import ray
