@@ -165,6 +165,118 @@ def _range_sums(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.nd
     return np.where(ends == starts, 0, sums)
 
 
+RESIZE_TARGET = 224
+
+
+class MediaResizer:
+    """Actor-pool resize / downsample stage. A real implementation decodes
+    and resamples pixels (PIL) or audio frames; that decoder is stubbed
+    (:func:`decode_real`), so the deterministic stand-in strides the
+    payload bytes: step = ceil(max(w, h) / target), keeping every step-th
+    byte — same actor signature, batch sizing and zero-copy buffer
+    handling a real resizer needs. Output dims and byte counts are
+    integer-exact and SQL-twinnable; the resized payload checksum is
+    pytest-checked against a pure-Python reference."""
+
+    def __init__(self, target: int = RESIZE_TARGET, use_real_decoder: bool = False):
+        if use_real_decoder:  # pragma: no cover - stub gate
+            self.decoder = decode_real("image")
+        else:
+            self.decoder = FakeDecoder("resize")
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"].combine_chunks()
+        offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            payload.offset : payload.offset + len(payload) + 1
+        ].astype(np.int64)
+        data_buf = payload.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        w = np.asarray(batch["width"].combine_chunks())
+        h = np.asarray(batch["height"].combine_chunks())
+        step = (np.maximum(w, h) + self.target - 1) // self.target
+        step = np.maximum(step, 1)
+        out_w = (w + step - 1) // step
+        out_h = (h + step - 1) // step
+
+        starts = offsets[:-1]
+        lens = offsets[1:] - starts
+        cnt = np.where(lens > 0, (lens + step - 1) // step, 0)
+        total = int(cnt.sum())
+        n = len(starts)
+        row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        row_start = np.cumsum(cnt) - cnt
+        within = np.arange(total, dtype=np.int64) - np.repeat(row_start, cnt)
+        idx = starts[row] + within * step[row]
+        out_data = data[idx] if total else np.zeros(0, dtype=np.uint8)
+        new_offsets = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+        resized = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(new_offsets.astype(np.int32).tobytes()),
+             pa.py_buffer(out_data.tobytes())],
+        )
+        checksum = self.decoder.checksum(out_data, new_offsets)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "kind": batch["kind"],
+                "out_w": pa.array(out_w.astype(np.int64), pa.int64()),
+                "out_h": pa.array(out_h.astype(np.int64), pa.int64()),
+                "resized_bytes": pa.array(cnt.astype(np.int64), pa.int64()),
+                "resized_payload": resized,
+                "resized_checksum": pa.array(checksum, pa.int64()),
+            }
+        )
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH m AS (
+    SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        CAST(64 + length(text) % 576 AS BIGINT) AS w,
+        CAST(64 + (length(text) * 7) % 416 AS BIGINT) AS h
+    FROM documents
+),
+s AS (
+    SELECT *, greatest((greatest(w, h) + {RESIZE_TARGET - 1}) // {RESIZE_TARGET}, 1) AS step
+    FROM m
+)
+SELECT doc_id, kind,
+    (w + step - 1) // step AS out_w,
+    (h + step - 1) // step AS out_h,
+    CASE WHEN nb > 0 THEN (nb + step - 1) // step ELSE 0 END AS resized_bytes
+FROM s
+"""
+
+
+def media_resize_pipeline(sf_dir: str, *, concurrency: int = 2, batch_size: int = 64):
+    """documents → media synth → MediaResizer (actor pool), metadata
+    projection only (the oracle-backed query); the resized payload +
+    checksum stay pytest-covered."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = ds.map_batches(
+        media_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    resized = media.map_batches(
+        MediaResizer,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+    return resized.map_batches(
+        lambda t: t.drop_columns(["resized_payload", "resized_checksum"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def media_pipeline(sf_dir: str, *, concurrency: int = 2, batch_size: int = 64):
     """documents parquet → media synth (task pool) → MediaFeaturizer
     (actor pool). batch_size is small on purpose: media batches are sized

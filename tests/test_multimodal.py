@@ -63,3 +63,34 @@ def test_media_schema(ray_session):
     types = dict(zip(sch.names, sch.types))
     assert types["payload"] == pa.binary()
     assert types["n_bytes"] == pa.int64()
+
+
+def test_media_resize_payload_matches_reference(ray_session):
+    """MediaResizer's strided byte subsample + checksum vs a pure-Python
+    reference, including the oracle-covered dims/byte counts."""
+    import numpy as np
+    import pyarrow as pa
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.multimodal import (
+        MediaResizer,
+        RESIZE_TARGET,
+        media_from_documents,
+    )
+
+    texts = ["x" * n for n in (0, 1, 7, 64, 500, 3000)] + ["abcdefgh" * 123]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    media = media_from_documents(batch)
+    out = MediaResizer()(media)
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        w = 64 + len(t) % 576
+        h = 64 + (len(t) * 7) % 416
+        step = max((max(w, h) + RESIZE_TARGET - 1) // RESIZE_TARGET, 1)
+        ref = raw[::step]
+        assert out["out_w"][i].as_py() == -(-w // step)
+        assert out["out_h"][i].as_py() == -(-h // step)
+        assert out["resized_bytes"][i].as_py() == len(ref)
+        assert out["resized_payload"][i].as_py() == ref
+        assert out["resized_checksum"][i].as_py() == sum(ref)
