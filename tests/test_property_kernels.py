@@ -116,3 +116,99 @@ def test_lag_lead_inverse(data):
             assert lead[i] == ts[i + 1]
         else:
             assert lead[i] == -1
+
+
+# ---------------------------------------------------------------------------
+# round-2 dedup kernels: LSH bucket pair expansion + distributed Jaccard
+# ---------------------------------------------------------------------------
+
+@st.composite
+def bucket_rows(draw):
+    n = draw(st.integers(1, 150))
+    bk = np.array(draw(st.lists(st.integers(0, 8), min_size=n, max_size=n)), np.int64)
+    d = np.array(draw(st.lists(st.integers(0, 20), min_size=n, max_size=n)), np.int64)
+    return bk, d
+
+
+@given(bucket_rows(), st.integers(2, 6))
+@settings(max_examples=60, deadline=None)
+def test_lsh_partition_pairs_matches_bruteforce(rows, max_bucket):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.dedup import (
+        lsh_partition_pairs,
+        unpack_pairs,
+    )
+
+    bk, d = rows
+    part = pa.table({"bkey": pa.array(bk), "doc_id": pa.array(d)})
+    got = np.asarray(lsh_partition_pairs(part, max_bucket=max_bucket)["pair"])
+    # brute force: per bucket, sorted unique docs truncated to max_bucket,
+    # all (a < b) combinations, then global distinct
+    exp = set()
+    for b in np.unique(bk):
+        ids = sorted(set(d[bk == b].tolist()))[:max_bucket]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                exp.add((ids[i] << 32) | ids[j])
+    assert sorted(got.tolist()) == sorted(exp)
+    a, b2 = unpack_pairs(got)
+    assert (a < b2).all()
+
+
+@st.composite
+def pair_shingle_rows(draw):
+    n_docs = draw(st.integers(2, 10))
+    sets = [
+        frozenset(draw(st.lists(st.integers(0, 15), max_size=12)))
+        for _ in range(n_docs)
+    ]
+    n_pairs = draw(st.integers(1, 12))
+    pairs = [
+        tuple(sorted(draw(st.tuples(st.integers(0, n_docs - 1),
+                                    st.integers(0, n_docs - 1)))))
+        for _ in range(n_pairs)
+    ]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    dup_refs = draw(st.booleans())
+    return sets, pairs, dup_refs
+
+
+@given(pair_shingle_rows())
+@settings(max_examples=80, deadline=None)
+def test_pair_jaccard_matches_set_arithmetic(case):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.dedup import (
+        attach_shingles,
+        pack_pairs,
+        pair_jaccard,
+    )
+
+    sets, pairs, dup_refs = case
+    if not pairs:
+        return
+    sh_doc, sh_val = [], []
+    for i, s in enumerate(sets):
+        for v in sorted(s):
+            sh_doc.append(i)
+            sh_val.append(v)
+    shingles = pa.table(
+        {"doc_id": pa.array(sh_doc, pa.int64()), "sh": pa.array(sh_val, pa.int64())}
+    )
+    a = np.array([p[0] for p in pairs], np.int64)
+    b = np.array([p[1] for p in pairs], np.int64)
+    pr = pack_pairs(a, b)
+    side = np.concatenate([np.zeros(len(a), np.int8), np.ones(len(b), np.int8)])
+    refs = pa.table(
+        {"doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+         "pair": pa.array(np.concatenate([pr, pr]), pa.int64()),
+         "side": pa.array(side, pa.int8())}
+    )
+    if dup_refs:  # same pair surfacing from a second LSH bucket
+        refs = pa.concat_tables([refs, refs])
+    out = pair_jaccard(attach_shingles(refs, shingles), threshold=0.0)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.to_pylist()}
+    for (x, y) in set(pairs):
+        sx, sy = sets[x], sets[y]
+        union = len(sx | sy)
+        if union == 0:
+            assert (x, y) not in got
+        else:
+            assert got[(x, y)] == round(len(sx & sy) / union, 6)
