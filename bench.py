@@ -211,8 +211,8 @@ def _drain_ray(max_wait: float = 30.0) -> None:
         time.sleep(1.0)
 
 
-SCALING_ROUNDS = 2        # interleaved (lo, hi) rounds; best per level
-SCALING_TIME_BUDGET = 500  # skip later rounds when the wall budget is spent
+SCALING_ROUNDS = 3         # interleaved (lo, hi) rounds; best per level
+SCALING_TIME_BUDGET = 1500  # skip later rounds when the wall budget is spent
 
 
 def run_scaling(lo: int, hi: int) -> dict:
@@ -228,7 +228,13 @@ def run_scaling(lo: int, hi: int) -> dict:
             break  # a full (lo, hi) round costs ~300 s wall
         for cpus in (lo, hi):
             _drain_ray()
-            _wait_for_quiet()
+            # the hi-CPU child needs the whole machine: an ambient burst
+            # that an 8-CPU child fits beside steals half of a 32-CPU
+            # child's cores and poisons the ratio — gate it harder
+            if cpus == hi:
+                _wait_for_quiet(thresh=2.5, max_wait=420.0)
+            else:
+                _wait_for_quiet()
             reps = SCALING_REPS  # identical treatment at both levels
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_child",
