@@ -1,0 +1,482 @@
+"""Training-data curation operators beyond the reference's inventory:
+deterministic stratified sampling, near-dup removal (anti-join against an
+LSH/Jaccard removal list), grouped top-k, exact distributed quantiles via
+bounded-cardinality histograms, pivot aggregation, and a broadcast range
+(interval) join. Every operator here has an exact DuckDB twin.
+
+Scale notes are per-operator; the common theme is that each one either
+streams with zero shuffles (sampling, pivot partials, range-join probe)
+or pushes a partial/combiner into ``map_batches`` so the one shuffle that
+remains moves only partition-sized summaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import token_count
+from ..stages.keyed import map_partitions_by_key
+from .queries_relational import splitmix64_bucket_sql
+from .queries_text import JACCARD_THRESHOLD, DOCS_NGRAM_JACCARD_SQL
+
+NUM_PARTS = 8
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+SAMPLE_SALT = 7
+# per-language keep rates (percent) — the classic corpus-rebalancing
+# downsample: abundant languages sampled harder, everything else kept
+SAMPLE_RATES: dict[str, int] = {"en": 10, "fr": 25, "de": 25, "es": 25, "zh": 25}
+SAMPLE_DEFAULT_RATE = 100
+
+
+def stratified_keep(ids: np.ndarray, langs: pa.Array) -> np.ndarray:
+    """Keep mask: splitmix64(doc_id + salt) % 100 < rate[lang].
+
+    Hash-deterministic sampling (not RNG): stable under any partitioning,
+    parallelism, or re-run — the property Spark's randomSplit lacks — and
+    needs zero coordination, so it composes with any upstream stage.
+    """
+    from ..stages.keyed import splitmix64
+
+    bucket = splitmix64(ids.astype(np.uint64) + np.uint64(SAMPLE_SALT)) % np.uint64(100)
+    rate = np.full(len(ids), SAMPLE_DEFAULT_RATE, dtype=np.uint64)
+    for lang, r in SAMPLE_RATES.items():
+        rate[np.asarray(pc.equal(langs, lang)).astype(bool)] = r
+    return bucket < rate
+
+
+def q_docs_sample_stratified(sf_dir: str):
+    """Stratified downsample of the documents corpus: per-language keep
+    rates via a deterministic splitmix64 bucket. Pure streaming filter —
+    no shuffle, no state; at 100 TB this runs at read speed."""
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "source", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks())
+        keep = stratified_keep(ids, t["lang"].combine_chunks())
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_RATE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+)
+
+DOCS_SAMPLE_STRATIFIED_SQL = f"""
+WITH {splitmix64_bucket_sql('doc_id', 'documents', SAMPLE_SALT)}
+SELECT doc_id, lang, source, n_chars
+FROM __s5
+WHERE __bucket < (CASE {_RATE_CASE} ELSE {SAMPLE_DEFAULT_RATE} END)
+"""
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate removal: anti-join against a similarity removal list
+# --------------------------------------------------------------------------
+
+
+def q_docs_neardup_filter(sf_dir: str):
+    """The end-to-end near-dedup a training pipeline actually runs: build
+    the >= 0.5 n-gram-Jaccard pair list, keep the lower doc_id of each
+    pair, and anti-join the corpus against the loser set.
+
+    Scale shape: the removal list is the *output* of dedup — tiny relative
+    to the corpus (bounded by the duplicate rate), so it is collected once
+    and broadcast via ``ray.put``; the corpus-side anti-join is then a
+    streaming ``pc.is_in`` filter with no shuffle. If the duplicate rate
+    were pathological (removal list too big to broadcast), the fallback is
+    the existing doc_id cogroup (stages/keyed.py:cogroup_by_key).
+    """
+    import ray
+
+    from .queries_text import q_docs_ngram_jaccard
+
+    pairs = q_docs_ngram_jaccard(sf_dir).to_pandas()
+    drop = np.unique(pairs["doc_b"].to_numpy(np.int64))
+    ref = ray.put(pa.array(drop, pa.int64()))
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "source", "n_chars"])
+
+    class AntiJoin:
+        def __init__(self, drop_ref):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(t["doc_id"], value_set=self.drop))
+            return t.filter(keep)
+
+    return ds.map_batches(
+        AntiJoin,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+
+DOCS_NEARDUP_FILTER_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM ({DOCS_NGRAM_JACCARD_SQL}))
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouped top-k with partial top-k pushdown
+# --------------------------------------------------------------------------
+
+TOPK_PER_LANG = 3
+
+
+def _topk_kernel(t: pa.Table, k: int, with_rank: bool) -> pa.Table:
+    """First-k rows per lang by (n_tokens DESC, doc_id ASC) — one lexsort
+    + segment-position mask over the whole table, no per-group Python."""
+    lang = t["lang"].combine_chunks()
+    codes = np.asarray(pc.dictionary_encode(lang).indices).astype(np.int64)
+    nt = np.asarray(t["n_tokens"].combine_chunks())
+    ids = np.asarray(t["doc_id"].combine_chunks())
+    order = np.lexsort((ids, -nt, codes))
+    c = codes[order]
+    n = len(c)
+    if n == 0:
+        out = t.select(["lang", "doc_id", "n_tokens"])
+        return out.append_column("rk", pa.array([], pa.int64())) if with_rank else out
+    seg_start = np.empty(n, dtype=bool)
+    seg_start[0] = True
+    np.not_equal(c[1:], c[:-1], out=seg_start[1:])
+    arange = np.arange(n, dtype=np.int64)
+    seg_first = np.maximum.accumulate(np.where(seg_start, arange, 0))
+    pos = arange - seg_first
+    keep = order[pos < k]
+    out = t.select(["lang", "doc_id", "n_tokens"]).take(pa.array(keep))
+    if with_rank:
+        out = out.append_column("rk", pa.array(pos[pos < k] + 1, pa.int64()))
+    return out
+
+
+def q_docs_topk_per_lang(sf_dir: str):
+    """Grouped top-k (top-3 docs per language by token count): per-batch
+    partial top-k inside ``map_batches`` shrinks each block to <= k rows
+    per group BEFORE the shuffle, so the exchange moves O(groups * k *
+    blocks) rows — the only way a grouped top-k survives 100 TB."""
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nt = token_count(t["text"].combine_chunks())
+        slim = pa.table(
+            {
+                "lang": t["lang"],
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(nt, pa.int64()),
+            }
+        )
+        return _topk_kernel(slim, TOPK_PER_LANG, with_rank=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_partitions_by_key(
+        partials,
+        "lang",
+        lambda t: _topk_kernel(t, TOPK_PER_LANG, with_rank=True),
+        num_parts=NUM_PARTS,
+    )
+
+
+DOCS_TOPK_PER_LANG_SQL = f"""
+SELECT lang, doc_id, n_tokens, rk
+FROM (
+    SELECT lang, doc_id,
+           length(string_split(text, ' ')) AS n_tokens,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY length(string_split(text, ' ')) DESC, doc_id
+           ) AS rk
+    FROM documents
+) WHERE rk <= {TOPK_PER_LANG}
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact distributed quantiles via bounded-cardinality histograms
+# --------------------------------------------------------------------------
+
+QUANTILE_PCTS = (25, 50, 75, 90)
+
+
+def q_docs_len_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles at any scale: per-batch
+    (lang, n_tokens) -> count partials collapse the corpus to a histogram
+    whose cardinality is bounded by (languages x distinct lengths), i.e.
+    thousands of rows regardless of corpus size; the quantile is then read
+    off the merged cdf per language. Matches DuckDB ``quantile_disc``
+    exactly (index ceil(q*n) - 1) using integer arithmetic only."""
+    ds = _docs(sf_dir, columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nt = token_count(t["text"].combine_chunks())
+        slim = pa.table(
+            {"lang": t["lang"], "n_tokens": pa.array(nt, pa.int64())}
+        )
+        g = slim.group_by(["lang", "n_tokens"]).aggregate([("n_tokens", "count")])
+        return g.rename_columns(["lang", "n_tokens", "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(part: pa.Table) -> pa.Table:
+        lang = part["lang"].combine_chunks()
+        codes = np.asarray(pc.dictionary_encode(lang).indices).astype(np.int64)
+        v = np.asarray(part["n_tokens"].combine_chunks())
+        c = np.asarray(part["cnt"].combine_chunks())
+        order = np.lexsort((v, codes))
+        codes, v, c = codes[order], v[order], c[order]
+        n = len(codes)
+        if n == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64()),
+                 **{f"p{p}": pa.array([], pa.int64()) for p in QUANTILE_PCTS}}
+            )
+        # merge duplicate (lang, value) rows from different partials
+        seg = np.empty(n, dtype=bool)
+        seg[0] = True
+        seg[1:] = (codes[1:] != codes[:-1]) | (v[1:] != v[:-1])
+        gid = np.cumsum(seg) - 1
+        cm = np.bincount(gid, weights=c).astype(np.int64)
+        codes, v = codes[seg], v[seg]
+        lang_start = np.empty(len(codes), dtype=bool)
+        lang_start[0] = True
+        lang_start[1:] = codes[1:] != codes[:-1]
+        lid = np.cumsum(lang_start) - 1
+        totals = np.bincount(lid, weights=cm).astype(np.int64)
+        # per-language local cdf
+        cdf = np.cumsum(cm)
+        base = np.repeat(cdf[np.flatnonzero(lang_start)] - cm[lang_start], np.bincount(lid))
+        local_cdf = cdf - base
+        first_of_lang = np.flatnonzero(lang_start)
+        n_lang = len(first_of_lang)
+        cols: dict[str, pa.Array] = {}
+        lang_values = lang.take(pa.array(np.flatnonzero(seg)[first_of_lang]))
+        cols["lang"] = lang_values
+        cols["n_docs"] = pa.array(totals, pa.int64())
+        lens = np.bincount(lid)
+        for p in QUANTILE_PCTS:
+            idx = (p * totals + 99) // 100 - 1  # ceil(q*n) - 1, integers only
+            out = np.empty(n_lang, dtype=np.int64)
+            for li in range(n_lang):  # languages, not rows: O(10) iterations
+                s, e = first_of_lang[li], first_of_lang[li] + lens[li]
+                out[li] = v[s:e][np.searchsorted(local_cdf[s:e], idx[li], side="right")]
+            cols[f"p{p}"] = pa.array(out, pa.int64())
+        return pa.table(cols)
+
+    return map_partitions_by_key(partials, "lang", finish, num_parts=NUM_PARTS)
+
+
+_Q_SELECTS = ", ".join(
+    f"quantile_disc(length(string_split(text, ' ')), {p / 100}) AS p{p}"
+    for p in QUANTILE_PCTS
+)
+
+DOCS_LEN_QUANTILES_SQL = f"""
+SELECT lang, count(*) AS n_docs, {_Q_SELECTS}
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot aggregation (event_type -> columns)
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot: per-user sum(value) by event type as wide columns. The
+    per-batch partial emits one wide row per (user, batch) — a combiner —
+    so the shuffle moves O(users x blocks) rows with 7 numeric columns,
+    never the raw events."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].combine_chunks())
+        et = t["event_type"].combine_chunks()
+        val = np.asarray(t["value"].combine_chunks())
+        users, inv = np.unique(uid, return_inverse=True)
+        cols: dict[str, pa.Array] = {"user_id": pa.array(users, pa.int64())}
+        for ty in EVENT_TYPES:
+            mask = np.asarray(pc.equal(et, ty)).astype(bool)
+            cols[f"v_{ty}"] = pa.array(
+                np.bincount(inv[mask], weights=val[mask], minlength=len(users)),
+                pa.float64(),
+            )
+        cols["n_events"] = pa.array(
+            np.bincount(inv, minlength=len(users)).astype(np.int64), pa.int64()
+        )
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(part: pa.Table) -> pa.Table:
+        uid = np.asarray(part["user_id"].combine_chunks())
+        users, inv = np.unique(uid, return_inverse=True)
+        cols: dict[str, pa.Array] = {"user_id": pa.array(users, pa.int64())}
+        for ty in EVENT_TYPES:
+            s = np.bincount(
+                inv, weights=np.asarray(part[f"v_{ty}"].combine_chunks()),
+                minlength=len(users),
+            )
+            cols[f"v_{ty}"] = pa.array(np.round(s, 6), pa.float64())
+        cols["n_events"] = pa.array(
+            np.bincount(
+                inv, weights=np.asarray(part["n_events"].combine_chunks()),
+                minlength=len(users),
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        return pa.table(cols)
+
+    return map_partitions_by_key(partials, "user_id", finish, num_parts=NUM_PARTS)
+
+
+_PIVOT_SELECTS = ", ".join(
+    f"ROUND(COALESCE(sum(value) FILTER (WHERE event_type = '{ty}'), 0), 6) AS v_{ty}"
+    for ty in EVENT_TYPES
+)
+
+EVENTS_PIVOT_SQL = f"""
+SELECT user_id, {_PIVOT_SELECTS}, count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Broadcast range (interval) join
+# --------------------------------------------------------------------------
+
+N_WINDOWS = 20
+WINDOW_DAYS = 7
+
+
+def q_range_join(sf_dir: str):
+    """Range join: all events x the 7-day onboarding windows of the top-20
+    users by total value. Non-equi ``ts in [lo, hi)`` predicate with NO
+    equality key (any user's events count into any whale's window) — an
+    operator Ray Data has no primitive for.
+
+    Plan: the window side is small by construction (top-k), so broadcast
+    it and probe each event batch vectorized against all windows (20 mask
+    reductions per batch — windows may overlap, so no bucketing trick is
+    assumed); partial (window, count, sum) rows then collapse in a tiny
+    final groupby. The window side itself is built with the partial-
+    aggregation combiner (per-batch group_by -> small groupby), so no
+    stage sees the raw events twice. The co-partitioned alternative for a
+    LARGE window side is time-bucketing with interval replication across
+    overlapped buckets — documented, not needed here.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def per_user_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("value", "sum"), ("ts", "min")])
+        return g.rename_columns(["user_id", "p_val", "p_ts"])
+
+    per_user = (
+        ev.map_batches(per_user_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("p_val", alias_name="tot"), Min("p_ts", alias_name="first_ts"))
+        .to_pandas()
+    )
+    per_user["tot_r"] = np.round(per_user["tot"].to_numpy(), 0).astype(np.int64)
+    top = per_user.sort_values(
+        ["tot_r", "user_id"], ascending=[False, True], ignore_index=True
+    ).head(N_WINDOWS)
+    lo = top["first_ts"].to_numpy("datetime64[us]").astype(np.int64)
+    hi = lo + np.int64(WINDOW_DAYS * 86_400_000_000)
+    keys = top["user_id"].to_numpy(np.int64)
+    ref = ray.put((keys, lo, hi))
+
+    class RangeProbe:
+        def __init__(self, windows_ref):
+            self.keys, self.lo, self.hi = ray.get(windows_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+            val = np.asarray(t["value"].combine_chunks())
+            # (n_windows, batch) membership — windows may overlap freely
+            m = (ts[None, :] >= self.lo[:, None]) & (ts[None, :] < self.hi[:, None])
+            cnt = m.sum(axis=1).astype(np.int64)
+            sums = m @ val
+            nz = cnt > 0
+            return pa.table(
+                {
+                    "w_user": pa.array(self.keys[nz], pa.int64()),
+                    "p_n": pa.array(cnt[nz], pa.int64()),
+                    "p_v": pa.array(sums[nz], pa.float64()),
+                }
+            )
+
+    partials = ev.map_batches(
+        RangeProbe,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    out = partials.groupby("w_user").aggregate(
+        Sum("p_n", alias_name="n_events"), Sum("p_v", alias_name="s_v")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w_user": t["w_user"],
+                "n_events": t["n_events"].cast(pa.int64()),
+                "sum_value": pc.cast(pc.round(t["s_v"], ndigits=0), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+RANGE_JOIN_SQL = f"""
+WITH w AS (
+    SELECT user_id AS w_user, min(ts) AS lo,
+           min(ts) + INTERVAL {WINDOW_DAYS} DAY AS hi
+    FROM events
+    GROUP BY user_id
+    ORDER BY CAST(ROUND(sum(value), 0) AS BIGINT) DESC, user_id
+    LIMIT {N_WINDOWS}
+)
+SELECT w.w_user,
+       count(*) AS n_events,
+       CAST(ROUND(sum(e.value), 0) AS BIGINT) AS sum_value
+FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
+GROUP BY w.w_user
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "docs_sample_stratified": (q_docs_sample_stratified, DOCS_SAMPLE_STRATIFIED_SQL),
+    "docs_neardup_filter": (q_docs_neardup_filter, DOCS_NEARDUP_FILTER_SQL),
+    "docs_topk_per_lang": (q_docs_topk_per_lang, DOCS_TOPK_PER_LANG_SQL),
+    "docs_len_quantiles": (q_docs_len_quantiles, DOCS_LEN_QUANTILES_SQL),
+    "events_pivot": (q_events_pivot, EVENTS_PIVOT_SQL),
+    "range_join": (q_range_join, RANGE_JOIN_SQL),
+}

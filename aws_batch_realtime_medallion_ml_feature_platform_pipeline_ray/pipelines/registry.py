@@ -22,6 +22,9 @@ def full_registry() -> dict[str, tuple]:
         reg.update(queries_ann.REGISTRY)
     except ImportError:
         pass
+    from . import queries_extra
+
+    reg.update(queries_extra.REGISTRY)
     from . import queries_media
 
     reg.update(queries_media.REGISTRY)

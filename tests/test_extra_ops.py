@@ -1,0 +1,138 @@
+"""Kernel-level tests for the curation operators in queries_extra:
+properties that oracle parity alone doesn't pin down (batch-size
+invariance of partial top-k, histogram-quantile vs direct computation,
+sampling determinism, range-join window membership)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+    QUANTILE_PCTS,
+    SAMPLE_DEFAULT_RATE,
+    SAMPLE_RATES,
+    _topk_kernel,
+    stratified_keep,
+)
+
+
+def test_stratified_keep_deterministic_and_rate():
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 1 << 40, size=200_000)
+    langs = pa.array(
+        rng.choice(["en", "fr", "zz"], size=len(ids)).tolist(), pa.string()
+    )
+    k1 = stratified_keep(ids, langs)
+    k2 = stratified_keep(ids.copy(), langs)
+    assert np.array_equal(k1, k2)
+    lang_np = np.asarray(langs)
+    for lang, rate in [("en", SAMPLE_RATES["en"]), ("fr", SAMPLE_RATES["fr"]),
+                       ("zz", SAMPLE_DEFAULT_RATE)]:
+        m = lang_np == lang
+        frac = k1[m].mean()
+        assert abs(frac - rate / 100) < 0.01, (lang, frac)
+
+
+def test_stratified_keep_partition_invariant():
+    """Splitting the input into arbitrary chunks never changes the mask."""
+    ids = np.arange(10_000, dtype=np.int64)
+    langs = pa.array(["en" if i % 3 else "fr" for i in range(10_000)])
+    whole = stratified_keep(ids, langs)
+    parts = []
+    for lo, hi in [(0, 17), (17, 4096), (4096, 9999), (9999, 10_000)]:
+        parts.append(stratified_keep(ids[lo:hi], langs.slice(lo, hi - lo)))
+    assert np.array_equal(whole, np.concatenate(parts))
+
+
+def _topk_table(langs, n_tokens, ids):
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+        }
+    )
+
+
+def test_topk_kernel_matches_pandas():
+    rng = np.random.default_rng(1)
+    n = 5000
+    langs = rng.choice(["a", "b", "c", "d"], size=n).tolist()
+    nt = rng.integers(0, 50, size=n)  # heavy ties
+    ids = np.arange(n)
+    out = _topk_kernel(_topk_table(langs, nt, ids), 3, with_rank=True).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame({"lang": langs, "n_tokens": nt, "doc_id": ids})
+    df = df.sort_values(["lang", "n_tokens", "doc_id"],
+                        ascending=[True, False, True])
+    df["rk"] = df.groupby("lang").cumcount() + 1
+    exp = df[df["rk"] <= 3]
+    got = out.sort_values(["lang", "rk"], ignore_index=True)
+    exp = exp.sort_values(["lang", "rk"], ignore_index=True)
+    assert got[["lang", "doc_id", "n_tokens", "rk"]].reset_index(drop=True).equals(
+        exp[["lang", "doc_id", "n_tokens", "rk"]].reset_index(drop=True)
+    )
+
+
+def test_topk_partial_then_final_equals_single_pass():
+    """Combiner correctness: top-k of concatenated per-chunk top-k's equals
+    top-k of the whole — the algebraic property the pipeline relies on."""
+    rng = np.random.default_rng(2)
+    n = 2000
+    langs = rng.choice(["x", "y"], size=n).tolist()
+    nt = rng.integers(0, 30, size=n)
+    ids = np.arange(n)
+    whole = _topk_kernel(_topk_table(langs, nt, ids), 3, True).to_pandas()
+    partials = []
+    for lo in range(0, n, 137):
+        hi = min(lo + 137, n)
+        partials.append(
+            _topk_kernel(_topk_table(langs[lo:hi], nt[lo:hi], ids[lo:hi]), 3, False)
+        )
+    merged = pa.concat_tables(partials)
+    two_phase = _topk_kernel(merged, 3, True).to_pandas()
+    key = ["lang", "rk"]
+    assert whole.sort_values(key, ignore_index=True).equals(
+        two_phase.sort_values(key, ignore_index=True)
+    )
+
+
+def test_quantile_disc_index_matches_duckdb():
+    """ceil(q*n)-1 indexing reproduces DuckDB quantile_disc exactly on
+    random integer data, including heavy duplication."""
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 25, size=997).astype(np.int64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS x", [vals.tolist()])
+    v_sorted = np.sort(vals)
+    n = len(vals)
+    for p in QUANTILE_PCTS:
+        (exp,) = con.execute(f"SELECT quantile_disc(x, {p / 100}) FROM t").fetchone()
+        idx = (p * n + 99) // 100 - 1
+        assert v_sorted[idx] == exp, (p, v_sorted[idx], exp)
+
+
+def test_range_join_no_window_leakage(ray_session):
+    """Every counted event lies inside its window and totals reconcile."""
+    import pandas as pd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        N_WINDOWS,
+        WINDOW_DAYS,
+        q_range_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_range_join(sf).to_pandas()
+    assert len(out) <= N_WINDOWS
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts", "value"])
+    starts = ev.groupby("user_id")["ts"].min()
+    for _, r in out.iterrows():
+        lo = starts[r["w_user"]]
+        hi = lo + pd.Timedelta(days=WINDOW_DAYS)
+        in_w = ev[(ev["ts"] >= lo) & (ev["ts"] < hi)]
+        assert r["n_events"] == len(in_w)
+        assert r["sum_value"] == round(in_w["value"].sum())
