@@ -131,6 +131,56 @@ def md5_hex(values) -> pa.Array:
     return pa.array(out, pa.string())
 
 
+def token_hashes_md5(text) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document token hashes with DuckDB ``md5_number_lower`` parity
+    (lower 64 bits of md5, little-endian) — the SQL-twin-able hash basis
+    for SimHash. md5 runs once per DISTINCT token via dictionary
+    encoding, then gathers; the Python loop touches the batch vocabulary,
+    not the token stream (vocab << tokens at scale). Pipelines that don't
+    need an oracle can swap in :func:`shingle_hashes`' vectorized siphash
+    basis — the downstream kernels are hash-agnostic."""
+    toks = tokens_list(text)
+    flat, offsets = _flat_tokens(toks)
+    if len(flat) == 0:
+        return np.empty(0, np.uint64), offsets
+    enc = pc.dictionary_encode(flat)
+    dic = enc.dictionary.to_pylist()
+    uh = np.empty(len(dic), np.uint64)
+    for i, s in enumerate(dic):
+        uh[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+    idx = np.asarray(enc.indices).astype(np.int64)
+    return uh[idx], offsets
+
+
+def shingle_hashes_md5(text, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word k-gram shingle hashes with an exact SQL twin: token hashes
+    via md5-lower-64 (once per distinct token, see
+    :func:`token_hashes_md5`), k-gram combination via the same shifted
+    splitmix64 mixing as :func:`shingle_hashes`. Full windows only —
+    docs with < k tokens contribute no shingles (matching the n-gram
+    SQL semantics), unlike the siphash variant's wrap-around window."""
+    from ..stages.keyed import splitmix64
+
+    g, offsets = token_hashes_md5(text)
+    n_docs = len(offsets) - 1
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    if len(g) == 0:
+        return np.empty(0, np.uint64), np.zeros(n_docs + 1, dtype=offsets.dtype)
+    acc = splitmix64(g)
+    for j in range(1, k):
+        shifted = np.roll(g, -j)
+        acc = splitmix64(acc ^ splitmix64(shifted + np.uint64(j)))
+    doc_id_per_tok = np.repeat(np.arange(n_docs), lens)
+    pos_in_doc = np.arange(len(g)) - np.repeat(offsets[:-1].astype(np.int64), lens)
+    keep = pos_in_doc <= np.repeat(lens, lens) - k
+    sh = acc[keep]
+    sh_doc = doc_id_per_tok[keep]
+    new_offsets = np.concatenate(
+        ([0], np.cumsum(np.bincount(sh_doc, minlength=n_docs)))
+    )
+    return sh, new_offsets
+
+
 def shingle_hashes(text, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Word k-gram shingle hash sets per document.
 

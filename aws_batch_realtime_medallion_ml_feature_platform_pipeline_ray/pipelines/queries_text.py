@@ -1,6 +1,8 @@
 """Text-analysis / dedup operator queries over the ``documents`` table
-(doc_id, text, lang, source, n_chars). SQL twins where expressible;
-MinHash-LSH and SimHash are rows-only checks (non-SQL ops)."""
+(doc_id, text, lang, source, n_chars). Every operator here — including
+MinHash-LSH and SimHash — has an exact DuckDB twin: the 64-bit hash
+kernels (md5-lower-64 token basis + splitmix64 mixing) are mirrored in
+generated SQL via HUGEINT limb arithmetic."""
 
 from __future__ import annotations
 
@@ -159,9 +161,9 @@ JACCARD_THRESHOLD = 0.5
 
 def q_docs_minhash_pairs(sf_dir: str):
     """MinHash(64) + LSH(16 bands x 4 rows) near-duplicate pairs, verified
-    by exact shingle Jaccard >= 0.5. Non-SQL op → rows-only driver check;
-    pytest pins golden values and cross-checks against the SQL-exact
-    n-gram join. Fully distributed (VERDICT r1 §next-2): signatures per
+    by exact shingle Jaccard >= 0.5. Oracle-checked end to end: the md5+splitmix hash basis gives the
+    whole pipeline (shingles → signatures → bands → truncated buckets →
+    verified pairs) a generated DuckDB twin (DOCS_MINHASH_SQL). Fully distributed (VERDICT r1 §next-2): signatures per
     batch → bucket-partitioned vectorized pair expansion → pair-keyed
     global dedup → doc_id cogroup with per-doc shingle sets → pair-keyed
     exact Jaccard. No stage holds more than one hash partition."""
@@ -190,13 +192,138 @@ def q_docs_minhash_pairs(sf_dir: str):
     )
 
 
+def _sm_cte(prev: str, in_expr: str, out: str, tag: str) -> tuple[str, str]:
+    """CTE chain computing ``out = splitmix64(in_expr mod 2^64)`` from
+    relation ``prev`` — linear (6 CTEs), no expression blow-up, exact
+    uint64 semantics over HUGEINT (wrapping multiply via 32-bit limbs,
+    see queries_relational._mul64_sql)."""
+    from .queries_relational import _M64, _SM_C1, _SM_C2, _SM_GOLD, _mul64_sql
+
+    a, b, c, d, e = (f"__{tag}{x}" for x in "abcde")
+    frag = f"""
+{tag}_1 AS (SELECT *, ((({in_expr}) + {_SM_GOLD}) % {_M64}) AS {a} FROM {prev}),
+{tag}_2 AS (SELECT *, xor({a}, {a} >> 30) AS {b} FROM {tag}_1),
+{tag}_3 AS (SELECT *, {_mul64_sql(b, _SM_C1)} AS {c} FROM {tag}_2),
+{tag}_4 AS (SELECT *, xor({c}, {c} >> 27) AS {d} FROM {tag}_3),
+{tag}_5 AS (SELECT *, {_mul64_sql(d, _SM_C2)} AS {e} FROM {tag}_4),
+{tag}_6 AS (SELECT *, xor({e}, {e} >> 31) AS {out} FROM {tag}_5)"""
+    return frag, f"{tag}_6"
+
+
+def _minhash_sql() -> str:
+    """Generated exact DuckDB twin of the FULL MinHash+LSH near-dup
+    pipeline: md5-lower-64 token hashes → splitmix64 k-gram shingles →
+    64-perm minhash (MIN over salted splitmix) → 16 banded bucket keys
+    (chained splitmix) → per-bucket truncation at 64 docs (row_number
+    by doc_id — deterministic because the Ray side co-locates each
+    bucket in one partition) → distinct candidate pairs → exact shingle
+    Jaccard >= threshold. ~70 linear CTEs; every 64-bit op mirrors the
+    numpy kernels bit for bit."""
+    from ..stages.dedup import _SALTS, N_PERMS
+
+    parts: list[str] = [
+        """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+shw0 AS (
+    SELECT doc_id, unnest(generate_series(1, len(ts) - 2)) AS i, ts
+    FROM tok WHERE len(ts) >= 3
+),
+shw AS (
+    SELECT doc_id,
+           md5_number_lower(ts[i])::HUGEINT AS h0,
+           md5_number_lower(ts[i + 1])::HUGEINT AS h1,
+           md5_number_lower(ts[i + 2])::HUGEINT AS h2
+    FROM shw0
+)"""
+    ]
+    frag, prev = _sm_cte("shw", "h0", "s1", "g1")
+    parts.append(frag)
+    frag, prev = _sm_cte(prev, "h1 + 1", "t1", "g2")
+    parts.append(frag)
+    frag, prev = _sm_cte(prev, "xor(s1, t1)", "s2", "g3")
+    parts.append(frag)
+    frag, prev = _sm_cte(prev, "h2 + 2", "t2", "g4")
+    parts.append(frag)
+    frag, prev = _sm_cte(prev, "xor(s2, t2)", "shh", "g5")
+    parts.append(frag)
+    parts.append(f"shingles AS (SELECT doc_id, shh AS sh FROM {prev})")
+    salts = ", ".join(
+        f"({i + 1}, {int(_SALTS[i])}::HUGEINT)" for i in range(N_PERMS)
+    )
+    parts.append(f"salts(perm, salt) AS (VALUES {salts})")
+    parts.append(
+        "pm AS (SELECT doc_id, sh, perm, salt FROM shingles CROSS JOIN salts)"
+    )
+    frag, prev = _sm_cte("pm", "xor(sh, salt)", "ph", "g6")
+    parts.append(frag)
+    parts.append(
+        f"mins AS (SELECT doc_id, perm, MIN(ph) AS mh FROM {prev} "
+        "GROUP BY doc_id, perm)"
+    )
+    parts.append(
+        "sig AS (SELECT doc_id, list(mh ORDER BY perm) AS arr "
+        "FROM mins GROUP BY doc_id)"
+    )
+    parts.append(
+        "bx AS (SELECT doc_id, arr, unnest(generate_series(0, 15)) AS band "
+        "FROM sig)"
+    )
+    parts.append(
+        "bs0 AS (SELECT doc_id, arr, band, (band + 1)::HUGEINT AS acc0 FROM bx)"
+    )
+    prev = "bs0"
+    for r in range(4):
+        frag, prev = _sm_cte(
+            prev, f"xor(acc{r}, arr[4 * band + {r} + 1])", f"acc{r + 1}", f"g7{r}"
+        )
+        parts.append(frag)
+    parts.append(f"bands AS (SELECT doc_id, acc4 AS bkey FROM {prev})")
+    parts.append(
+        """bd AS (SELECT DISTINCT bkey, doc_id FROM bands),
+bt AS (SELECT bkey, doc_id,
+              row_number() OVER (PARTITION BY bkey ORDER BY doc_id) AS rn
+       FROM bd),
+cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM bt a JOIN bt b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    WHERE a.rn <= 64 AND b.rn <= 64
+),
+ssets AS (SELECT DISTINCT doc_id, sh FROM shingles),
+ssz AS (SELECT doc_id, count(*) AS n FROM ssets GROUP BY 1),
+isect AS (
+    SELECT cd.da, cd.db, count(*) AS cc
+    FROM cand cd
+    JOIN ssets x ON x.doc_id = cd.da
+    JOIN ssets y ON y.doc_id = cd.db AND y.sh = x.sh
+    GROUP BY cd.da, cd.db
+)"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT i.da AS doc_a, i.db AS doc_b,
+       ROUND(i.cc * 1.0 / (sa.n + sb.n - i.cc), 6) AS jaccard
+FROM isect i
+JOIN ssz sa ON sa.doc_id = i.da
+JOIN ssz sb ON sb.doc_id = i.db
+WHERE ROUND(i.cc * 1.0 / (sa.n + sb.n - i.cc), 6) >= {JACCARD_THRESHOLD}
+"""
+    )
+
+
+DOCS_MINHASH_SQL = _minhash_sql()
+
+
 def q_docs_simhash(sf_dir: str):
     """64-bit SimHash signature per document (hex string) + 4x16-bit
-    chunk keys for banded near-dup lookup. Non-SQL → rows-only check."""
+    chunk keys for banded near-dup lookup. Token-hash basis is
+    md5-lower-64 (DuckDB ``md5_number_lower`` parity) so the whole
+    operator has an exact generated-SQL twin — the bit-vote kernel
+    itself is hash-agnostic."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        sh, offsets = T.shingle_hashes(t["text"].combine_chunks(), k=1)
+        sh, offsets = T.token_hashes_md5(t["text"].combine_chunks())
         sig = simhash64(sh, offsets)
         chunks = {
             f"band{b}": pa.array(
@@ -210,6 +337,36 @@ def q_docs_simhash(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _simhash_sql() -> str:
+    """Generated exact DuckDB twin of q_docs_simhash: per-token
+    md5_number_lower, 64 per-bit vote sums, majority → bit assembly as
+    UBIGINT, hex + 16-bit band extraction. Verbose (64 aggregates) but
+    pure ANSI-ish SQL — it exists so the driver's value-hash gate covers
+    SimHash instead of a rows-only check."""
+    bits_sum = ", ".join(
+        f"SUM(((th >> {b}) & 1)::BIGINT) AS b{b}" for b in range(64)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN 2 * b{b} > n THEN {1 << b} ELSE 0 END)::HUGEINT"
+        for b in range(64)
+    )
+    bands = ", ".join(
+        f"((sig >> {16 * b}) & 65535)::INTEGER AS band{b}" for b in range(4)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+h AS (SELECT doc_id, md5_number_lower(t) AS th FROM tok),
+votes AS (SELECT doc_id, count(*) AS n, {bits_sum} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, ({terms})::UBIGINT AS sig FROM votes)
+SELECT doc_id, lpad(lower(to_hex(sig)), 16, '0') AS simhash, {bands} FROM sig
+"""
+
+
+DOCS_SIMHASH_SQL = _simhash_sql()
 
 
 def q_docs_ngram_jaccard(sf_dir: str):
@@ -291,6 +448,6 @@ REGISTRY: dict[str, tuple] = {
     "docs_token_count": (q_docs_token_count, DOCS_TOKEN_COUNT_SQL),
     "docs_langid": (q_docs_langid, DOCS_LANGID_SQL),
     "docs_fingerprint": (q_docs_fingerprint, DOCS_FINGERPRINT_SQL),
-    "docs_minhash_pairs": (q_docs_minhash_pairs, None),
-    "docs_simhash": (q_docs_simhash, None),
+    "docs_minhash_pairs": (q_docs_minhash_pairs, DOCS_MINHASH_SQL),
+    "docs_simhash": (q_docs_simhash, DOCS_SIMHASH_SQL),
 }

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.text import shingle_hashes
+from ..functions.text import shingle_hashes_md5
 from .keyed import splitmix64
 
 N_PERMS = 64
@@ -89,7 +89,7 @@ def minhash_band_table(batch: pa.Table, text_col: str = "text",
     already folded into the hash accumulator seed (band_hashes), so one
     int64 key addresses all bands; a cross-band collision only adds a
     spurious candidate that exact verification discards."""
-    sh, offsets = shingle_hashes(batch[text_col], k=k)
+    sh, offsets = shingle_hashes_md5(batch[text_col], k=k)
     sig = minhash_signatures(sh, offsets)
     bh = band_hashes(sig)
     ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
@@ -179,7 +179,7 @@ def shingle_table(batch: pa.Table, k: int = 3) -> pa.Table:
     """Per-batch map: documents → distinct (doc_id, sh) shingle-hash rows.
     Valid because each batch row is a whole document (docs never span
     batches), so per-batch per-doc distinct is globally distinct."""
-    sh, offsets = shingle_hashes(batch["text"], k=k)
+    sh, offsets = shingle_hashes_md5(batch["text"], k=k)
     ids = np.asarray(batch["doc_id"].combine_chunks().cast(pa.int64()))
     _check_packable(ids)
     lens = (offsets[1:] - offsets[:-1]).astype(np.int64)

@@ -26,7 +26,9 @@ MINHASH_GOLDEN = [
     (270, 329, 0.988095), (328, 428, 0.974359), (349, 411, 0.980769),
     (474, 498, 0.989362),
 ]
-SIMHASH_MD5 = "754358f964d0775be91b5f608a788d36"
+# md5-lower-64 token basis (DuckDB md5_number_lower parity) — simhash is
+# oracle-checked too now; this pin guards the vectorized kernel itself
+SIMHASH_MD5 = "511ec25b6bf48715018179ab48a485f7"
 MEDIA_DECODE_MD5 = "c116dcae27d7764db9d99b2eab6a4f13"
 
 
