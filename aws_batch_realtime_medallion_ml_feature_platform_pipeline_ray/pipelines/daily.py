@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 from .medallion import gold_dt_fragments
 from .queries_relational import split_bucket_str
+from ..sources.reads import read_parquet_sized
 
 LABEL_THRESHOLD = 1000  # is_long := len(text) > 1000 (reference: amount > 1000)
 TRAIN_PCT = 80
@@ -78,7 +79,7 @@ def run_daily(
     split_root = os.path.join(datasets_root, "_splits")
     if os.path.isdir(split_root):
         shutil.rmtree(split_root)  # overwrite semantics (build_datasets.py:68)
-    ds = rd.read_parquet(files)
+    ds = read_parquet_sized(files)
 
     def drop_hive_part(t: pa.Table) -> pa.Table:
         return t.drop_columns(["part"]) if "part" in t.column_names else t
@@ -113,7 +114,7 @@ def run_daily(
     if os.path.isdir(inf_dir):
         shutil.rmtree(inf_dir)
     if inf_files:
-        inf = rd.read_parquet(inf_files).map_batches(
+        inf = read_parquet_sized(inf_files).map_batches(
             drop_hive_part, batch_format="pyarrow", zero_copy_batch=True
         )
         inf.drop_columns(["dt", "text"]).write_parquet(inf_dir)

@@ -58,6 +58,7 @@ from ..stages.salted import (
 )
 from ..state import manifest as M
 from .medallion import normalize_bronze
+from ..sources.reads import read_parquet_sized
 
 RUN_SHARD = np.int64(0)  # constant shard id: one "shard" per conv per run
 
@@ -423,7 +424,7 @@ def run_stream_incremental(
     state_root = os.path.join(out_root, "state")
     cfg = gold_cfg or GoldConfig(dedup=False)
 
-    ds = rd.read_parquet(bronze_path)
+    ds = read_parquet_sized(bronze_path)
     ds = ds.map_batches(
         lambda t: normalize_bronze(t, processed_at=processed_at, window=ingest_window),
         batch_format="pyarrow",

@@ -41,6 +41,7 @@ from .. import schema as S
 from ..stages.featurize import GoldConfig, dedup_first, gold_features_partition
 from ..stages.keyed import PART_COL, add_partition_col
 from ..state import manifest as M
+from ..sources.reads import read_parquet_sized
 
 RUN_STAGE_SILVER = "silver"
 RUN_STAGE_GOLD = "gold"
@@ -130,7 +131,7 @@ def run_stream(
 
     done_silver = M.completed_partitions(silver_root, RUN_STAGE_SILVER, run_id)
 
-    ds = rd.read_parquet(bronze_path)
+    ds = read_parquet_sized(bronze_path)
     ds = ds.map_batches(
         lambda t: normalize_bronze(
             t, processed_at=processed_at, window=ingest_window, tag_invalid=True
@@ -343,7 +344,7 @@ def read_gold(out_root: str):
     """Gold layer as a Dataset (partition-pruned read for downstream)."""
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(out_root, "gold"))
+    return read_parquet_sized(os.path.join(out_root, "gold"))
 
 
 def read_online(out_root: str) -> pa.Table:

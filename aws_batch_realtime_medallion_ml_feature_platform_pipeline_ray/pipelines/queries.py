@@ -106,9 +106,9 @@ FROM sess
 # --------------------------------------------------------------------------
 
 def q_rolling_windows(sf_dir: str):
-    import ray.data as rd
+    from ..sources.reads import read_parquet_sized
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -222,9 +222,9 @@ WHERE ts >= TIMESTAMP '{WINDOW_START}' AND ts <= TIMESTAMP '{WINDOW_END}'
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
-    import ray.data as rd
+    from ..sources.reads import read_parquet_sized
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )

@@ -14,9 +14,9 @@ NEARDUP_THRESHOLD = 0.4
 
 
 def _emb(sf_dir: str):
-    import ray.data as rd
+    from ..sources.reads import read_parquet_sized
 
-    return rd.read_parquet(
+    return read_parquet_sized(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 

@@ -25,9 +25,9 @@ NUM_PARTS = 8
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..sources.reads import read_parquet_sized
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # --------------------------------------------------------------------------
@@ -266,7 +266,9 @@ def q_docs_len_quantiles(sf_dir: str):
         first_of_lang = np.flatnonzero(lang_start)
         n_lang = len(first_of_lang)
         cols: dict[str, pa.Array] = {}
-        lang_values = lang.take(pa.array(np.flatnonzero(seg)[first_of_lang]))
+        # indices live in the lexsorted coordinate system — map back through
+        # ``order`` to index the original (unsorted) lang array
+        lang_values = lang.take(pa.array(order[np.flatnonzero(seg)[first_of_lang]]))
         cols["lang"] = lang_values
         cols["n_docs"] = pa.array(totals, pa.int64())
         lens = np.bincount(lid)
@@ -305,9 +307,9 @@ def q_events_pivot(sf_dir: str):
     per-batch partial emits one wide row per (user, batch) — a combiner —
     so the shuffle moves O(users x blocks) rows with 7 numeric columns,
     never the raw events."""
-    import ray.data as rd
+    from ..sources.reads import read_parquet_sized
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
     )
 
@@ -391,7 +393,11 @@ def q_range_join(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    from ..sources.reads import read_parquet_sized
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
 
     def per_user_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("user_id").aggregate([("value", "sum"), ("ts", "min")])

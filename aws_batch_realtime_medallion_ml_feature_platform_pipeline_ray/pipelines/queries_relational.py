@@ -11,6 +11,7 @@ import pyarrow.compute as pc
 from ..stages.asof import asof_join_broadcast, asof_join_partitioned
 from ..stages.featurize import dedup_first
 from ..stages.keyed import map_partitions_by_key
+from ..sources.reads import read_parquet_sized
 
 NUM_PARTS = 16
 
@@ -23,7 +24,7 @@ def _orders_by_cust_date(sf_dir: str):
     sf0.1; this path is ~1 s)."""
     import ray.data as rd
 
-    orders = rd.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderdate", "o_totalprice"],
     )
@@ -47,9 +48,7 @@ def _orders_by_cust_date(sf_dir: str):
 
 
 def _events_left(sf_dir: str):
-    import ray.data as rd
-
-    return rd.read_parquet(
+    return read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
     )
 
@@ -118,7 +117,7 @@ def q_online_latest(sf_dir: str):
     the driver collect."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -178,7 +177,7 @@ def q_train_split(sf_dir: str):
     build_datasets job's core, reference build_datasets.py:57-73)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
@@ -244,7 +243,7 @@ def q_agg_pushdown(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -339,7 +338,7 @@ def q_broadcast_join(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     ref = ray.put(cust)
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "value"]
     )
     joined = ds.map_batches(
@@ -386,7 +385,7 @@ def q_topk(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum, Count
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     agg = ds.groupby("user_id").aggregate(
         Sum("value", alias_name="tot"), Count(alias_name="n")
     )

@@ -27,9 +27,9 @@ NUM_PARTS = 8
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from ..sources.reads import read_parquet_sized
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def q_docs_exact_dedup(sf_dir: str):

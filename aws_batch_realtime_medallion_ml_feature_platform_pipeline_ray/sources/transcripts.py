@@ -50,7 +50,10 @@ def events_batch_to_transcripts(batch: pa.Table) -> pa.Table:
     conv_id = pc.binary_join_element_wise(
         pa.scalar("conv_"), pc.cast(user, pa.string()), ""
     )
-    et = batch["event_type"]
+    # combine_chunks() compacts slice offsets first: pyarrow 16's if_else
+    # emits out-of-bounds binary offsets when fed a sliced string chunk
+    # (blocks arrive sliced once reads produce multi-batch blocks)
+    et = batch["event_type"].combine_chunks()
     tool = pc.if_else(pc.equal(et, "error"), pa.scalar(None, pa.string()), et)
     return pa.table(
         {
@@ -66,9 +69,9 @@ def events_batch_to_transcripts(batch: pa.Table) -> pa.Table:
 
 def read_events_as_transcripts(sf_dir: str):
     """events parquet → transcript Dataset (columns pruned at the read)."""
-    import ray.data as rd
+    from .reads import read_parquet_sized
 
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
