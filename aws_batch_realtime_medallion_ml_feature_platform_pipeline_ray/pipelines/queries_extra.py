@@ -478,7 +478,131 @@ GROUP BY w.w_user
 """
 
 
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction (top terms per document)
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def q_docs_tfidf_top_terms(sf_dir: str):
+    """Top-``TFIDF_TOP_K`` terms per document by tf-idf
+    (``tf * ln(N / df)``), ties broken by term.
+
+    Scale shape: per-batch (doc, term, tf) partials (docs are whole per
+    batch, so batch-local tf is exact) → ONE shuffle by term where each
+    partition holds every row of its terms, so df is computed in place
+    and rides each row (no df join) → ONE shuffle by doc for the top-k.
+    N comes from parquet footer metadata (no data read). The exchange
+    moves O(distinct (doc, term)) rows — the token stream never
+    shuffles."""
+    import pyarrow.parquet as pq
+
+    n_docs = float(
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    )
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..functions.text import _flat_tokens, tokens_list
+
+        flat, offsets = _flat_tokens(tokens_list(t["text"]))
+        n = len(flat)
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        enc = pc.dictionary_encode(flat)
+        code = np.asarray(enc.indices).astype(np.int64)
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        doc_pos = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        # batch-local (doc, term) key: doc position fits far below 2^32
+        key = (doc_pos << np.int64(32)) | code
+        inv, uniq = pd.factorize(key)
+        tf = np.bincount(inv).astype(np.int64)
+        u_doc = ids[(uniq >> np.int64(32))]
+        u_code = uniq & np.int64(0xFFFFFFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(u_doc, pa.int64()),
+                "term": enc.dictionary.take(pa.array(u_code)),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
+
+    tf_rows = ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def attach_df(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        term = part["term"].combine_chunks()
+        inv, _uniq = pd.factorize(np.asarray(term.cast(pa.large_string())))
+        df = np.bincount(inv).astype(np.int64)  # rows are distinct (doc, term)
+        return part.append_column("df", pa.array(df[inv], pa.int64()))
+
+    with_df = map_partitions_by_key(tf_rows, "term", attach_df, num_parts=NUM_PARTS)
+
+    def topk(part: pa.Table) -> pa.Table:
+        tf = np.asarray(part["tf"].combine_chunks()).astype(np.float64)
+        df = np.asarray(part["df"].combine_chunks()).astype(np.float64)
+        tfidf = np.round(tf * np.log(n_docs / df), 6)
+        doc = np.asarray(part["doc_id"].combine_chunks())
+        term = np.asarray(part["term"].combine_chunks().cast(pa.large_string()))
+        order = np.lexsort((term, -tfidf, doc))
+        d_s = doc[order]
+        seg_start = np.empty(len(d_s), dtype=bool)
+        if len(d_s):
+            seg_start[0] = True
+            np.not_equal(d_s[1:], d_s[:-1], out=seg_start[1:])
+        arange = np.arange(len(d_s), dtype=np.int64)
+        seg_first = np.maximum.accumulate(np.where(seg_start, arange, 0))
+        pos = arange - seg_first
+        keep = pos < TFIDF_TOP_K
+        sel = order[keep]
+        return pa.table(
+            {
+                "doc_id": part["doc_id"].combine_chunks().take(pa.array(sel)),
+                "term": part["term"].combine_chunks().take(pa.array(sel)),
+                "tf": part["tf"].combine_chunks().take(pa.array(sel)),
+                "df": part["df"].combine_chunks().take(pa.array(sel)),
+                "tfidf": pa.array(tfidf[sel], pa.float64()),
+                "rk": pa.array(pos[keep] + 1, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(with_df, "doc_id", topk, num_parts=NUM_PARTS)
+
+
+DOCS_TFIDF_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+s AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+           ROUND(tf.tf * ln((SELECT n FROM n) / dft.df), 6) AS tfidf
+    FROM tf JOIN dft USING (term)
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) AS rk FROM s
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "docs_tfidf_top_terms": (q_docs_tfidf_top_terms, DOCS_TFIDF_SQL),
     "docs_sample_stratified": (q_docs_sample_stratified, DOCS_SAMPLE_STRATIFIED_SQL),
     "docs_neardup_filter": (q_docs_neardup_filter, DOCS_NEARDUP_FILTER_SQL),
     "docs_topk_per_lang": (q_docs_topk_per_lang, DOCS_TOPK_PER_LANG_SQL),

@@ -297,10 +297,7 @@ isect AS (
     GROUP BY cd.da, cd.db
 )"""
     )
-    return (
-        "WITH "
-        + ",".join(parts)
-        + f"""
+    final = f"""
 SELECT i.da AS doc_a, i.db AS doc_b,
        ROUND(i.cc * 1.0 / (sa.n + sb.n - i.cc), 6) AS jaccard
 FROM isect i
@@ -308,7 +305,17 @@ JOIN ssz sa ON sa.doc_id = i.da
 JOIN ssz sb ON sb.doc_id = i.db
 WHERE ROUND(i.cc * 1.0 / (sa.n + sb.n - i.cc), 6) >= {JACCARD_THRESHOLD}
 """
-    )
+    return "WITH " + ",".join(parts) + final
+
+
+def _minhash_cte_chain() -> str:
+    """The MinHash pipeline as an extendable CTE chain ending in a
+    ``nearpairs(doc_a, doc_b, jaccard)`` relation — lets downstream
+    oracles (connected-components clustering) build on the exact same
+    verified pair set without duplicating the generator."""
+    sql = _minhash_sql()
+    head, final = sql[len("WITH "):].rsplit("\nSELECT", 1)
+    return head + ",\nnearpairs AS (SELECT" + final + ")"
 
 
 DOCS_MINHASH_SQL = _minhash_sql()
@@ -441,7 +448,129 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
+# --------------------------------------------------------------------------
+# Near-dup clustering: connected components over verified pairs
+# --------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 15
+
+
+def q_docs_dup_clusters(sf_dir: str):
+    """Connected components over the verified MinHash near-dup pair
+    graph: every document that appears in a >= threshold pair gets a
+    ``cluster_id`` = the smallest doc_id in its component (the canonical
+    keep-one representative for cluster-level dedup).
+
+    Distributed iterative min-label propagation: labels start at
+    ``min(node, neighbors)`` and each round sends every node's label to
+    its neighbors through the edge-partitioned cogroup, then takes a
+    keyed min. Converges in O(component diameter) rounds — near-dup
+    components are shallow — detected by the label-sum fixpoint (the sum
+    strictly decreases until convergence). Only the LABELS relation
+    (O(duplicated docs), the small side) is materialized per round; the
+    edge set streams through each cogroup. This is the standard
+    large-graph CC recipe when components are short, and it composes
+    with the same hash partitioning as every other keyed stage."""
+    import pandas as pd
+
+    from ..stages.keyed import cogroup_by_key
+
+    pairs = q_docs_minhash_pairs(sf_dir)
+
+    def to_adj(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"].combine_chunks())
+        b = np.asarray(t["doc_b"].combine_chunks())
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    adj = pairs.map_batches(to_adj, batch_format="pyarrow", zero_copy_batch=True)
+
+    def init_label(part: pa.Table) -> pa.Table:
+        n = np.asarray(part["node"].combine_chunks())
+        nb = np.asarray(part["nbr"].combine_chunks())
+        inv, uniq = pd.factorize(n)
+        m = uniq.copy()
+        np.minimum.at(m, inv, nb)
+        return pa.table(
+            {"node": pa.array(uniq, pa.int64()), "rep": pa.array(m, pa.int64())}
+        )
+
+    labels = map_partitions_by_key(
+        adj, "node", init_label, num_parts=NUM_PARTS
+    ).materialize()
+
+    def send_labels(adj_part: pa.Table, lab_part: pa.Table) -> pa.Table:
+        if adj_part.num_rows == 0 or lab_part.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())}
+            )
+        ln = np.asarray(lab_part["node"].combine_chunks())
+        lr = np.asarray(lab_part["rep"].combine_chunks())
+        order = np.argsort(ln)
+        ln, lr = ln[order], lr[order]
+        n = np.asarray(adj_part["node"].combine_chunks())
+        nb = np.asarray(adj_part["nbr"].combine_chunks())
+        rep = lr[np.searchsorted(ln, n)]  # labels hold every adj node
+        return pa.table(
+            {"node": pa.array(nb, pa.int64()), "rep": pa.array(rep, pa.int64())}
+        )
+
+    def min_label(part: pa.Table) -> pa.Table:
+        n = np.asarray(part["node"].combine_chunks())
+        r = np.asarray(part["rep"].combine_chunks())
+        inv, uniq = pd.factorize(n)
+        m = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(m, inv, r)
+        return pa.table(
+            {"node": pa.array(uniq, pa.int64()), "rep": pa.array(m, pa.int64())}
+        )
+
+    prev_sum = None
+    for _ in range(CC_MAX_ROUNDS):
+        cur_sum = labels.sum("rep")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        msgs = cogroup_by_key(adj, labels, "node", send_labels, num_parts=NUM_PARTS)
+        labels = map_partitions_by_key(
+            msgs.union(labels), "node", min_label, num_parts=NUM_PARTS
+        ).materialize()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["node"], "cluster_id": t["rep"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _dup_clusters_sql() -> str:
+    """Generated twin: the exact MinHash CTE chain (nearpairs) extended
+    with a recursive transitive closure; cluster id = LEAST(node, min
+    reachable node)."""
+    return f"""
+WITH RECURSIVE {_minhash_cte_chain()},
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM nearpairs
+    UNION SELECT doc_b, doc_a FROM nearpairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b))::BIGINT AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
+
+
 REGISTRY: dict[str, tuple] = {
+    "docs_dup_clusters": (q_docs_dup_clusters, DOCS_DUP_CLUSTERS_SQL),
     "docs_exact_dedup": (q_docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, DOCS_NGRAM_JACCARD_SQL),
     "docs_quality": (q_docs_quality, DOCS_QUALITY_SQL),
