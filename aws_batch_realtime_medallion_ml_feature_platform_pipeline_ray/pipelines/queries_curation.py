@@ -1,0 +1,421 @@
+"""Second batch of training-data curation operators: token-window
+chunking (training-sequence prep), corpus-level repeated-n-gram
+(boilerplate) detection, contiguous token-budget sharding via a
+distributed global prefix sum, and blocklist filtering. Every operator
+has an exact DuckDB twin.
+
+Scale shapes:
+
+- ``docs_chunk``: zero shuffles — chunking is per-document and docs are
+  whole per batch, so the stage streams; output rows ~= W/S x the token
+  stream, written straight through.
+- ``docs_boilerplate_ngrams``: per-batch (gram, occ, ndocs) partials
+  (exact because docs never span batches) -> ONE small groupby over
+  distinct grams -> threshold + tiny global top-k. The token stream
+  never shuffles.
+- ``docs_pack_bins``: the classic two-level scan — per-batch partial
+  sums per doc-id range bucket -> tiny bucket-total aggregate ->
+  driver-side exclusive scan over O(#buckets) totals (broadcast) ->
+  ONE partition-by-bucket pass computes exact within-bucket prefixes.
+  Only O(N / G) bucket totals ever leave the workers; pick G so that
+  stays ~1e6 rows at any corpus size.
+- ``docs_blocklist_filter``: zero shuffles, one vectorized membership
+  pass per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.keyed import map_partitions_by_key
+from .queries_extra import NUM_PARTS, _docs
+
+# --------------------------------------------------------------------------
+# Token-window chunking
+# --------------------------------------------------------------------------
+
+CHUNK_W = 64  # chunk size in tokens
+CHUNK_S = 48  # stride (W - S = 16 tokens of overlap)
+
+
+def q_docs_chunk(sf_dir: str):
+    """Split each document into overlapping ``CHUNK_W``-token windows at
+    stride ``CHUNK_S`` — the standard prep step that turns variable-length
+    documents into training/embedding sequences. The last window of a doc
+    is short rather than padded.
+
+    Fully vectorized: one flat token gather per batch (segmented
+    arange), then an Arrow ``ListArray`` + ``binary_join`` rebuilds every
+    chunk string in a single kernel call. No shuffle."""
+    from ..functions.text import _flat_tokens, tokens_list
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        flat, offsets = _flat_tokens(tokens_list(t["text"]))
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        n_chunks = (lens + CHUNK_S - 1) // CHUNK_S  # ceil; 0 for empty doc
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        doc_of_chunk = np.repeat(np.arange(len(ids), dtype=np.int64), n_chunks)
+        chunk_starts_excl = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            chunk_starts_excl, n_chunks
+        )
+        start_tok = chunk_idx * CHUNK_S
+        clen = np.minimum(CHUNK_W, lens[doc_of_chunk] - start_tok)
+        # flat-token gather indices for every chunk, segmented arange
+        tot_tok = int(clen.sum())
+        cs_excl = np.concatenate(([0], np.cumsum(clen)))[:-1]
+        tok_index = (
+            np.arange(tot_tok, dtype=np.int64)
+            - np.repeat(cs_excl, clen)
+            + np.repeat(offsets[:-1][doc_of_chunk].astype(np.int64) + start_tok, clen)
+        )
+        gathered = flat.take(pa.array(tok_index))
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(clen))), pa.int32()), gathered
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of_chunk], pa.int64()),
+                "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                "n_tokens": pa.array(clen, pa.int64()),
+                "chunk_text": pc.binary_join(lst, " "),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_CHUNK_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+c AS (
+    SELECT doc_id, len(ts) AS n, ts, unnest(range(0, len(ts), {CHUNK_S})) AS s
+    FROM tok
+)
+SELECT doc_id,
+       (s // {CHUNK_S})::BIGINT AS chunk_idx,
+       (LEAST(s + {CHUNK_W}, n) - s)::BIGINT AS n_tokens,
+       array_to_string(ts[s + 1 : LEAST(s + {CHUNK_W}, n)], ' ') AS chunk_text
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Boilerplate detection: corpus-level repeated n-grams
+# --------------------------------------------------------------------------
+
+BOILER_K = 3  # word-k-grams
+BOILER_MIN_DOCS = 5  # a gram is boilerplate once it appears in >= docs
+BOILER_TOP = 50
+
+
+def boilerplate_gram_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (gram, occ, ndocs) partial counts for word-``BOILER_K``-
+    grams. Exact partials because documents never span batches: occ sums
+    and ndocs (distinct docs per gram) sums are both additive across
+    batches."""
+    import pandas as pd
+
+    from ..functions.text import _flat_tokens, tokens_list
+
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "occ": pa.array([], pa.int64()),
+            "ndocs": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    flat, offsets = _flat_tokens(tokens_list(t["text"]))
+    n_tok = len(flat)
+    n_docs = len(offsets) - 1
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    if n_tok == 0:
+        return empty
+    parts = [flat]
+    for j in range(1, BOILER_K):
+        pad = pa.array([""] * j, pa.string())
+        parts.append(pa.concat_arrays([flat.slice(j), pad]))
+    gram = pc.binary_join_element_wise(*parts, " ")
+    doc_per_tok = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    pos = np.arange(n_tok, dtype=np.int64) - np.repeat(
+        offsets[:-1].astype(np.int64), lens
+    )
+    keep = pos <= np.repeat(lens, lens) - BOILER_K
+    gram = gram.filter(pa.array(keep))
+    doc_per_gram = doc_per_tok[keep]
+    enc = pc.dictionary_encode(gram)
+    code = np.asarray(enc.indices).astype(np.int64)
+    occ = np.bincount(code, minlength=len(enc.dictionary)).astype(np.int64)
+    # distinct (doc, gram) within batch -> per-gram doc frequency
+    key = (doc_per_gram << np.int64(32)) | code
+    _inv, uniq = pd.factorize(key)
+    ndocs = np.bincount(
+        (uniq & np.int64(0xFFFFFFFF)), minlength=len(enc.dictionary)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "gram": enc.dictionary,
+            "occ": pa.array(occ, pa.int64()),
+            "ndocs": pa.array(ndocs, pa.int64()),
+        }
+    )
+
+
+def q_docs_boilerplate_ngrams(sf_dir: str):
+    """Corpus-level repeated word-{BOILER_K}-gram detection — the
+    boilerplate/template-text scan of web-corpus curation: every gram's
+    total occurrence count and document frequency, thresholded at
+    ``BOILER_MIN_DOCS`` docs, top ``BOILER_TOP`` ranked by
+    (ndocs DESC, occ DESC, gram) with a deterministic rank column."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    partials = ds.map_batches(
+        boilerplate_gram_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def combine(part: pa.Table) -> pa.Table:
+        g = part.group_by("gram").aggregate([("occ", "sum"), ("ndocs", "sum")])
+        g = g.rename_columns(["gram", "occ", "ndocs"])
+        return g.filter(pc.greater_equal(g["ndocs"], BOILER_MIN_DOCS))
+
+    agg = map_partitions_by_key(partials, "gram", combine, num_parts=NUM_PARTS)
+
+    # global top-k over the (tiny) thresholded aggregate: local top-k per
+    # block bounds what the final single-block rank pass ever sees
+    def _boiler_order(t: pa.Table) -> np.ndarray:
+        occ = np.asarray(t["occ"].combine_chunks())
+        nd = np.asarray(t["ndocs"].combine_chunks())
+        gram = np.asarray(t["gram"].combine_chunks().cast(pa.large_string()))
+        return np.lexsort((gram, -occ, -nd))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= BOILER_TOP:
+            return t
+        return t.take(pa.array(_boiler_order(t)[:BOILER_TOP]))
+
+    def final_rank(part: pa.Table) -> pa.Table:
+        order = _boiler_order(part)[:BOILER_TOP]
+        out = part.take(pa.array(order))
+        return out.append_column(
+            "rk", pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64())
+        )
+
+    return (
+        agg.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(
+            final_rank,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,  # the single repartitioned block, whole
+        )
+    )
+
+
+DOCS_BOILERPLATE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+g AS (
+    SELECT doc_id, array_to_string(ts[i : i + {BOILER_K - 1}], ' ') AS gram
+    FROM tok, unnest(range(1, len(ts) - {BOILER_K - 2})) AS t(i)
+),
+agg AS (
+    SELECT gram, count(*)::BIGINT AS occ,
+           count(DISTINCT doc_id)::BIGINT AS ndocs
+    FROM g GROUP BY gram
+),
+r AS (
+    SELECT gram, occ, ndocs,
+           row_number() OVER (ORDER BY ndocs DESC, occ DESC, gram) AS rk
+    FROM agg WHERE ndocs >= {BOILER_MIN_DOCS}
+)
+SELECT gram, occ, ndocs, rk FROM r WHERE rk <= {BOILER_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# Contiguous token-budget sharding (global prefix sum)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 1000  # tokens per shard
+PACK_BUCKET = 64  # doc_ids per scan bucket (scale: ~corpus_docs / 1e6)
+
+
+def q_docs_pack_bins(sf_dir: str):
+    """Assign every document to a contiguous training shard of
+    ~``PACK_BUDGET`` tokens: shard id = exclusive-prefix-sum of token
+    counts in doc_id order, integer-divided by the budget. A document
+    whose tokens straddle a boundary goes with its starting shard
+    (contiguous packing with overflow — the deterministic, fully
+    parallel variant of greedy packing).
+
+    The exact global scan in two small exchanges: per-batch partial sums
+    per doc-id range bucket -> tiny bucket-total groupby collected and
+    exclusive-scanned on the driver (O(N / PACK_BUCKET) values — size
+    PACK_BUCKET so this stays ~1e6 at any corpus) -> one
+    partition-by-bucket pass sorts each bucket's docs and adds the
+    bucket's broadcast base offset."""
+    from ..functions.text import token_count
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        n = token_count(t["text"]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "bucket": pa.array(ids // PACK_BUCKET, pa.int64()),
+            }
+        )
+
+    per_doc = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = np.asarray(t["bucket"].combine_chunks())
+        n = np.asarray(t["n_tokens"].combine_chunks())
+        inv, uniq = pd.factorize(b)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pa.table(
+            {"bucket": pa.array(uniq, pa.int64()), "tok": pa.array(s, pa.int64())}
+        )
+
+    totals = (
+        per_doc.map_batches(bucket_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .sum("tok")
+        .to_pandas()  # O(#buckets) rows only — the one driver touch
+        .sort_values("bucket")
+    )
+    buckets = totals["bucket"].to_numpy()
+    base = np.concatenate(([0], np.cumsum(totals["sum(tok)"].to_numpy())))[:-1]
+
+    def scan_bucket(part: pa.Table) -> pa.Table:
+        ids = np.asarray(part["doc_id"].combine_chunks())
+        n = np.asarray(part["n_tokens"].combine_chunks())
+        b = np.asarray(part["bucket"].combine_chunks())
+        order = np.argsort(ids)  # doc_id sorts (bucket, doc) together
+        ids, n, b = ids[order], n[order], b[order]
+        seg_start = np.empty(len(ids), dtype=bool)
+        if len(ids):
+            seg_start[0] = True
+            np.not_equal(b[1:], b[:-1], out=seg_start[1:])
+        cum = np.cumsum(n) - n  # exclusive within the sorted partition
+        # reset to zero at each bucket boundary
+        reset = np.maximum.accumulate(np.where(seg_start, cum, 0))
+        within = cum - reset
+        prefix = within + base[np.searchsorted(buckets, b)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "bin_id": pa.array(prefix // PACK_BUDGET, pa.int64()),
+            }
+        )
+
+    out = map_partitions_by_key(per_doc, "bucket", scan_bucket, num_parts=NUM_PARTS)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "bin_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+DOCS_PACK_BINS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       (COALESCE(sum(n_tokens) OVER (
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) // {PACK_BUDGET})::BIGINT AS bin_id
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Blocklist filtering
+# --------------------------------------------------------------------------
+
+BLOCKLIST: tuple[str, ...] = ("spark", "slow", "stale")
+BLOCK_MAX_FRACTION = 0.08
+
+
+def q_docs_blocklist_filter(sf_dir: str):
+    """Per-document blocked-term accounting + keep flag — the bad-word /
+    policy filter of web-corpus curation. Zero shuffles; one vectorized
+    set-membership pass per batch (``member_count``)."""
+    from ..functions.text import member_count, token_count, tokens_list
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().cast(pa.int64())
+        toks = tokens_list(t["text"])
+        n = token_count(t["text"]).astype(np.int64)
+        blocked = member_count(toks, BLOCKLIST).astype(np.int64)
+        frac = np.round(blocked / np.maximum(n, 1), 6)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_tokens": pa.array(n, pa.int64()),
+                "blocked": pa.array(blocked, pa.int64()),
+                "blocked_frac": pa.array(frac, pa.float64()),
+                "keep": pa.array(frac <= BLOCK_MAX_FRACTION),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_BLOCK_IN = ", ".join(f"'{w}'" for w in BLOCKLIST)
+
+DOCS_BLOCKLIST_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+s AS (
+    SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+           len(list_filter(ts, x -> x IN ({_BLOCK_IN})))::BIGINT AS blocked
+    FROM t
+)
+SELECT doc_id, n_tokens, blocked,
+       ROUND(blocked * 1.0 / GREATEST(n_tokens, 1), 6) AS blocked_frac,
+       ROUND(blocked * 1.0 / GREATEST(n_tokens, 1), 6) <= {BLOCK_MAX_FRACTION}
+           AS keep
+FROM s
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "docs_chunk": (q_docs_chunk, DOCS_CHUNK_SQL),
+    "docs_boilerplate_ngrams": (q_docs_boilerplate_ngrams, DOCS_BOILERPLATE_SQL),
+    "docs_pack_bins": (q_docs_pack_bins, DOCS_PACK_BINS_SQL),
+    "docs_blocklist_filter": (q_docs_blocklist_filter, DOCS_BLOCKLIST_SQL),
+}

@@ -25,6 +25,9 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_extra
 
     reg.update(queries_extra.REGISTRY)
+    from . import queries_curation
+
+    reg.update(queries_curation.REGISTRY)
     from . import queries_media
 
     reg.update(queries_media.REGISTRY)

@@ -1,0 +1,91 @@
+"""Kernel/property tests for queries_curation: chunk geometry and
+overlap, pack-bin scan correctness vs a direct cumsum, and batch-split
+invariance of the boilerplate gram partials — properties oracle parity
+alone doesn't pin down."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_curation import (
+    CHUNK_S,
+    CHUNK_W,
+    PACK_BUDGET,
+    q_docs_chunk,
+    q_docs_pack_bins,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_geometry_and_overlap(ray_session):
+    df = q_docs_chunk(SF).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"], ignore_index=True
+    )
+    assert (df["n_tokens"] <= CHUNK_W).all()
+    assert (df["n_tokens"] >= 1).all()
+    # chunk_text token count matches n_tokens
+    tok_counts = df["chunk_text"].str.split(" ").str.len()
+    assert (tok_counts == df["n_tokens"]).all()
+    # consecutive full chunks overlap by W - S tokens, exactly
+    for doc_id, g in df.groupby("doc_id"):
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        toks = [t.split(" ") for t in g["chunk_text"]]
+        for i in range(len(toks) - 1):
+            if len(toks[i]) == CHUNK_W:
+                assert toks[i][CHUNK_S:] == toks[i + 1][: CHUNK_W - CHUNK_S]
+    # stride-aligned reconstruction: first S tokens of every chunk,
+    # concatenated, equal the original document
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rebuilt = (
+        df.assign(prefix=df["chunk_text"].str.split(" ").str[:CHUNK_S].str.join(" "))
+        .groupby("doc_id")["prefix"]
+        .agg(" ".join)
+    )
+    orig = docs.set_index("doc_id")["text"]
+    assert rebuilt.sort_index().equals(orig.sort_index())
+
+
+def test_pack_bins_matches_direct_cumsum(ray_session):
+    df = q_docs_pack_bins(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    prefix = np.concatenate(([0], np.cumsum(df["n_tokens"].to_numpy())))[:-1]
+    assert np.array_equal(df["bin_id"].to_numpy(), prefix // PACK_BUDGET)
+    # bins are contiguous and non-decreasing in doc order
+    assert (np.diff(df["bin_id"].to_numpy()) >= 0).all()
+
+
+def test_boilerplate_partials_match_reference_and_split_invariant():
+    """The vectorized gram partial equals a row-by-row Python reference,
+    and summing partials over arbitrary document splits equals the
+    whole-corpus partial (the exactness argument for the one groupby)."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_curation import (
+        boilerplate_gram_partial,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    t_whole = pa.table(
+        {"doc_id": pa.array(docs["doc_id"], pa.int64()),
+         "text": pa.array(docs["text"], pa.string())}
+    )
+
+    def direct(tbl: pa.Table) -> pd.DataFrame:
+        rows = []
+        for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            toks = text.split(" ")
+            for i in range(len(toks) - 2):
+                rows.append((did, " ".join(toks[i : i + 3])))
+        g = pd.DataFrame(rows, columns=["doc_id", "gram"])
+        occ = g.groupby("gram").size()
+        ndocs = g.drop_duplicates().groupby("gram").size()
+        return pd.DataFrame({"occ": occ, "ndocs": ndocs})
+
+    def kernel(tbl: pa.Table) -> pd.DataFrame:
+        out = boilerplate_gram_partial(tbl).to_pandas()
+        return out.set_index("gram").sort_index()
+
+    whole_ref = direct(t_whole).sort_index()
+    assert kernel(t_whole).equals(whole_ref)
+    a = kernel(t_whole.slice(0, 100))
+    b = kernel(t_whole.slice(100))
+    summed = a.add(b, fill_value=0).astype(int)
+    assert summed.sort_index().equals(whole_ref)
