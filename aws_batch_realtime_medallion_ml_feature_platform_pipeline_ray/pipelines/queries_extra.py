@@ -454,7 +454,7 @@ def q_range_join(sf_dir: str):
             {
                 "w_user": t["w_user"],
                 "n_events": t["n_events"].cast(pa.int64()),
-                "sum_value": pc.cast(pc.round(t["s_v"], ndigits=0), pa.int64()),
+                "sum_value": pc.cast(pc.round(t["s_v"], ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
             }
         )
 

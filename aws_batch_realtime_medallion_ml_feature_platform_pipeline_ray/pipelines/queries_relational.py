@@ -281,7 +281,7 @@ def q_agg_pushdown(sf_dir: str):
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
                 "sum_qty": pc.round(t["sum_qty"], ndigits=6),
-                "sum_price": pc.cast(pc.round(t["sum_price"], ndigits=0), pa.int64()),
+                "sum_price": pc.cast(pc.round(t["sum_price"], ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
                 "avg_disc": pc.round(
                     pc.divide(t["s_disc"], pc.cast(t["n_rows"], pa.float64())),
                     ndigits=6,
@@ -365,7 +365,7 @@ def q_broadcast_join(sf_dir: str):
         lambda t: t.set_column(
             t.schema.get_field_index("sum_value"),
             "sum_value",
-            pc.cast(pc.round(t["sum_value"], ndigits=0), pa.int64()),
+            pc.cast(pc.round(t["sum_value"], ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
         ),
         batch_format="pyarrow",
     )
@@ -393,7 +393,7 @@ def q_topk(sf_dir: str):
         lambda t: t.set_column(
             t.schema.get_field_index("tot"),
             "tot",
-            pc.cast(pc.round(t["tot"], ndigits=0), pa.int64()),
+            pc.cast(pc.round(t["tot"], ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
         ),
         batch_format="pyarrow",
     )
@@ -407,7 +407,189 @@ ORDER BY tot DESC, user_id DESC LIMIT 10
 """
 
 
+def q_join_shuffle(sf_dir: str):
+    """Large-large shuffle equi-join: lineitem x orders on orderkey —
+    the general partitioned hash join when neither side fits a
+    broadcast. ONE co-partitioning exchange (`cogroup_by_key`), then a
+    vectorized sort+searchsorted probe per partition (the right side's
+    key is unique, so the probe is a gather, not an expansion). At 100 TB
+    both sides stream through the same hash partitioning every other
+    keyed stage uses; no driver materialization."""
+    from ..stages.keyed import cogroup_by_key
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def join(lp: pa.Table, rp: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderpriority", pa.string()),
+            ]
+        )
+        if lp.num_rows == 0 or rp.num_rows == 0:
+            return schema.empty_table()
+        rk = np.asarray(rp["l_orderkey"].combine_chunks())
+        order = np.argsort(rk)
+        rk_s = rk[order]
+        lk = np.asarray(lp["l_orderkey"].combine_chunks())
+        pos = np.minimum(np.searchsorted(rk_s, lk), len(rk_s) - 1)
+        hit = rk_s[pos] == lk
+        sel_l = pa.array(np.flatnonzero(hit))
+        sel_r = pa.array(order[pos[hit]])
+        out = lp.take(sel_l)
+        for c in ("o_custkey", "o_orderpriority"):
+            out = out.append_column(c, rp[c].combine_chunks().take(sel_r))
+        return out.cast(schema)
+
+    return cogroup_by_key(li, orders, "l_orderkey", join, num_parts=NUM_PARTS)
+
+
+JOIN_SHUFFLE_SQL = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+       o.o_custkey, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact distinct-count aggregate: per event type, distinct users +
+    event count + integer-rounded value sum. Two-level: per-batch
+    (type, user) partials collapse the event stream, ONE shuffle keyed by
+    user co-locates every copy of a (type, user) pair, each partition
+    emits per-type partial rows (additive because a pair lives in exactly
+    one partition), and a single tiny block folds the partials. The
+    exchange moves O(distinct pairs), never O(events)."""
+    import ray.data as rd
+
+    from ..stages.keyed import map_partitions_by_key
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(["event_type", "user_id", "sv", "n"])
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_type_partial(part: pa.Table) -> pa.Table:
+        # collapse to full (type, user) rows, then per-type partials
+        g = part.group_by(["event_type", "user_id"]).aggregate(
+            [("sv", "sum"), ("n", "sum")]
+        )
+        t = g.group_by("event_type").aggregate(
+            [("user_id", "count"), ("n_sum", "sum"), ("sv_sum", "sum")]
+        )
+        return t.rename_columns(["event_type", "u", "n", "sv"])
+
+    partials = map_partitions_by_key(
+        pairs, "user_id", per_type_partial, num_parts=NUM_PARTS
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("u", "sum"), ("n", "sum"), ("sv", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n_users": g["u_sum"].cast(pa.int64()),
+                "n_events": g["n_sum"].cast(pa.int64()),
+                "sum_value": pc.cast(pc.round(g["sv_sum"], ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+EVENTS_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events,
+       CAST(ROUND(sum(value), 0) AS BIGINT) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_windowed(sf_dir: str):
+    """Tumbling-window aggregate: per (event type, 1-hour window) event
+    count and integer-rounded value sum — the batch form of the streaming
+    windowed rollup. Per-batch partials collapse the stream to
+    (type, window) rows, then one small keyed pass finalizes; the
+    exchange moves O(types x windows), never O(events)."""
+    from ..stages.keyed import map_partitions_by_key
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def win_partial(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"].combine_chunks(), unit="hour")
+        g = (
+            t.drop_columns(["ts"])
+            .append_column("window_start", w)
+            .group_by(["event_type", "window_start"])
+            .aggregate([("value", "sum"), ("value", "count")])
+        )
+        g = g.rename_columns(["event_type", "window_start", "sv", "n"])
+        # int64 shuffle key (hash_key has int/string paths, not temporal)
+        return g.append_column(
+            "wkey", g["window_start"].cast(pa.int64())
+        )
+
+    partials = ds.map_batches(
+        win_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def finalize(part: pa.Table) -> pa.Table:
+        g = part.drop_columns(["wkey"]).group_by(
+            ["event_type", "window_start"]
+        ).aggregate([("n", "sum"), ("sv", "sum")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "window_start": g["window_start"],
+                "n_events": g["n_sum"].cast(pa.int64()),
+                "sum_value": pc.cast(pc.round(g["sv_sum"], ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(partials, "wkey", finalize, num_parts=NUM_PARTS)
+
+
+EVENTS_WINDOWED_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       CAST(ROUND(sum(value), 0) AS BIGINT) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "join_shuffle": (q_join_shuffle, JOIN_SHUFFLE_SQL),
+    "events_distinct_users": (q_events_distinct_users, EVENTS_DISTINCT_SQL),
+    "events_windowed": (q_events_windowed, EVENTS_WINDOWED_SQL),
     "asof_join": (q_asof_join, ASOF_SQL),
     "asof_join_partitioned": (q_asof_join_partitioned, ASOF_PARTITIONED_SQL),
     "online_latest": (q_online_latest, ONLINE_LATEST_SQL),
