@@ -108,8 +108,99 @@ def _query_sample(sf_dir: str) -> pa.Table:
     )
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Grouped vector mean (per-label centroid) in long (label, dim, c)
+    format — the building block of IVF training, cluster profiling, and
+    class-prototype features.
+
+    Scale shape: each batch collapses to (labels x 64) partial-sum rows
+    via one reshape + segmented add (the vector stream never shuffles),
+    then ONE tiny keyed exchange by label folds partials and divides.
+    Float64 accumulation both sides; ROUND(,6) absorbs the summation-
+    order ULP."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.reads import read_parquet_sized
+    from ..stages.keyed import map_partitions_by_key
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t["label"].combine_chunks().cast(pa.int64()))
+        emb = t["embedding"].combine_chunks()
+        offs = np.asarray(emb.offsets)
+        dims = np.diff(offs)
+        if len(dims) == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()),
+                 "dim": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.float64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        d = int(dims[0])
+        if not (dims == d).all():
+            raise ValueError("ragged embedding lengths")
+        mat = np.asarray(emb.flatten()).astype(np.float64).reshape(len(lab), d)
+        inv, uniq = pd.factorize(lab)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                        len(uniq)), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(n, d), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(part: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        lab = np.asarray(part["label"].combine_chunks())
+        dim = np.asarray(part["dim"].combine_chunks())
+        s = np.asarray(part["s"].combine_chunks())
+        n = np.asarray(part["n"].combine_chunks())
+        key = lab * np.int64(1 << 16) + dim
+        inv, uniq = pd.factorize(key)
+        ts = np.zeros(len(uniq))
+        np.add.at(ts, inv, s)
+        tn = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tn, inv, n)
+        out = pa.table(
+            {
+                "label": pa.array(uniq >> np.int64(16), pa.int64()),
+                "dim": pa.array(uniq & np.int64(0xFFFF), pa.int64()),
+                "c": pa.array(ts / tn, pa.float64()),
+            }
+        )
+        return out.set_column(
+            2, "c",
+            pc.round(out["c"], ndigits=6, round_mode="half_towards_infinity"),
+        )
+
+    return map_partitions_by_key(partials, "label", fold, num_parts=8)
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, dim, ROUND(SUM(v) / count(*), 6) AS c
+FROM (SELECT label, unnest(embedding)::DOUBLE AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "knn": (q_knn, KNN_SQL),
     "knn_ivf": (q_knn_ivf, KNN_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
+    "embedding_centroids": (q_embedding_centroids, EMBEDDING_CENTROIDS_SQL),
 }
