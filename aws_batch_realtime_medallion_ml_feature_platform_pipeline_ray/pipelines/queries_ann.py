@@ -190,7 +190,7 @@ def q_embedding_centroids(sf_dir: str):
 
 
 EMBEDDING_CENTROIDS_SQL = """
-SELECT label, dim, ROUND(SUM(v) / count(*), 6) AS c
+SELECT label::BIGINT AS label, dim, ROUND(SUM(v) / count(*), 6) AS c
 FROM (SELECT label, unnest(embedding)::DOUBLE AS v,
              generate_subscripts(embedding, 1) AS dim
       FROM embeddings)

@@ -1,0 +1,330 @@
+"""Third batch of training-data curation operators: within-document
+repetition scoring (the Gopher-style duplicate-n-gram quality signal),
+test-set decontamination (n-gram overlap against a held-out set), and
+semi-structured JSON field extraction + aggregate over the events
+stream. Every operator has an exact DuckDB twin.
+
+Scale shapes:
+
+- ``docs_repetition``: zero shuffles — grams are per-document and docs
+  are whole per batch, so the stage streams; per-(doc, gram) counting is
+  one Arrow C++ hash aggregation per batch.
+- ``docs_decontam``: the held-out/test gram set is built once from the
+  (definitionally small) test slice, deduped per batch, unioned on the
+  driver and broadcast via ``ray.put`` — the train-side scan then streams
+  with one vectorized ``is_in`` + segment-sum per batch and never
+  shuffles. Assumption (documented): the contamination reference set is
+  a bounded eval set (thousands of docs), not a second corpus; for a
+  corpus-vs-corpus overlap use the shuffle join in ``queries_text``.
+- ``events_json_extract``: per-batch regex extraction collapses the
+  stream to (event_type) partials; the exchange moves O(types), never
+  O(events).
+
+Reference parity: the reference's silver job parses semi-structured
+event payloads into typed columns before aggregation
+(/root/reference/spark_jobs/silver_and_gold.py:36-61); decontamination
+and repetition scoring are the LLM-corpus analogues of its validity
+filters (silver_and_gold.py:47-52).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import _flat_tokens, tokens_list
+from ..sources.reads import read_parquet_sized
+from ..stages.keyed import map_partitions_by_key
+from .queries_extra import NUM_PARTS, _docs
+
+# --------------------------------------------------------------------------
+# Shared vectorized n-gram builder
+# --------------------------------------------------------------------------
+
+
+def _doc_grams(t: pa.Table, k: int):
+    """Per-document token ``k``-grams, fully vectorized.
+
+    Returns ``(ids, doc_of_gram, grams, n_grams)`` where ``ids`` is the
+    int64 doc_id column, ``doc_of_gram`` maps each gram to its row index
+    in the batch, ``grams`` is a flat StringArray of space-joined grams
+    and ``n_grams`` the per-row gram count (``max(len - k + 1, 0)``).
+    """
+    ids = t["doc_id"].combine_chunks().cast(pa.int64())
+    flat, offsets = _flat_tokens(tokens_list(t["text"]))
+    lens = offsets[1:] - offsets[:-1]
+    n_grams = np.maximum(lens - (k - 1), 0).astype(np.int64)
+    total = int(n_grams.sum())
+    if total == 0 or len(flat) < k:
+        return ids, np.zeros(0, np.int64), pa.array([], pa.string()), n_grams
+    # gram starting at flat position p joins tokens p .. p+k-1; valid
+    # starts never cross a doc boundary because n_grams caps them.
+    width = len(flat) - k + 1
+    joined = pc.binary_join_element_wise(
+        *(flat.slice(i, width) for i in range(k)), " "
+    )
+    doc_of_gram = np.repeat(np.arange(len(lens), dtype=np.int64), n_grams)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_grams) - n_grams, n_grams
+    )
+    pos = offsets[:-1].astype(np.int64)[doc_of_gram] + within
+    grams = pc.take(joined, pa.array(pos, pa.int64()))
+    return ids, doc_of_gram, grams, n_grams
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition scoring (duplicate-n-gram fraction)
+# --------------------------------------------------------------------------
+
+REP_K = 3  # gram width
+REP_MAX_DUP = 0.005  # keep docs whose duplicate-gram fraction is <= this
+
+_REP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_grams", pa.int64()),
+        ("n_distinct", pa.int64()),
+        ("dup_gram_frac", pa.float64()),
+        ("top_gram_frac", pa.float64()),
+        ("keep", pa.bool_()),
+    ]
+)
+
+
+def q_docs_repetition(sf_dir: str):
+    """Duplicate-``REP_K``-gram fraction + most-frequent-gram fraction per
+    document — the classic within-document repetition quality signal for
+    LLM corpus curation. Zero shuffles; one Arrow hash aggregation per
+    batch. Documents shorter than ``REP_K`` tokens are dropped (they have
+    no grams), mirroring the SQL twin."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, doc_of_gram, grams, _ = _doc_grams(t, REP_K)
+        if len(doc_of_gram) == 0:
+            return _REP_SCHEMA.empty_table()
+        per = (
+            pa.table({"d": pa.array(doc_of_gram), "g": grams})
+            .group_by(["d", "g"])
+            .aggregate([("g", "count")])
+        )
+        s = per.group_by("d").aggregate(
+            [("g_count", "sum"), ("g_count", "count"), ("g_count", "max")]
+        )
+        n = np.asarray(s["g_count_sum"]).astype(np.int64)
+        nd = np.asarray(s["g_count_count"]).astype(np.int64)
+        top = np.asarray(s["g_count_max"]).astype(np.int64)
+        dup = np.round((n - nd) / n, 6)
+        return pa.table(
+            {
+                "doc_id": ids.take(s["d"]),
+                "n_grams": pa.array(n, pa.int64()),
+                "n_distinct": pa.array(nd, pa.int64()),
+                "dup_gram_frac": pa.array(dup, pa.float64()),
+                "top_gram_frac": pa.array(np.round(top / n, 6), pa.float64()),
+                "keep": pa.array(dup <= REP_MAX_DUP),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_REPETITION_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+g AS (
+    SELECT doc_id, array_to_string(ts[i : i + {REP_K - 1}], ' ') AS gram
+    FROM tok, unnest(range(1, len(ts) - {REP_K - 2})) AS t(i)
+),
+c AS (
+    SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM g GROUP BY doc_id, gram
+),
+s AS (
+    SELECT doc_id, sum(cnt)::BIGINT AS n_grams, count(*)::BIGINT AS n_distinct,
+           max(cnt)::BIGINT AS top_cnt
+    FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_distinct,
+       round((n_grams - n_distinct) / n_grams::DOUBLE, 6) AS dup_gram_frac,
+       round(top_cnt / n_grams::DOUBLE, 6) AS top_gram_frac,
+       round((n_grams - n_distinct) / n_grams::DOUBLE, 6) <= {REP_MAX_DUP}
+           AS keep
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Test-set decontamination (held-out n-gram overlap)
+# --------------------------------------------------------------------------
+
+DECON_K = 4  # gram width
+DECON_MOD = 97  # doc_id % DECON_MOD == 0 defines the held-out slice
+
+_DECON_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_grams", pa.int64()),
+        ("n_hit", pa.int64()),
+        ("hit_frac", pa.float64()),
+        ("contaminated", pa.bool_()),
+    ]
+)
+
+
+def _test_gram_set(sf_dir: str) -> pa.Array:
+    """Distinct ``DECON_K``-grams of the held-out slice. Per-batch dedup
+    partials stream off the workers; the driver unions the (small) set
+    once. Bounded by the eval-set size, not the corpus."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        # modulo filter (Arrow compute has no %, use numpy)
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        t = t.filter(pa.array(ids % DECON_MOD == 0))
+        _, _, grams, _ = _doc_grams(t, DECON_K)
+        return pa.table({"gram": pc.unique(grams)})
+
+    parts = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    batches = [b["gram"] for b in parts.iter_batches(batch_format="pyarrow")]
+    if not batches:
+        return pa.array([], pa.string())
+    return pc.unique(pa.concat_arrays([b.combine_chunks() for b in batches]))
+
+
+def q_docs_decontam(sf_dir: str):
+    """Per-train-document count of ``DECON_K``-grams that appear anywhere
+    in the held-out slice (``doc_id % DECON_MOD == 0``) — the standard
+    benchmark-decontamination pass. The gram set is broadcast via
+    ``ray.put``; the train scan is zero-shuffle (one ``is_in`` +
+    segment-sum per batch)."""
+    import ray
+
+    ref = ray.put(_test_gram_set(sf_dir))
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        test_grams = ray.get(ref)
+        ids_np = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        t = t.filter(pa.array(ids_np % DECON_MOD != 0))
+        ids, doc_of_gram, grams, n_grams = _doc_grams(t, DECON_K)
+        if len(t) == 0:
+            return _DECON_SCHEMA.empty_table()
+        hits = np.zeros(len(grams), np.int64)
+        if len(grams) and len(test_grams):
+            hits = np.asarray(pc.is_in(grams, value_set=test_grams)).astype(
+                np.int64
+            )
+        cs = np.concatenate(([0], np.cumsum(hits)))
+        bounds = np.concatenate(([0], np.cumsum(n_grams)))
+        n_hit = cs[bounds[1:]] - cs[bounds[:-1]]
+        keepers = n_grams > 0  # docs shorter than K have no grams (SQL parity)
+        n, h = n_grams[keepers], n_hit[keepers]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids)[keepers], pa.int64()),
+                "n_grams": pa.array(n, pa.int64()),
+                "n_hit": pa.array(h, pa.int64()),
+                "hit_frac": pa.array(np.round(h / n, 6), pa.float64()),
+                "contaminated": pa.array(h > 0),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_DECONTAM_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+g AS (
+    SELECT doc_id, array_to_string(ts[i : i + {DECON_K - 1}], ' ') AS gram
+    FROM tok, unnest(range(1, len(ts) - {DECON_K - 2})) AS t(i)
+),
+test AS (
+    SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = 0
+),
+tr AS (
+    SELECT doc_id,
+           count(*)::BIGINT AS n_grams,
+           count(*) FILTER (gram IN (SELECT gram FROM test))::BIGINT AS n_hit
+    FROM g WHERE doc_id % {DECON_MOD} <> 0 GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_hit,
+       round(n_hit / n_grams::DOUBLE, 6) AS hit_frac,
+       n_hit > 0 AS contaminated
+FROM tr
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON field extraction + aggregate (semi-structured events)
+# --------------------------------------------------------------------------
+
+_JSON_PAT = r'"k": (?P<k>\d+)'
+
+
+def q_events_json_extract(sf_dir: str):
+    """Extract the integer ``k`` field from the JSON ``props`` payload and
+    aggregate per event type — the typed-column promotion the reference's
+    silver job performs on raw event payloads. Per-batch regex extraction
+    + partial aggregation; the exchange moves O(event types)."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"].combine_chunks(), _JSON_PAT)
+        k = pc.struct_field(ex, "k").cast(pa.int64())
+        tt = pa.table(
+            {"event_type": t["event_type"].combine_chunks(), "k": k}
+        ).filter(pc.is_valid(k))
+        return tt.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "count"), ("k", "max")]
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def finalize(part: pa.Table) -> pa.Table:
+        g = part.group_by("event_type").aggregate(
+            [("k_sum", "sum"), ("k_count", "sum"), ("k_max", "max")]
+        )
+        s = np.asarray(g["k_sum_sum"]).astype(np.int64)
+        n = np.asarray(g["k_count_sum"]).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pa.array(n, pa.int64()),
+                "sum_k": pa.array(s, pa.int64()),
+                "max_k": g["k_max_max"].cast(pa.int64()),
+                "avg_k": pa.array(np.round(s / n, 6), pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(
+        partials, "event_type", finalize, num_parts=NUM_PARTS
+    )
+
+
+EVENTS_JSON_EXTRACT_SQL = r"""
+WITH x AS (
+    SELECT event_type,
+           TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type, count(k)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+       max(k)::BIGINT AS max_k,
+       round(sum(k)::DOUBLE / count(k), 6) AS avg_k
+FROM x WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+
+REGISTRY = {
+    "docs_repetition": (q_docs_repetition, DOCS_REPETITION_SQL),
+    "docs_decontam": (q_docs_decontam, DOCS_DECONTAM_SQL),
+    "events_json_extract": (q_events_json_extract, EVENTS_JSON_EXTRACT_SQL),
+}

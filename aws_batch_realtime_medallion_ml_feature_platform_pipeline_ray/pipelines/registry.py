@@ -28,6 +28,9 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_curation
 
     reg.update(queries_curation.REGISTRY)
+    from . import queries_curation2
+
+    reg.update(queries_curation2.REGISTRY)
     from . import queries_sketch
 
     reg.update(queries_sketch.REGISTRY)
