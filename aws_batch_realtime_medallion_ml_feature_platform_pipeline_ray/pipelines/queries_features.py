@@ -1,0 +1,343 @@
+"""Classic ML feature-engineering transforms over the lake: per-group
+z-score standardization, global min-max scaling, smoothed target
+encoding, per-entity rank features, and lexicon-based PII-style
+redaction. Every operator has an exact DuckDB twin (bit-exact doubles:
+integer-exact sums + identical IEEE op order on both sides).
+
+Reference parity: these are the feature-materialization transforms the
+reference computes in its gold job before feature-store ingestion
+(/root/reference/spark_jobs/silver_and_gold.py:86-131 — casts, derived
+numeric features, per-entity aggregates); redaction mirrors its silver
+validity/cleaning stage (silver_and_gold.py:47-61).
+
+Scale shapes:
+
+- ``features_zscore``: combiner pattern — per-batch ``group_by(lang)``
+  partials (int64-exact sum / sum-of-squares / count), a tiny final
+  groupby over O(batches x langs) partial rows, then a zero-shuffle
+  streamed map with the O(langs) stats captured in the closure. The
+  exchange never moves document rows.
+- ``features_minmax``: two-pass broadcast scaling — distributed min/max
+  (selection, so bit-exact), two scalars into a streamed map.
+- ``features_target_encode``: co-partitioned orders x customer join via
+  ONE shuffle (``cogroup_by_key``), per-partition vectorized
+  ``index_in`` probe, per-segment partials, tiny final combine; the
+  encoded map is O(segments) and rides the closure into a streamed map
+  over ``customer``. No side is broadcast whole.
+- ``features_rank``: one keyed exchange on the high-cardinality
+  ``o_custkey``; ranking is a segmented ``lexsort`` per whole hash
+  partition — no per-group Python calls.
+- ``docs_pii_redact``: zero shuffles; RE2 on both sides (pyarrow and
+  DuckDB both bind RE2, so replace/count semantics agree exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.reads import read_parquet_sized
+from ..stages.keyed import cogroup_by_key, map_partitions_by_key
+from .queries_extra import NUM_PARTS, _docs
+
+# --------------------------------------------------------------------------
+# Per-group z-score standardization (documents.n_chars by lang)
+# --------------------------------------------------------------------------
+
+
+def q_features_zscore(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].combine_chunks().cast(pa.int64())
+        sq = pc.multiply_checked(n, n)
+        g = (
+            t.select(["lang"])
+            .append_column("s", n)
+            .append_column("ss", sq)
+            .group_by(["lang"])
+            .aggregate([("s", "sum"), ("ss", "sum"), ("s", "count")])
+        )
+        return g.rename_columns(["lang", "p_s", "p_ss", "p_c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    stats = (
+        partials.groupby("lang")
+        .aggregate(
+            Sum("p_s", alias_name="s"),
+            Sum("p_ss", alias_name="ss"),
+            Sum("p_c", alias_name="c"),
+        )
+        .take_all()
+    )  # O(langs) rows — tiny by construction
+    # identical IEEE op order as the SQL twin: mean = s/c,
+    # var = ss/c - mean*mean, z = (x - mean)/sqrt(var)
+    langs = [r["lang"] for r in stats]
+    mean = np.array([float(r["s"]) / float(r["c"]) for r in stats])
+    denom = np.sqrt(
+        np.array([float(r["ss"]) / float(r["c"]) for r in stats]) - mean * mean
+    )
+    lang_set = pa.array(langs, pa.string())
+
+    def zmap(t: pa.Table) -> pa.Table:
+        codes = np.asarray(
+            pc.index_in(t["lang"].combine_chunks(), value_set=lang_set)
+        )
+        x = np.asarray(t["n_chars"].combine_chunks().cast(pa.int64())).astype(
+            np.float64
+        )
+        z = (x - mean[codes]) / denom[codes]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"],
+                "n_chars": t["n_chars"].cast(pa.int64()),
+                "zscore": pa.array(z, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FEATURES_ZSCORE_SQL = """
+WITH st AS (
+    SELECT lang,
+           CAST(SUM(n_chars) AS DOUBLE)           AS s,
+           CAST(SUM(n_chars * n_chars) AS DOUBLE) AS ss,
+           CAST(COUNT(*) AS DOUBLE)               AS c
+    FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       (CAST(d.n_chars AS DOUBLE) - s / c)
+           / sqrt(ss / c - (s / c) * (s / c)) AS zscore
+FROM documents d JOIN st USING (lang)
+"""
+
+# --------------------------------------------------------------------------
+# Global min-max scaling (orders.o_totalprice)
+# --------------------------------------------------------------------------
+
+
+def q_features_minmax(sf_dir: str):
+    from ray.data.aggregate import Max, Min
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    agg = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    mn = float(agg["min(o_totalprice)"])
+    mx = float(agg["max(o_totalprice)"])
+    span = mx - mn
+
+    def scale(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["o_totalprice"].combine_chunks())
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+                "scaled": pa.array((x - mn) / span, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FEATURES_MINMAX_SQL = """
+WITH b AS (
+    SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+)
+SELECT o_orderkey, o_totalprice,
+       (o_totalprice - mn) / (mx - mn) AS scaled
+FROM orders CROSS JOIN b
+"""
+
+# --------------------------------------------------------------------------
+# Smoothed target encoding (customer.c_mktsegment vs orders 'F' rate)
+# --------------------------------------------------------------------------
+
+TARGET_SMOOTH = 10.0  # pseudo-count pulled toward the global rate
+
+
+def q_features_target_encode(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_orderstatus"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def join_part(opart: pa.Table, cpart: pa.Table) -> pa.Table:
+        if opart.num_rows == 0 or cpart.num_rows == 0:
+            return pa.table(
+                {
+                    "seg": pa.array([], pa.string()),
+                    "p_cnt": pa.array([], pa.int64()),
+                    "p_pos": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.index_in(
+            opart["c_custkey"].combine_chunks(),
+            value_set=cpart["c_custkey"].combine_chunks(),
+        )
+        seg = pc.take(cpart["c_mktsegment"].combine_chunks(), idx)
+        pos = pc.equal(opart["o_orderstatus"].combine_chunks(), "F").cast(pa.int64())
+        g = (
+            pa.table({"seg": seg, "p_pos": pos})
+            .group_by(["seg"])
+            .aggregate([("p_pos", "count"), ("p_pos", "sum")])
+        )
+        return g.rename_columns(["seg", "p_cnt", "p_pos"])
+
+    partials = cogroup_by_key(
+        orders, customer, "c_custkey", join_part, num_parts=NUM_PARTS
+    )
+    stats = (
+        partials.groupby("seg")
+        .aggregate(Sum("p_cnt", alias_name="cnt"), Sum("p_pos", alias_name="pos"))
+        .take_all()
+    )  # O(segments) rows
+    tot_pos = float(sum(r["pos"] for r in stats))
+    tot_cnt = float(sum(r["cnt"] for r in stats))
+    g_rate = tot_pos / tot_cnt
+    segs = [r["seg"] for r in stats]
+    # identical IEEE op order as SQL: (pos + m*g) / (cnt + m)
+    enc = np.array(
+        [
+            (float(r["pos"]) + TARGET_SMOOTH * g_rate)
+            / (float(r["cnt"]) + TARGET_SMOOTH)
+            for r in stats
+        ]
+    )
+    seg_set = pa.array(segs, pa.string())
+
+    def emit(t: pa.Table) -> pa.Table:
+        codes = np.asarray(
+            pc.index_in(t["c_mktsegment"].combine_chunks(), value_set=seg_set)
+        )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].cast(pa.int64()),
+                "c_mktsegment": t["c_mktsegment"],
+                "target_enc": pa.array(enc[codes], pa.float64()),
+            }
+        )
+
+    return customer.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FEATURES_TARGET_ENCODE_SQL = f"""
+WITH j AS (
+    SELECT c.c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS g FROM j
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       (CAST(j.pos AS DOUBLE) + {TARGET_SMOOTH} * tot.g)
+           / (CAST(j.cnt AS DOUBLE) + {TARGET_SMOOTH}) AS target_enc
+FROM customer c JOIN j ON c.c_mktsegment = j.seg CROSS JOIN tot
+"""
+
+# --------------------------------------------------------------------------
+# Per-entity rank feature (orders ranked by price within customer)
+# --------------------------------------------------------------------------
+
+
+def q_features_rank(sf_dir: str):
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        cust = np.asarray(t["o_custkey"].combine_chunks())
+        key = np.asarray(t["o_orderkey"].combine_chunks())
+        price = np.asarray(t["o_totalprice"].combine_chunks())
+        order = np.lexsort((key, -price, cust))
+        cs, ks, ps = cust[order], key[order], price[order]
+        starts = np.flatnonzero(np.diff(cs)) + 1
+        seg_start = np.zeros(len(cs), np.int64)
+        seg_start[starts] = starts
+        np.maximum.accumulate(seg_start, out=seg_start)
+        rk = np.arange(len(cs), dtype=np.int64) - seg_start + 1
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ks),
+                "o_custkey": pa.array(cs),
+                "o_totalprice": pa.array(ps),
+                "rk": pa.array(rk, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "o_custkey", rank_part, num_parts=NUM_PARTS)
+
+
+FEATURES_RANK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+       ) AS BIGINT) AS rk
+FROM orders
+"""
+
+# --------------------------------------------------------------------------
+# Lexicon-based PII-style redaction (RE2 on both sides)
+# --------------------------------------------------------------------------
+
+REDACT_PATTERN = r"\b(customer|key|value)\b"
+REDACT_TOKEN = "[REDACTED]"
+
+
+def q_docs_pii_redact(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        red = pc.replace_substring_regex(
+            txt, pattern=REDACT_PATTERN, replacement=REDACT_TOKEN
+        )
+        n = pc.count_substring_regex(txt, pattern=REDACT_PATTERN).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text_red": red,
+                "n_redactions": n,
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_PII_REDACT_SQL = f"""
+SELECT doc_id,
+       regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g')
+           AS text_red,
+       CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS BIGINT)
+           AS n_redactions
+FROM documents
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "features_zscore": (q_features_zscore, FEATURES_ZSCORE_SQL),
+    "features_minmax": (q_features_minmax, FEATURES_MINMAX_SQL),
+    "features_target_encode": (
+        q_features_target_encode,
+        FEATURES_TARGET_ENCODE_SQL,
+    ),
+    "features_rank": (q_features_rank, FEATURES_RANK_SQL),
+    "docs_pii_redact": (q_docs_pii_redact, DOCS_PII_REDACT_SQL),
+}

@@ -37,6 +37,9 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_media
 
     reg.update(queries_media.REGISTRY)
+    from . import queries_features
+
+    reg.update(queries_features.REGISTRY)
     from . import queries_medallion
 
     reg.update(queries_medallion.build_registry())
