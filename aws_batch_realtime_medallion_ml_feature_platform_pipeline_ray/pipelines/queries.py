@@ -397,7 +397,78 @@ def q_gold_features_salted(sf_dir: str):
     return gold_features_salted(ds, cfg, num_parts=NUM_PARTS, hot_threshold=80)
 
 
+# --------------------------------------------------------------------------
+# session_stats — session-level rollup (duration / turn count per session)
+# --------------------------------------------------------------------------
+
+def q_session_stats(sf_dir: str):
+    """Session-level feature rollup: one keyed exchange, then sessions are
+    contiguous runs of the sorted partition — per-session first/last/count
+    read off run boundaries, no second aggregation pass."""
+    ds = read_events_as_transcripts(sf_dir)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "session_id": pa.array([], pa.int64()),
+                 "n_turns": pa.array([], pa.int64()),
+                 "t_start": pa.array([], pa.timestamp("us")),
+                 "t_end": pa.array([], pa.timestamp("us")),
+                 "duration_s": pa.array([], pa.float64())}
+            )
+        order, k, ts, seg_start = _conv_order(tbl)
+        sid, sturn, _gap = W.sessionize(ts, seg_start, S.SESSION_GAP_US)
+        starts = np.flatnonzero(sturn == 0)
+        ends = np.append(starts[1:] - 1, len(ts) - 1)
+        n_turns = np.diff(np.append(starts, len(ts))).astype(np.int64)
+        t0 = ts[starts]
+        t1 = ts[ends]
+        return pa.table(
+            {
+                "conv_id": tbl["conv_id"].combine_chunks()
+                .take(pa.array(order[starts])),
+                "session_id": pa.array(sid[starts], pa.int64()),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "t_start": pa.array(t0, pa.timestamp("us")),
+                "t_end": pa.array(t1, pa.timestamp("us")),
+                # identical IEEE order as SQL: (us_end - us_start)/1e6
+                "duration_s": pa.array(
+                    (t1 - t0).astype(np.float64) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    return map_partitions_by_key(ds, "conv_id", fn, num_parts=NUM_PARTS)
+
+
+SESSION_STATS_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE},
+g AS (
+    SELECT conv_id, turn_idx, ts,
+        epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gap_us
+    FROM transcripts
+),
+s AS (
+    SELECT *,
+        CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > {S.SESSION_GAP_US} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+    FROM g
+)
+SELECT conv_id, session_id,
+    CAST(COUNT(*) AS BIGINT) AS n_turns,
+    MIN(ts) AS t_start,
+    MAX(ts) AS t_end,
+    CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1000000
+        AS duration_s
+FROM s GROUP BY conv_id, session_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "session_stats": (q_session_stats, SESSION_STATS_SQL),
     "gold_features": (q_gold_features, GOLD_SQL),
     "gold_features_salted": (q_gold_features_salted, GOLD_SQL),
     "rolling_windows": (q_rolling_windows, ROLLING_SQL),

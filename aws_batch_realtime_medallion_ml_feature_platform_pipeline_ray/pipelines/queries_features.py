@@ -294,6 +294,89 @@ FROM orders
 """
 
 # --------------------------------------------------------------------------
+# Quantile bucketization (feature discretization into per-group quartiles)
+# --------------------------------------------------------------------------
+
+BUCKET_PCTS = (25, 50, 75)
+
+
+def q_features_bucketize(sf_dir: str):
+    """Discretize ``n_chars`` into per-language quartile bins. Scale shape:
+    per-batch (lang, value) -> count partials collapse the corpus to a
+    histogram bounded by (languages x distinct lengths) regardless of
+    corpus size; boundaries are read off the merged cdf (tiny, driver-side)
+    and ride the closure into a zero-shuffle streamed assignment map.
+    Matches DuckDB ``quantile_disc`` exactly (index ceil(q*n) - 1, integer
+    arithmetic only)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["lang", "n_chars"])
+            .group_by(["lang", "n_chars"])
+            .aggregate([("n_chars", "count")])
+        )
+        return g.rename_columns(["lang", "n_chars", "p_cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+        .take_all()
+    )  # bounded: languages x distinct lengths
+    langs_h = np.array([r["lang"] for r in hist])
+    vals_h = np.array([r["n_chars"] for r in hist], np.int64)
+    cnts_h = np.array([r["cnt"] for r in hist], np.int64)
+    uniq_langs, codes_h = np.unique(langs_h, return_inverse=True)
+    order = np.lexsort((vals_h, codes_h))
+    codes_h, vals_h, cnts_h = codes_h[order], vals_h[order], cnts_h[order]
+    totals = np.bincount(codes_h, weights=cnts_h).astype(np.int64)
+    bounds = np.empty((len(uniq_langs), len(BUCKET_PCTS)), np.int64)
+    for li in range(len(uniq_langs)):  # O(languages) iterations
+        sel = codes_h == li
+        v, cdf = vals_h[sel], np.cumsum(cnts_h[sel])
+        for j, p in enumerate(BUCKET_PCTS):
+            idx = (p * totals[li] + 99) // 100 - 1  # ceil(q*n) - 1
+            bounds[li, j] = v[np.searchsorted(cdf, idx + 1)]
+    lang_set = pa.array(list(uniq_langs), pa.string())
+
+    def assign(t: pa.Table) -> pa.Table:
+        codes = np.asarray(
+            pc.index_in(t["lang"].combine_chunks(), value_set=lang_set)
+        )
+        x = np.asarray(t["n_chars"].combine_chunks().cast(pa.int64()))
+        b = bounds[codes]  # (rows, 3)
+        bin_ = (x[:, None] > b).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"],
+                "n_chars": t["n_chars"].cast(pa.int64()),
+                "bin": pa.array(bin_, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FEATURES_BUCKETIZE_SQL = """
+WITH b AS (
+    SELECT lang,
+           quantile_disc(n_chars, 0.25) AS q25,
+           quantile_disc(n_chars, 0.50) AS q50,
+           quantile_disc(n_chars, 0.75) AS q75
+    FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CAST((CASE WHEN d.n_chars > q25 THEN 1 ELSE 0 END)
+          + (CASE WHEN d.n_chars > q50 THEN 1 ELSE 0 END)
+          + (CASE WHEN d.n_chars > q75 THEN 1 ELSE 0 END) AS BIGINT) AS bin
+FROM documents d JOIN b USING (lang)
+"""
+
+# --------------------------------------------------------------------------
 # Lexicon-based PII-style redaction (RE2 on both sides)
 # --------------------------------------------------------------------------
 
@@ -339,5 +422,6 @@ REGISTRY: dict[str, tuple] = {
         FEATURES_TARGET_ENCODE_SQL,
     ),
     "features_rank": (q_features_rank, FEATURES_RANK_SQL),
+    "features_bucketize": (q_features_bucketize, FEATURES_BUCKETIZE_SQL),
     "docs_pii_redact": (q_docs_pii_redact, DOCS_PII_REDACT_SQL),
 }
