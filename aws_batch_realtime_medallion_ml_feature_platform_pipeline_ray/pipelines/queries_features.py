@@ -377,6 +377,101 @@ FROM documents d JOIN b USING (lang)
 """
 
 # --------------------------------------------------------------------------
+# One-hot encoding (fixed category lexicon, zero shuffles)
+# --------------------------------------------------------------------------
+
+# TPC-H's closed segment domain — one-hot needs a static column set, so the
+# categories are config (the reference's feature groups likewise declare
+# their schema up front, register_feature_groups.py)
+ONEHOT_SEGMENTS = (
+    "AUTOMOBILE",
+    "BUILDING",
+    "FURNITURE",
+    "HOUSEHOLD",
+    "MACHINERY",
+)
+
+
+def q_features_onehot(sf_dir: str):
+    ds = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        seg = t["c_mktsegment"].combine_chunks()
+        cols = {"c_custkey": t["c_custkey"].cast(pa.int64())}
+        for s in ONEHOT_SEGMENTS:
+            cols[f"is_{s.lower()}"] = pc.equal(seg, s).cast(pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FEATURES_ONEHOT_SQL = "SELECT c_custkey, " + ", ".join(
+    f"CAST(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END AS BIGINT)"
+    f" AS is_{s.lower()}"
+    for s in ONEHOT_SEGMENTS
+) + " FROM customer"
+
+# --------------------------------------------------------------------------
+# Multi-grain ROLLUP aggregate (events by type x day, type, grand total)
+# --------------------------------------------------------------------------
+
+
+def q_events_rollup(sf_dir: str):
+    """ROLLUP(event_type, day) counts. Scale shape: per-batch partials
+    collapse the stream to O(types x days) rows; ONE small groupby; the
+    coarser grains are derived from the finest on the driver (tiny by
+    construction) instead of re-scanning the stream per grain."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pc.strftime(t["ts"].combine_chunks(), format="%Y-%m-%d")
+        g = (
+            pa.table({"event_type": t["event_type"], "d": d})
+            .group_by(["event_type", "d"])
+            .aggregate([("d", "count")])
+        )
+        return g.rename_columns(["event_type", "d", "p_n"])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "d"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .take_all()
+    )  # O(types x days)
+    et = [r["event_type"] for r in fine]
+    dd = [r["d"] for r in fine]
+    nn = [int(r["n"]) for r in fine]
+    # grain 2: per type; grain 3: grand total — derived, not re-scanned
+    by_type: dict[str, int] = {}
+    for e, n in zip(et, nn):
+        by_type[e] = by_type.get(e, 0) + n
+    rows_et = sorted(by_type)
+    out = pa.table(
+        {
+            "event_type": pa.array(
+                et + rows_et + [None], pa.string()
+            ),
+            "d": pa.array(dd + [None] * (len(rows_et) + 1), pa.string()),
+            "n": pa.array(
+                nn + [by_type[e] for e in rows_et] + [sum(nn)], pa.int64()
+            ),
+        }
+    )
+    return out
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY ROLLUP (event_type, d)
+"""
+
+# --------------------------------------------------------------------------
 # Lexicon-based PII-style redaction (RE2 on both sides)
 # --------------------------------------------------------------------------
 
@@ -423,5 +518,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "features_rank": (q_features_rank, FEATURES_RANK_SQL),
     "features_bucketize": (q_features_bucketize, FEATURES_BUCKETIZE_SQL),
+    "features_onehot": (q_features_onehot, FEATURES_ONEHOT_SQL),
+    "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
     "docs_pii_redact": (q_docs_pii_redact, DOCS_PII_REDACT_SQL),
 }
