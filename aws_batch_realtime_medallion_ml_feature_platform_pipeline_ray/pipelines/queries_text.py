@@ -487,7 +487,13 @@ def q_docs_dup_clusters(sf_dir: str):
             }
         )
 
-    adj = pairs.map_batches(to_adj, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize the edge set ONCE: it is consumed by every propagation
+    # round, and leaving it lazy would re-execute the whole upstream
+    # MinHash+verify pipeline per round (edges are O(duplicate pairs) —
+    # bounded by the dup rate — and spillable)
+    adj = pairs.map_batches(
+        to_adj, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def init_label(part: pa.Table) -> pa.Table:
         n = np.asarray(part["node"].combine_chunks())
