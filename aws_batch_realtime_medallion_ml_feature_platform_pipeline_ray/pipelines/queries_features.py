@@ -29,6 +29,19 @@ Scale shapes:
   partition — no per-group Python calls.
 - ``docs_pii_redact``: zero shuffles; RE2 on both sides (pyarrow and
   DuckDB both bind RE2, so replace/count semantics agree exactly).
+- ``features_bucketize``: bounded-cardinality histogram partials (the
+  docs_len_quantiles trick) -> driver-side boundary read-off ->
+  zero-shuffle assignment map.
+- ``features_onehot``: zero-shuffle indicator map over a fixed category
+  lexicon.
+- ``events_rollup``: O(types x days) partials; coarser ROLLUP grains
+  derived from the finest on the driver, never re-scanned.
+- ``join_semi`` / ``join_anti``: the one-shuffle cogroup with a
+  vectorized ``is_in`` membership test per partition; neither side is
+  broadcast.
+- ``features_cumsum``: one keyed exchange; exact integer-cent segmented
+  prefix sums (DuckDB window sums use a segment tree, so double adds
+  are order-dependent — integer accumulation sidesteps that).
 """
 
 from __future__ import annotations
@@ -509,7 +522,137 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Semi / anti join (one co-partitioning exchange, vectorized membership)
+# --------------------------------------------------------------------------
+
+SEMI_BAL_MIN = 5000.0  # the dim-side predicate both joins share
+
+
+def _orders_customer_membership(sf_dir: str, *, keep_members: bool):
+    """orders SEMI/ANTI JOIN (customers with acctbal > threshold) via the
+    engine's one-shuffle cogroup: both sides hash-partition on the key,
+    membership is a vectorized ``is_in`` per partition — no broadcast,
+    both sides stream. Column-pruned reads on both sides."""
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+
+    def part(opart: pa.Table, cpart: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+            }
+        )
+        if opart.num_rows == 0:
+            return empty
+        rich = cpart.filter(pc.greater(cpart["c_acctbal"], SEMI_BAL_MIN))
+        member = pc.is_in(
+            opart["c_custkey"].combine_chunks(),
+            value_set=rich["c_custkey"].combine_chunks(),
+        )
+        kept = opart.filter(member if keep_members else pc.invert(member))
+        return pa.table(
+            {
+                "o_orderkey": kept["o_orderkey"].cast(pa.int64()),
+                "o_custkey": kept["c_custkey"].cast(pa.int64()),
+                "o_totalprice": kept["o_totalprice"],
+            }
+        )
+
+    return cogroup_by_key(orders, customer, "c_custkey", part, num_parts=NUM_PARTS)
+
+
+def q_join_semi(sf_dir: str):
+    return _orders_customer_membership(sf_dir, keep_members=True)
+
+
+def q_join_anti(sf_dir: str):
+    return _orders_customer_membership(sf_dir, keep_members=False)
+
+
+JOIN_SEMI_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_acctbal > {SEMI_BAL_MIN})
+"""
+
+JOIN_ANTI_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey AND c_acctbal > {SEMI_BAL_MIN})
+"""
+
+# --------------------------------------------------------------------------
+# Running total per entity (cumulative window aggregate)
+# --------------------------------------------------------------------------
+
+
+def q_features_cumsum(sf_dir: str):
+    """Running order total per customer: one keyed exchange, segmented
+    prefix sums per partition. Accumulation happens in exact integer
+    cents on BOTH sides (DuckDB evaluates window sums with a segment
+    tree, so double addition order differs from a sequential scan —
+    integer sums are order-independent), then one identical division."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def run_part(t: pa.Table) -> pa.Table:
+        cust = np.asarray(t["o_custkey"].combine_chunks())
+        key = np.asarray(t["o_orderkey"].combine_chunks())
+        dt = np.asarray(t["o_orderdate"].combine_chunks().cast(pa.int64()))
+        price = np.asarray(t["o_totalprice"].combine_chunks())
+        order = np.lexsort((key, dt, cust))
+        cs, ks, ps = cust[order], key[order], price[order]
+        n = len(cs)
+        starts = np.flatnonzero(np.diff(cs)) + 1
+        # exact integer-cent prefix sums, restarted per customer via the
+        # (exact, integer) subtract-segment-prefix trick
+        cents = np.round(ps * 100.0).astype(np.int64)
+        csum = np.cumsum(cents)
+        seg_start = np.concatenate(([0], starts))
+        lens = np.diff(np.concatenate((seg_start, [n])))
+        seg_prefix = np.concatenate(([0], csum[starts - 1])) if n else cents
+        prefix = np.repeat(seg_prefix, lens)  # sign-safe (no monotonicity)
+        run = (csum - prefix) / 100.0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ks),
+                "o_custkey": pa.array(cs),
+                "o_totalprice": pa.array(ps),
+                "running_total": pa.array(run, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "o_custkey", run_part, num_parts=NUM_PARTS)
+
+
+FEATURES_CUMSUM_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING
+       ) / 100.0 AS running_total
+FROM orders
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "join_semi": (q_join_semi, JOIN_SEMI_SQL),
+    "join_anti": (q_join_anti, JOIN_ANTI_SQL),
+    "features_cumsum": (q_features_cumsum, FEATURES_CUMSUM_SQL),
     "features_zscore": (q_features_zscore, FEATURES_ZSCORE_SQL),
     "features_minmax": (q_features_minmax, FEATURES_MINMAX_SQL),
     "features_target_encode": (

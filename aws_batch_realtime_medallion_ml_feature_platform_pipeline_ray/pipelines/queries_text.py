@@ -452,99 +452,19 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 # Near-dup clustering: connected components over verified pairs
 # --------------------------------------------------------------------------
 
-CC_MAX_ROUNDS = 15
-
-
 def q_docs_dup_clusters(sf_dir: str):
     """Connected components over the verified MinHash near-dup pair
     graph: every document that appears in a >= threshold pair gets a
     ``cluster_id`` = the smallest doc_id in its component (the canonical
     keep-one representative for cluster-level dedup).
 
-    Distributed iterative min-label propagation: labels start at
-    ``min(node, neighbors)`` and each round sends every node's label to
-    its neighbors through the edge-partitioned cogroup, then takes a
-    keyed min. Converges in O(component diameter) rounds — near-dup
-    components are shallow — detected by the label-sum fixpoint (the sum
-    strictly decreases until convergence). Only the LABELS relation
-    (O(duplicated docs), the small side) is materialized per round; the
-    edge set streams through each cogroup. This is the standard
-    large-graph CC recipe when components are short, and it composes
-    with the same hash partitioning as every other keyed stage."""
-    import pandas as pd
-
-    from ..stages.keyed import cogroup_by_key
+    The CC core (stages/graph.py) is min-label propagation WITH pointer
+    jumping: O(log diameter) rounds of two keyed exchanges each, edge
+    set materialized once, only the small labels relation per round."""
+    from ..stages.graph import connected_components
 
     pairs = q_docs_minhash_pairs(sf_dir)
-
-    def to_adj(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["doc_a"].combine_chunks())
-        b = np.asarray(t["doc_b"].combine_chunks())
-        return pa.table(
-            {
-                "node": pa.array(np.concatenate([a, b]), pa.int64()),
-                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
-            }
-        )
-
-    # materialize the edge set ONCE: it is consumed by every propagation
-    # round, and leaving it lazy would re-execute the whole upstream
-    # MinHash+verify pipeline per round (edges are O(duplicate pairs) —
-    # bounded by the dup rate — and spillable)
-    adj = pairs.map_batches(
-        to_adj, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    def init_label(part: pa.Table) -> pa.Table:
-        n = np.asarray(part["node"].combine_chunks())
-        nb = np.asarray(part["nbr"].combine_chunks())
-        inv, uniq = pd.factorize(n)
-        m = uniq.copy()
-        np.minimum.at(m, inv, nb)
-        return pa.table(
-            {"node": pa.array(uniq, pa.int64()), "rep": pa.array(m, pa.int64())}
-        )
-
-    labels = map_partitions_by_key(
-        adj, "node", init_label, num_parts=NUM_PARTS
-    ).materialize()
-
-    def send_labels(adj_part: pa.Table, lab_part: pa.Table) -> pa.Table:
-        if adj_part.num_rows == 0 or lab_part.num_rows == 0:
-            return pa.table(
-                {"node": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())}
-            )
-        ln = np.asarray(lab_part["node"].combine_chunks())
-        lr = np.asarray(lab_part["rep"].combine_chunks())
-        order = np.argsort(ln)
-        ln, lr = ln[order], lr[order]
-        n = np.asarray(adj_part["node"].combine_chunks())
-        nb = np.asarray(adj_part["nbr"].combine_chunks())
-        rep = lr[np.searchsorted(ln, n)]  # labels hold every adj node
-        return pa.table(
-            {"node": pa.array(nb, pa.int64()), "rep": pa.array(rep, pa.int64())}
-        )
-
-    def min_label(part: pa.Table) -> pa.Table:
-        n = np.asarray(part["node"].combine_chunks())
-        r = np.asarray(part["rep"].combine_chunks())
-        inv, uniq = pd.factorize(n)
-        m = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(m, inv, r)
-        return pa.table(
-            {"node": pa.array(uniq, pa.int64()), "rep": pa.array(m, pa.int64())}
-        )
-
-    prev_sum = None
-    for _ in range(CC_MAX_ROUNDS):
-        cur_sum = labels.sum("rep")
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-        msgs = cogroup_by_key(adj, labels, "node", send_labels, num_parts=NUM_PARTS)
-        labels = map_partitions_by_key(
-            msgs.union(labels), "node", min_label, num_parts=NUM_PARTS
-        ).materialize()
+    labels = connected_components(pairs, num_parts=NUM_PARTS)
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["node"], "cluster_id": t["rep"]})
