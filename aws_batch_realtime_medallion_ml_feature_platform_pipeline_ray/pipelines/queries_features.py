@@ -649,7 +649,283 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------------------
+# Per-group exact quantiles (median / p90 spend per customer)
+# --------------------------------------------------------------------------
+
+
+def q_features_group_median(sf_dir: str):
+    """Exact per-customer median and p90 of order totals: one keyed
+    exchange on the high-cardinality ``o_custkey``, then a segmented
+    sort per whole hash partition with per-segment discrete-quantile
+    picks (index ``ceil(q*n) - 1`` — DuckDB ``quantile_disc`` parity,
+    integer arithmetic only; selection, not interpolation, so doubles
+    pass through bit-exact)."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def med_part(t: pa.Table) -> pa.Table:
+        cust = np.asarray(t["o_custkey"].combine_chunks())
+        price = np.asarray(t["o_totalprice"].combine_chunks())
+        order = np.lexsort((price, cust))
+        cs, ps = cust[order], price[order]
+        n = len(cs)
+        if n == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], pa.int64()),
+                    "med_price": pa.array([], pa.float64()),
+                    "p90_price": pa.array([], pa.float64()),
+                }
+            )
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(cs)) + 1))
+        lens = np.diff(np.concatenate((starts, [n])))
+        med = ps[starts - 1 + np.ceil(lens * 0.5).astype(np.int64)]
+        p90 = ps[starts - 1 + np.ceil(lens * 0.9).astype(np.int64)]
+        return pa.table(
+            {
+                "o_custkey": pa.array(cs[starts]),
+                "med_price": pa.array(med, pa.float64()),
+                "p90_price": pa.array(p90, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "o_custkey", med_part, num_parts=NUM_PARTS)
+
+
+FEATURES_GROUP_MEDIAN_SQL = """
+SELECT o_custkey,
+       quantile_disc(o_totalprice, 0.5) AS med_price,
+       quantile_disc(o_totalprice, 0.9) AS p90_price
+FROM orders GROUP BY o_custkey
+"""
+
+# --------------------------------------------------------------------------
+# Exact Pearson correlation per group (feature-selection screen)
+# --------------------------------------------------------------------------
+
+
+def q_features_corr(sf_dir: str):
+    """Pearson corr(l_quantity, l_extendedprice) per l_returnflag.
+
+    Combiner shape: each batch collapses to O(flags) integer-cent
+    moment partials (n, sx, sy, sxx, syy, sxy — int64-safe per batch);
+    the driver folds the tiny partial stream in arbitrary-precision
+    Python ints (exact at any scale, no int64 overflow across batches)
+    and both sides then run the IDENTICAL double formula over the exact
+    sums — DuckDB's own ``corr()`` streaming kernel is NOT mirrored,
+    the HUGEINT-sum formula is."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.round(
+            np.asarray(t["l_quantity"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        y = np.round(
+            np.asarray(t["l_extendedprice"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        g = pa.table(
+            {
+                "f": t["l_returnflag"],
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+                "sxy": pa.array(x * y),
+            }
+        )
+        return g.group_by(["f"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # O(batches x flags) tiny partial rows
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(r["f"], [0] * 6)
+        for i, c in enumerate(("n", "sx", "sy", "sxx", "syy", "sxy")):
+            a[i] += int(r[f"{c}_sum"])  # Python ints: exact, unbounded
+    out_f, out_c, out_n = [], [], []
+    for f in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[f]
+        cov = float(n * sxy - sx * sy)
+        vx = float(n * sxx - sx * sx)
+        vy = float(n * syy - sy * sy)
+        out_f.append(f)
+        out_c.append(cov / (np.sqrt(vx) * np.sqrt(vy)))
+        out_n.append(n)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_f, pa.string()),
+            "corr_qty_price": pa.array(out_c, pa.float64()),
+            "n_rows": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+FEATURES_CORR_SQL = """
+WITH m AS (
+    SELECT l_returnflag,
+           COUNT(*)::HUGEINT AS n,
+           SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS sx,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sy,
+           SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)
+               * CAST(ROUND(l_quantity * 100) AS HUGEINT)) AS sxx,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+               * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS syy,
+           SUM(CAST(ROUND(l_quantity * 100) AS HUGEINT)
+               * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
+       CAST(n AS BIGINT) AS n_rows
+FROM m
+"""
+
+# --------------------------------------------------------------------------
+# Left outer join (null-preserving enrich)
+# --------------------------------------------------------------------------
+
+
+def q_join_left_outer(sf_dir: str):
+    """orders LEFT JOIN the rich-customer slice: same one-shuffle
+    cogroup as semi/anti, probe via ``index_in`` whose null indices
+    become null ``c_acctbal`` via Arrow ``take`` — unmatched left rows
+    survive with nulls, no side broadcast."""
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+
+    def part(opart: pa.Table, cpart: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "c_acctbal": pa.array([], pa.float64()),
+            }
+        )
+        if opart.num_rows == 0:
+            return empty
+        rich = cpart.filter(pc.greater(cpart["c_acctbal"], SEMI_BAL_MIN))
+        idx = pc.index_in(
+            opart["c_custkey"].combine_chunks(),
+            value_set=rich["c_custkey"].combine_chunks(),
+        )
+        bal = rich["c_acctbal"].combine_chunks().take(idx)  # null idx -> null
+        return pa.table(
+            {
+                "o_orderkey": opart["o_orderkey"].cast(pa.int64()),
+                "o_custkey": opart["c_custkey"].cast(pa.int64()),
+                "c_acctbal": bal,
+            }
+        )
+
+    return cogroup_by_key(orders, customer, "c_custkey", part, num_parts=NUM_PARTS)
+
+
+JOIN_LEFT_OUTER_SQL = f"""
+SELECT o_orderkey, o_custkey, c.c_acctbal
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > {SEMI_BAL_MIN}) c
+     ON c.c_custkey = o_custkey
+"""
+
+# --------------------------------------------------------------------------
+# Feature hashing (hashing trick over crossed categoricals)
+# --------------------------------------------------------------------------
+
+HASH_BUCKETS = 64
+
+
+def q_features_hashed(sf_dir: str):
+    """Hashing-trick bucketing of the crossed (priority x status)
+    categorical: bucket = md5-lower-64 of the crossed string mod 64
+    (DuckDB ``md5_number_lower`` parity). md5 runs once per DISTINCT
+    cross per batch via dictionary encoding — the Python loop touches
+    the ~15-value vocabulary, never the row stream — then O(buckets)
+    count/sum partials and one tiny keyed combine."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        crossed = pc.binary_join_element_wise(
+            t["o_orderpriority"].combine_chunks(),
+            t["o_orderstatus"].combine_chunks(),
+            "|",
+        )
+        enc = pc.dictionary_encode(crossed)
+        dic = enc.dictionary.to_pylist()
+        bk = np.empty(len(dic), np.int64)
+        for i, s in enumerate(dic):
+            h = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+            bk[i] = h % HASH_BUCKETS
+        bucket = bk[np.asarray(enc.indices).astype(np.int64)]
+        cents = np.round(
+            np.asarray(t["o_totalprice"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        g = pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "p_n": pa.array(np.ones(len(bucket), np.int64)),
+                "p_cents": pa.array(cents),
+            }
+        )
+        return g.group_by(["bucket"]).aggregate([("p_n", "sum"), ("p_cents", "sum")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby("bucket").aggregate(
+        Sum("p_n_sum", alias_name="n_orders"),
+        Sum("p_cents_sum", alias_name="cents"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": t["bucket"].cast(pa.int64()),
+                "n_orders": t["n_orders"].cast(pa.int64()),
+                "sum_price": pc.divide(t["cents"].cast(pa.float64()), 100.0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FEATURES_HASHED_SQL = f"""
+SELECT CAST(md5_number_lower(o_orderpriority || '|' || o_orderstatus)
+            % {HASH_BUCKETS} AS BIGINT) AS bucket,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_price
+FROM orders GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "features_group_median": (q_features_group_median, FEATURES_GROUP_MEDIAN_SQL),
+    "features_corr": (q_features_corr, FEATURES_CORR_SQL),
+    "join_left_outer": (q_join_left_outer, JOIN_LEFT_OUTER_SQL),
+    "features_hashed": (q_features_hashed, FEATURES_HASHED_SQL),
     "join_semi": (q_join_semi, JOIN_SEMI_SQL),
     "join_anti": (q_join_anti, JOIN_ANTI_SQL),
     "features_cumsum": (q_features_cumsum, FEATURES_CUMSUM_SQL),

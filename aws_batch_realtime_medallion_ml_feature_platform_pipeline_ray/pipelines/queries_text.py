@@ -458,9 +458,10 @@ def q_docs_dup_clusters(sf_dir: str):
     ``cluster_id`` = the smallest doc_id in its component (the canonical
     keep-one representative for cluster-level dedup).
 
-    The CC core (stages/graph.py) is min-label propagation WITH pointer
-    jumping: O(log diameter) rounds of two keyed exchanges each, edge
-    set materialized once, only the small labels relation per round."""
+    The CC core (stages/graph.py) is hash-to-min label propagation with
+    a vectorized per-partition local closure: a handful of rounds at two
+    keyed exchanges each, edge set materialized once, only the small
+    labels relation per round."""
     from ..stages.graph import connected_components
 
     pairs = q_docs_minhash_pairs(sf_dir)
@@ -495,8 +496,117 @@ FROM reach GROUP BY a
 DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
 
 
+# --------------------------------------------------------------------------
+# Cluster-level dedup, keep-BEST (not keep-first): the full curation path
+# --------------------------------------------------------------------------
+
+
+def q_docs_dedup_keep_best(sf_dir: str):
+    """End-to-end near-dup dedup with a quality tiebreak: MinHash+LSH
+    pairs → exact-Jaccard verify → connected components → keep, per
+    cluster, the LONGEST document (ties: smallest doc_id). Docs outside
+    any pair are their own cluster and survive.
+
+    Scale shape on top of the CC labels: one cogroup routes each doc's
+    (n_chars) to its label partition (docs without a label keep
+    cluster = doc_id), then one keyed exchange on cluster_id with a
+    segmented argmax per whole hash partition. No driver materialization
+    anywhere — labels, docs and survivors all stream."""
+    from ..stages.graph import connected_components
+    from ..stages.keyed import cogroup_by_key
+
+    labels = connected_components(
+        q_docs_minhash_pairs(sf_dir), num_parts=NUM_PARTS
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["rep"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+
+    def assign(dpart: pa.Table, lpart: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cluster_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+        if dpart.num_rows == 0:
+            return empty
+        did = dpart["doc_id"].combine_chunks().cast(pa.int64())
+        idx = pc.index_in(did, value_set=lpart["doc_id"].combine_chunks())
+        cluster = pc.if_else(
+            pc.is_null(idx),
+            did,
+            lpart["cluster_id"].combine_chunks().cast(pa.int64()).take(idx),
+        )
+        return pa.table(
+            {
+                "cluster_id": cluster,
+                "doc_id": did,
+                "n_chars": dpart["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    assigned = cogroup_by_key(docs, labels, "doc_id", assign, num_parts=NUM_PARTS)
+
+    def keep_best(part: pa.Table) -> pa.Table:
+        c = np.asarray(part["cluster_id"].combine_chunks())
+        d = np.asarray(part["doc_id"].combine_chunks())
+        n = np.asarray(part["n_chars"].combine_chunks())
+        order = np.lexsort((d, -n, c))
+        cs, ds_, ns = c[order], d[order], n[order]
+        first = np.concatenate(([True], cs[1:] != cs[:-1]))
+        return pa.table(
+            {
+                "cluster_id": pa.array(cs[first], pa.int64()),
+                "doc_id": pa.array(ds_[first], pa.int64()),
+                "n_chars": pa.array(ns[first], pa.int64()),
+            }
+        )
+
+    from ..stages.keyed import map_partitions_by_key
+
+    return map_partitions_by_key(
+        assigned, "cluster_id", keep_best, num_parts=NUM_PARTS
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_cte_chain()},
+und AS (
+    SELECT doc_a AS a, doc_b AS b FROM nearpairs
+    UNION SELECT doc_b, doc_a FROM nearpairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM und
+    UNION
+    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+clusters AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b))::BIGINT AS cluster_id
+    FROM reach GROUP BY a
+),
+lab AS (
+    SELECT COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.doc_id, d.n_chars
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+)
+SELECT cluster_id, doc_id, n_chars FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+    FROM lab
+) WHERE rn = 1
+"""
+
+
+DOCS_DEDUP_KEEP_BEST_SQL = _dedup_keep_best_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     "docs_dup_clusters": (q_docs_dup_clusters, DOCS_DUP_CLUSTERS_SQL),
+    "docs_dedup_keep_best": (q_docs_dedup_keep_best, DOCS_DEDUP_KEEP_BEST_SQL),
     "docs_exact_dedup": (q_docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, DOCS_NGRAM_JACCARD_SQL),
     "docs_quality": (q_docs_quality, DOCS_QUALITY_SQL),
