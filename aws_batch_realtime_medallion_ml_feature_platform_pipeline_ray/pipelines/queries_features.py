@@ -921,7 +921,185 @@ FROM orders GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Winsorization (outlier clamping at global p05/p95)
+# --------------------------------------------------------------------------
+
+WINSOR_LO_PCT, WINSOR_HI_PCT = 5, 95
+
+
+def q_docs_winsorize(sf_dir: str):
+    """Clamp document lengths to the global [p05, p95] band — the
+    standard outlier-robust scaling step before length-based features.
+    Same bounded-histogram shape as bucketize: per-batch value→count
+    partials collapse the corpus to O(distinct lengths) rows, the two
+    clamp bounds are read off the merged cdf (``ceil(q*n) - 1``, DuckDB
+    ``quantile_disc`` parity, integer-only), and the clamp itself is a
+    zero-shuffle streamed map."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["n_chars"]).group_by(["n_chars"]).aggregate(
+            [("n_chars", "count")]
+        )
+        return g.rename_columns(["n_chars", "p_cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+        .take_all()
+    )  # bounded by distinct lengths
+    vals = np.array([r["n_chars"] for r in hist], np.int64)
+    cnts = np.array([r["cnt"] for r in hist], np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cdf = np.cumsum(cnts)
+    n = int(cdf[-1])
+    lo = int(vals[np.searchsorted(cdf, (WINSOR_LO_PCT * n + 99) // 100)])
+    hi = int(vals[np.searchsorted(cdf, (WINSOR_HI_PCT * n + 99) // 100)])
+
+    def clamp(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["n_chars"].combine_chunks().cast(pa.int64()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+                "n_chars_winsor": pa.array(np.clip(x, lo, hi), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_WINSORIZE_SQL = f"""
+WITH q AS (
+    SELECT quantile_disc(n_chars, {WINSOR_LO_PCT / 100}) AS lo,
+           quantile_disc(n_chars, {WINSOR_HI_PCT / 100}) AS hi
+    FROM documents
+)
+SELECT doc_id, n_chars,
+       LEAST(GREATEST(n_chars, lo), hi)::BIGINT AS n_chars_winsor
+FROM documents, q
+"""
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi join (pre-shuffle pruning of the probe side)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20  # 128 KiB bitmap; ~2 bits/key at 500k build keys
+
+
+def _bloom_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    from ..stages.keyed import splitmix64
+
+    h1 = splitmix64(keys.astype(np.uint64))
+    h2 = splitmix64(h1)
+    m = np.uint64(BLOOM_BITS)
+    return (h1 % m).astype(np.int64), (h2 % m).astype(np.int64)
+
+
+class _BloomProbe:
+    """Actor-pool probe: fetch the OR-combined bitmap once per actor
+    (``ray.put`` broadcast), test both hash bits per batch."""
+
+    def __init__(self, bloom_ref):
+        import ray
+
+        self.bits = ray.get(bloom_ref)  # np.uint8[BLOOM_BITS/8]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        k = np.asarray(t["c_custkey"].combine_chunks()).astype(np.int64)
+        p1, p2 = _bloom_positions(k)
+        hit = (
+            (self.bits[p1 >> 3] >> (p1 & 7)) & (self.bits[p2 >> 3] >> (p2 & 7))
+        ) & 1
+        return t.filter(pa.array(hit.astype(bool)))
+
+
+def q_join_semi_bloom(sf_dir: str):
+    """Same result (and oracle) as ``join_semi``, executed with a Bloom
+    pre-filter: the build side streams once into O(batches) 128 KiB
+    bitmap partials that OR-fold on the driver, the merged bitmap is
+    broadcast via ``ray.put`` (fetched once per actor, not per batch),
+    and only probe rows passing BOTH hash bits enter the exact-verify
+    cogroup — at a 100 TB probe : small build ratio the shuffle moves a
+    few % of the rows instead of all of them. False positives are
+    removed by the exact ``is_in`` in the cogroup, so output is exact."""
+    import ray
+
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        rich = t.filter(pc.greater(t["c_acctbal"], SEMI_BAL_MIN))
+        bits = np.zeros(BLOOM_BITS // 8, np.uint8)
+        k = np.asarray(rich["c_custkey"].combine_chunks()).astype(np.int64)
+        if len(k):
+            p1, p2 = _bloom_positions(k)
+            for p in (p1, p2):
+                np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    partials = customer.map_batches(
+        build_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # O(batches) rows of 128 KiB each
+    merged = np.zeros(BLOOM_BITS // 8, np.uint8)
+    for r in partials:
+        merged |= np.frombuffer(r["bits"], np.uint8)
+    bloom_ref = ray.put(merged)
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    candidates = orders.map_batches(
+        _BloomProbe,
+        fn_constructor_args=(bloom_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+    def part(opart: pa.Table, cpart: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+            }
+        )
+        if opart.num_rows == 0:
+            return empty
+        rich = cpart.filter(pc.greater(cpart["c_acctbal"], SEMI_BAL_MIN))
+        member = pc.is_in(
+            opart["c_custkey"].combine_chunks(),
+            value_set=rich["c_custkey"].combine_chunks(),
+        )
+        kept = opart.filter(member)
+        return pa.table(
+            {
+                "o_orderkey": kept["o_orderkey"].cast(pa.int64()),
+                "o_custkey": kept["c_custkey"].cast(pa.int64()),
+                "o_totalprice": kept["o_totalprice"],
+            }
+        )
+
+    return cogroup_by_key(
+        candidates, customer, "c_custkey", part, num_parts=NUM_PARTS
+    )
+
+
 REGISTRY: dict[str, tuple] = {
+    "docs_winsorize": (q_docs_winsorize, DOCS_WINSORIZE_SQL),
+    "join_semi_bloom": (q_join_semi_bloom, JOIN_SEMI_SQL),
     "features_group_median": (q_features_group_median, FEATURES_GROUP_MEDIAN_SQL),
     "features_corr": (q_features_corr, FEATURES_CORR_SQL),
     "join_left_outer": (q_join_left_outer, JOIN_LEFT_OUTER_SQL),

@@ -376,6 +376,150 @@ SELECT doc_id, lpad(lower(to_hex(sig)), 16, '0') AS simhash, {bands} FROM sig
 DOCS_SIMHASH_SQL = _simhash_sql()
 
 
+# --------------------------------------------------------------------------
+# SimHash near-dup PAIRS: band blocking + exact Hamming verify
+# --------------------------------------------------------------------------
+
+SIMHASH_HAM_MAX = 3
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64
+    )
+
+
+def q_docs_simhash_pairs(sf_dir: str):
+    """End-to-end SimHash near-dup detection: 64-bit signatures, 4×16-bit
+    band blocking (any equal band → candidate, the standard ≤3-bit
+    Hamming guarantee: 4 bands, ≤3 flipped bits leave ≥1 band intact, so
+    recall is EXACT at this radius — no probabilistic miss), then exact
+    Hamming verify ≤ {SIMHASH_HAM_MAX}.
+
+    Scale shape: one keyed exchange on (band#, band value) — signatures
+    ride the band rows, candidate pairs expand segment-vectorized per
+    whole hash partition and are Hamming-checked in the same pass (only
+    surviving pairs leave the partition), then one pair-keyed exchange
+    dedups pairs found by multiple bands. No all-pairs stage anywhere."""
+    from ..stages.dedup import pack_pairs, unpack_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sh, offsets = T.token_hashes_md5(t["text"].combine_chunks())
+        sig = simhash64(sh, offsets)
+        ids = np.asarray(t["doc_id"].combine_chunks()).astype(np.int64)
+        bkeys, docs, sigs = [], [], []
+        for b in range(4):
+            band = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            bkeys.append((np.int64(b) << np.int64(16)) | band)
+            docs.append(ids)
+            sigs.append(sig.view(np.int64))
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(bkeys)),
+                "doc_id": pa.array(np.concatenate(docs)),
+                "sig": pa.array(np.concatenate(sigs)),
+            }
+        )
+
+    rows = ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pair": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        bk = np.asarray(part["bkey"].combine_chunks())
+        d = np.asarray(part["doc_id"].combine_chunks())
+        s = np.asarray(part["sig"].combine_chunks())
+        order = np.lexsort((d, bk))
+        bk, d, s = bk[order], d[order], s[order]
+        n = len(bk)
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        np.not_equal(bk[1:], bk[:-1], out=seg_start[1:])
+        seg_id = np.cumsum(seg_start) - 1
+        arange = np.arange(n, dtype=np.int64)
+        seg_first = np.maximum.accumulate(np.where(seg_start, arange, 0))
+        cnt = np.bincount(seg_id)[seg_id] - 1 - (arange - seg_first)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(arange, cnt)
+        row_start = np.cumsum(cnt) - cnt
+        b_idx = a_idx + 1 + (np.arange(total, dtype=np.int64)
+                             - np.repeat(row_start, cnt))
+        ham = _popcount64(
+            s[a_idx].view(np.uint64) ^ s[b_idx].view(np.uint64)
+        )
+        keep = ham <= SIMHASH_HAM_MAX
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "pair": pa.array(pack_pairs(d[a_idx][keep], d[b_idx][keep])),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    cand = map_partitions_by_key(rows, "bkey", bucket_pairs, num_parts=NUM_PARTS)
+
+    def dedup_pairs(part: pa.Table) -> pa.Table:
+        p = np.asarray(part["pair"].combine_chunks())
+        h = np.asarray(part["hamming"].combine_chunks())
+        order = np.argsort(p)
+        p, h = p[order], h[order]
+        first = np.concatenate(([True], p[1:] != p[:-1]))
+        a, b = unpack_pairs(p[first])
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(h[first], pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(cand, "pair", dedup_pairs, num_parts=NUM_PARTS)
+
+
+def _simhash_pairs_sql() -> str:
+    """Generated twin: the exact SimHash signature chain self-joined on
+    band equality, Hamming via bit_count(xor) — identical blocking, so
+    the pair sets agree exactly."""
+    sql = _simhash_sql()
+    head, final = sql[len("WITH "):].rsplit("\nSELECT", 1)
+    chain = head + ",\nsigband AS (SELECT" + final + ")"
+    return f"""
+WITH {chain},
+num AS (SELECT doc_id, sig, band0, band1, band2, band3
+        FROM sigband JOIN sig USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM num a JOIN num b
+  ON a.doc_id < b.doc_id
+ AND (a.band0 = b.band0 OR a.band1 = b.band1
+      OR a.band2 = b.band2 OR a.band3 = b.band3)
+WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_HAM_MAX}
+"""
+
+
+DOCS_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
 def q_docs_ngram_jaccard(sf_dir: str):
     """Exact n-gram (word-trigram) Jaccard similarity join, >= 0.5 pairs:
     (doc, gram) explode → posting-list pair expansion via gram groupby →
@@ -615,4 +759,5 @@ REGISTRY: dict[str, tuple] = {
     "docs_fingerprint": (q_docs_fingerprint, DOCS_FINGERPRINT_SQL),
     "docs_minhash_pairs": (q_docs_minhash_pairs, DOCS_MINHASH_SQL),
     "docs_simhash": (q_docs_simhash, DOCS_SIMHASH_SQL),
+    "docs_simhash_pairs": (q_docs_simhash_pairs, DOCS_SIMHASH_PAIRS_SQL),
 }
