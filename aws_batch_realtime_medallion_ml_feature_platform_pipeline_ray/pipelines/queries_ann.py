@@ -198,7 +198,76 @@ GROUP BY label, dim
 """
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization (the standard ANN-index /
+    feature-store compression step): scale = max|x| per vector, q =
+    floor(x/scale*127 + 0.5). Long (vec_id, dim, q) output so the twin
+    compares exact integers. Zero shuffles — one reshape + row-max per
+    batch, quantize, emit; the vector stream never leaves its block.
+    floor(+0.5) is used instead of round() on BOTH sides because numpy
+    rounds half-to-even while SQL ROUND is half-away — floor is
+    tie-unambiguous. max|x| is computed in float32 (parquet storage
+    precision, matching DuckDB's FLOAT list_max) then widened."""
+    import numpy as np
+
+    from ..sources.reads import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def quant(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vec_id"].combine_chunks().cast(pa.int64()))
+        emb = t["embedding"].combine_chunks()
+        if len(vid) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "dim": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.int64())}
+            )
+        dims = np.diff(np.asarray(emb.offsets))
+        d = int(dims[0])
+        if not (dims == d).all():
+            raise ValueError("ragged embedding lengths")
+        mat32 = np.asarray(emb.flatten()).reshape(len(vid), d)  # float32
+        mx = np.abs(mat32).max(axis=1).astype(np.float64)  # f32 compare-max
+        x = mat32.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(x / mx[:, None] * 127.0 + 0.5)
+        q = np.where(mx[:, None] > 0, q, 0.0).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, d), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64), len(vid)),
+                    pa.int64(),
+                ),
+                "q": pa.array(q.ravel(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH t AS (
+    SELECT vec_id,
+           unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS dim,
+           list_max(list_transform(embedding, y -> abs(y))) AS mx
+    FROM embeddings
+)
+SELECT vec_id, dim::BIGINT AS dim,
+       CASE WHEN mx > 0
+            THEN CAST(FLOOR(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE) * 127 + 0.5)
+                      AS BIGINT)
+            ELSE 0 END AS q
+FROM t
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "knn": (q_knn, KNN_SQL),
     "knn_ivf": (q_knn_ivf, KNN_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),

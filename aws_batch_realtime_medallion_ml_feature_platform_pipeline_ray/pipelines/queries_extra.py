@@ -601,7 +601,111 @@ SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= {TFIDF_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel conversion (signup -> purchase within a window)
+# --------------------------------------------------------------------------
+
+FUNNEL_FIRST, FUNNEL_NEXT = "signup", "purchase"
+FUNNEL_WINDOW_US = 86_400_000_000  # 24 hours
+
+
+def q_events_funnel(sf_dir: str):
+    """Two-step funnel: users whose FIRST '{signup}' event is followed
+    by a '{purchase}' within 24 h; emits the converting pair and the
+    microsecond gap. The temporal-join shape behind activation and
+    attribution features.
+
+    Scale shape: the read prunes to the two event types and three
+    columns; ONE keyed exchange on user_id; per partition everything is
+    segmented numpy — first-signup via sorted-segment heads, window
+    membership as a boolean mask, first-qualifying-purchase via
+    ``minimum.at``. No driver pass, no second shuffle."""
+    from ..sources.reads import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.is_in(
+                t["event_type"],
+                value_set=pa.array([FUNNEL_FIRST, FUNNEL_NEXT]),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def funnel_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "signup_ts": pa.array([], pa.timestamp("us")),
+                "purchase_ts": pa.array([], pa.timestamp("us")),
+                "us_to_convert": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        is_first = np.asarray(
+            pc.equal(t["event_type"].combine_chunks(), FUNNEL_FIRST)
+        )
+        su, st = uid[is_first], ts[is_first]
+        if len(su) == 0:
+            return empty
+        order = np.lexsort((st, su))
+        su, st = su[order], st[order]
+        head = np.concatenate(([True], su[1:] != su[:-1]))
+        users, first_ts = su[head], st[head]  # first signup per user
+        pu, pt = uid[~is_first], ts[~is_first]
+        pos = np.searchsorted(users, pu)
+        pos_c = np.clip(pos, 0, len(users) - 1)
+        anchor = first_ts[pos_c]
+        ok = (
+            (users[pos_c] == pu)
+            & (pt > anchor)
+            & (pt <= anchor + FUNNEL_WINDOW_US)
+        )
+        best = np.full(len(users), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best, pos_c[ok], pt[ok])
+        conv = best != np.iinfo(np.int64).max
+        return pa.table(
+            {
+                "user_id": pa.array(users[conv], pa.int64()),
+                "signup_ts": pa.array(first_ts[conv]).cast(pa.timestamp("us")),
+                "purchase_ts": pa.array(best[conv]).cast(pa.timestamp("us")),
+                "us_to_convert": pa.array(
+                    best[conv] - first_ts[conv], pa.int64()
+                ),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", funnel_part, num_parts=NUM_PARTS)
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH s AS (
+    SELECT user_id, MIN(ts) AS signup_ts FROM events
+    WHERE event_type = '{FUNNEL_FIRST}' GROUP BY user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts
+    FROM events e JOIN s USING (user_id)
+    WHERE e.event_type = '{FUNNEL_NEXT}'
+      AND e.ts > s.signup_ts
+      AND e.ts <= s.signup_ts + INTERVAL 24 HOUR
+    GROUP BY e.user_id
+)
+SELECT user_id, s.signup_ts, p.purchase_ts,
+       date_diff('microsecond', s.signup_ts, p.purchase_ts)::BIGINT
+           AS us_to_convert
+FROM s JOIN p USING (user_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "events_funnel": (q_events_funnel, EVENTS_FUNNEL_SQL),
     "docs_tfidf_top_terms": (q_docs_tfidf_top_terms, DOCS_TFIDF_SQL),
     "docs_sample_stratified": (q_docs_sample_stratified, DOCS_SAMPLE_STRATIFIED_SQL),
     "docs_neardup_filter": (q_docs_neardup_filter, DOCS_NEARDUP_FILTER_SQL),
