@@ -37,6 +37,57 @@ def _run_cc(ray_session, edges, num_parts=8):
     return dict(zip(out["node"], out["rep"]))
 
 
+def test_local_closure_pure_numpy():
+    """_local_closure without Ray: random graphs of several densities vs
+    the union-find oracle, plus the adversarial deep-chain case that
+    exercises the pointer-jumping bound."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.graph import (
+        _local_closure,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for n, m in [(10, 4), (50, 30), (200, 120), (300, 600)]:
+        e = rng.integers(0, n, (m, 2))
+        cases.append([(int(a), int(b)) for a, b in e])
+    cases.append([(i, i + 1) for i in range(500)])  # depth-500 chain
+    cases.append([(i + 1, i) for i in range(500)])  # reversed orientation
+    cases.append([(0, 0), (5, 5)])  # self loops only
+    for edges in cases:
+        x = np.array([a for a, _ in edges], dtype=np.int64)
+        y = np.array([b for _, b in edges], dtype=np.int64)
+        uniq_sorted, lab, cx = _local_closure(x, y)
+        assert np.array_equal(uniq_sorted, np.unique(np.concatenate([x, y])))
+        got = dict(zip(uniq_sorted.tolist(), uniq_sorted[lab].tolist()))
+        assert got == _cc_oracle(edges)
+        # cx indexes the x-side rows back into uniq_sorted
+        assert np.array_equal(uniq_sorted[cx], x)
+
+
+def test_popcount64_pure_numpy():
+    """SWAR popcount vs Python's int.bit_count over edge values and a
+    random uint64 sweep."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_text import (
+        _popcount64,
+    )
+
+    edge = np.array(
+        [0, 1, 2, 3, 0xFFFFFFFFFFFFFFFF, 0x8000000000000000,
+         0x5555555555555555, 0xAAAAAAAAAAAAAAAA, 0x0123456789ABCDEF],
+        dtype=np.uint64,
+    )
+    rng = np.random.default_rng(13)
+    rand = rng.integers(0, 2**63, 4096, dtype=np.int64).astype(np.uint64)
+    rand |= rng.integers(0, 2, 4096, dtype=np.uint64) << np.uint64(63)
+    for arr in (edge, rand):
+        got = _popcount64(arr)
+        want = np.array([int(v).bit_count() for v in arr], dtype=np.int64)
+        assert got.dtype == np.int64
+        assert np.array_equal(got, want)
+    # int64 input (signed view of the same bits) must give identical counts
+    assert np.array_equal(_popcount64(rand.view(np.int64)), _popcount64(rand))
+
+
 def test_cc_long_chain(ray_session):
     """A 40-node path: plain propagation would need ~40 rounds, past
     CC_MAX_ROUNDS (30) — only the pointer-jumping path converges. A star,
