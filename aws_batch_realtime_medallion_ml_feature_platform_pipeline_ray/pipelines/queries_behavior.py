@@ -1,0 +1,215 @@
+"""User-behavior feature operators over the events stream: cohort
+retention (the classic activation/retention matrix behind engagement
+features) and cyclical time-of-day / day-of-week encodings.
+
+Reference parity: the reference derives per-entity temporal aggregates
+and calendar features in its gold job before feature-store ingestion
+(/root/reference/spark_jobs/silver_and_gold.py:86-131); these lift the
+same intent to the events table.
+
+Scale shapes:
+
+- ``events_retention``: per-batch dedup collapses the stream to distinct
+  (user, day) partials BEFORE the exchange, then ONE keyed shuffle on
+  ``user_id`` co-locates each user's whole history; cohort (min day) and
+  day offsets are segmented numpy per partition, and only O(cohorts x
+  offsets) count partials leave each partition for a tiny final groupby.
+  Users are disjoint across hash partitions, so partition-local distinct
+  user counts sum exactly — no COUNT DISTINCT shuffle.
+- ``events_time_cyclical``: zero shuffles — a pure streamed map. The
+  trig values are a 24/7-entry lookup indexed by hour / weekday, so the
+  hot loop is two numpy ``take`` calls; the DuckDB twin is GENERATED
+  from the same numpy-rounded literals, making the doubles bit-exact by
+  construction (same decimal literal -> same IEEE double on both sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.keyed import map_partitions_by_key
+
+NUM_PARTS = 8
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _events(sf_dir: str, columns):
+    from ..sources.reads import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users active on day (cohort + offset), by cohort
+# --------------------------------------------------------------------------
+
+
+def _day_strings(days: np.ndarray) -> pa.Array:
+    return pa.array(
+        np.datetime_as_string(days.astype("datetime64[D]"), unit="D")
+    )
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix: for every signup cohort (a user's first
+    active calendar day), how many of its users were active again
+    ``day_offset`` days later. Emits (cohort_dt, day_offset, n_users)."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        # per-batch distinct (user, day): bounds shuffle volume by the
+        # true activity surface, not the raw event count
+        uid = np.asarray(t["user_id"].combine_chunks())
+        day = (
+            np.asarray(t["ts"].combine_chunks().cast(pa.int64())) // _US_PER_DAY
+        )
+        key = np.stack([uid, day])
+        uniq = np.unique(key, axis=1)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[0], pa.int64()),
+                "day": pa.array(uniq[1], pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(
+        day_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def retention_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], pa.int64()),
+                "day_offset": pa.array([], pa.int64()),
+                "p_n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        day = np.asarray(t["day"].combine_chunks())
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        # cross-batch dedup of (user, day)
+        keep = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (day[1:] != day[:-1]))
+        )
+        uid, day = uid[keep], day[keep]
+        head = np.concatenate(([True], uid[1:] != uid[:-1]))
+        seg = np.cumsum(head) - 1
+        cohort = day[head][seg]  # per-user min day (rows are day-sorted)
+        off = day - cohort
+        g = (
+            pa.table(
+                {
+                    "cohort_day": pa.array(cohort, pa.int64()),
+                    "day_offset": pa.array(off, pa.int64()),
+                }
+            )
+            .group_by(["cohort_day", "day_offset"])
+            .aggregate([("day_offset", "count")])
+        )
+        return g.rename_columns(["cohort_day", "day_offset", "p_n"])
+
+    partials = map_partitions_by_key(
+        pairs, "user_id", retention_part, num_parts=NUM_PARTS
+    )
+    final = (
+        partials.groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("p_n", alias_name="n_users"))
+        .take_all()
+    )  # O(cohorts x offsets) — tiny by construction
+    cd = np.array([r["cohort_day"] for r in final], dtype=np.int64)
+    return pa.table(
+        {
+            "cohort_dt": _day_strings(cd),
+            "day_offset": pa.array(
+                [r["day_offset"] for r in final], pa.int64()
+            ),
+            "n_users": pa.array([r["n_users"] for r in final], pa.int64()),
+        }
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+c AS (SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_dt,
+       date_diff('day', c.cohort, ud.day)::BIGINT AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Cyclical calendar features: sin/cos of hour-of-day and day-of-week
+# --------------------------------------------------------------------------
+
+# lookup tables rounded to 6 decimals; the SQL twin is generated from
+# THESE literals, so both engines hold the identical IEEE doubles
+_HOUR_SIN = np.round(np.sin(2 * np.pi * np.arange(24) / 24.0), 6)
+_HOUR_COS = np.round(np.cos(2 * np.pi * np.arange(24) / 24.0), 6)
+_DOW_SIN = np.round(np.sin(2 * np.pi * np.arange(7) / 7.0), 6)
+_DOW_COS = np.round(np.cos(2 * np.pi * np.arange(7) / 7.0), 6)
+
+
+def q_events_time_cyclical(sf_dir: str):
+    """Cyclical encoding of event timestamps: hour-of-day and
+    day-of-week (Monday=0) plus their sin/cos projections, the standard
+    trick that keeps 23:00 adjacent to 00:00 in feature space."""
+    ds = _events(sf_dir, columns=["event_id", "ts"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        day = us // _US_PER_DAY
+        hour = (us - day * _US_PER_DAY) // 3_600_000_000
+        dow = (day + 3) % 7  # 1970-01-01 is a Thursday; Monday=0
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "hour": pa.array(hour, pa.int64()),
+                "dow": pa.array(dow, pa.int64()),
+                "hour_sin": pa.array(_HOUR_SIN[hour], pa.float64()),
+                "hour_cos": pa.array(_HOUR_COS[hour], pa.float64()),
+                "dow_sin": pa.array(_DOW_SIN[dow], pa.float64()),
+                "dow_cos": pa.array(_DOW_COS[dow], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _lut_case(expr: str, vals: np.ndarray) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN {v!r}" for i, v in enumerate(vals.tolist())
+    )
+    return f"CASE {expr} {whens} END"
+
+
+EVENTS_TIME_CYCLICAL_SQL = f"""
+WITH h AS (
+    SELECT event_id,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(isodow(ts) - 1 AS BIGINT) AS dow
+    FROM events
+)
+SELECT event_id, hour, dow,
+       {_lut_case('hour', _HOUR_SIN)} AS hour_sin,
+       {_lut_case('hour', _HOUR_COS)} AS hour_cos,
+       {_lut_case('dow', _DOW_SIN)} AS dow_sin,
+       {_lut_case('dow', _DOW_COS)} AS dow_cos
+FROM h
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "events_retention": (q_events_retention, EVENTS_RETENTION_SQL),
+    "events_time_cyclical": (q_events_time_cyclical, EVENTS_TIME_CYCLICAL_SQL),
+}

@@ -40,6 +40,9 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_features
 
     reg.update(queries_features.REGISTRY)
+    from . import queries_behavior
+
+    reg.update(queries_behavior.REGISTRY)
     from . import queries_medallion
 
     reg.update(queries_medallion.build_registry())
