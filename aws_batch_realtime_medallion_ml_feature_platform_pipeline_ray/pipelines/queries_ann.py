@@ -60,6 +60,35 @@ SELECT q_id, vec_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= {K}
 """
 
 
+def q_knn_self(sf_dir: str):
+    """Exact cosine kNN SELF-join — every vector's top-{K} neighbors —
+    via block-pair buckets (stages/ann.knn_self_join): each unordered
+    row pair meets in exactly one of the P(P+1)/2 buckets, per-bucket
+    matmuls take stable-tie partial top-k, one groupby merges. Per-task
+    memory is 2n/P rows; no full-matrix broadcast. knn_ivf is the
+    approximate path when recall < 1 is acceptable at corpus scale."""
+    from ..stages.ann import knn_self_join
+
+    return knn_self_join(_emb(sf_dir), k=K, n_blocks=4)
+
+
+KNN_SELF_SQL = f"""
+WITH sims AS (
+    SELECT a.vec_id AS q_id, b.vec_id,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id <> b.vec_id
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT q_id, vec_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= {K}
+"""
+
+
 def q_embedding_neardup(sf_dir: str):
     """All vector pairs with cosine >= {thr}: EXACT IVF-bucketed block
     pairing — spherical-cap pruning of list pairs, one bucket-key shuffle,
@@ -270,6 +299,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "knn": (q_knn, KNN_SQL),
     "knn_ivf": (q_knn_ivf, KNN_SQL),
+    "knn_self": (q_knn_self, KNN_SELF_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "embedding_centroids": (q_embedding_centroids, EMBEDDING_CENTROIDS_SQL),
 }

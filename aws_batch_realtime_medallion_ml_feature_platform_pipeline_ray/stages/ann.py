@@ -279,6 +279,137 @@ def embedding_near_dup_ivf(
 
 
 # ---------------------------------------------------------------------------
+# Exact kNN SELF-join: every vector -> its k nearest neighbors, via
+# block-pair buckets. Each row is hash-assigned ONE block b of P and
+# replicated to the P unordered block-pair buckets {b, o}; each unordered
+# row pair therefore meets in exactly one bucket, where a per-bucket
+# matmul takes per-row partial top-k. A final groupby per q_id merges the
+# partials. Memory per task is 2n/P rows (P is the knob: pick
+# P ~ 2·n·d·8B / worker-heap), shuffle volume is n·P replicated rows +
+# n·k·P candidate rows — the honest EXACT all-pairs shape; knn_ivf above
+# is the approximate scale path when recall < 1 is acceptable.
+# ---------------------------------------------------------------------------
+
+
+class _SelfJoinEmitter:
+    """Replicate each row to its P block-pair buckets, pk = (i<<16)|j
+    with i <= j. Block assignment is splitmix64(vec_id) — deterministic
+    under any partitioning or re-run."""
+
+    def __init__(self, n_blocks: int):
+        self.n_blocks = n_blocks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .keyed import splitmix64
+
+        ids = np.asarray(batch["vec_id"].combine_chunks().cast(pa.int64()))
+        blk = (splitmix64(ids.astype(np.uint64)) % np.uint64(self.n_blocks)).astype(
+            np.int64
+        )
+        others = np.arange(self.n_blocks, dtype=np.int64)
+        # bucket keys for every (row, other-block) combination
+        lo = np.minimum(blk[:, None], others[None, :])
+        hi = np.maximum(blk[:, None], others[None, :])
+        pk = ((lo << 16) | hi).reshape(-1)
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), self.n_blocks)
+        rep = batch.take(pa.array(idx))
+        rep = rep.append_column("__blk", pa.array(np.repeat(blk, self.n_blocks)))
+        return rep.append_column("pk", pa.array(pk, pa.int64()))
+
+
+def _self_topk_kernel(part: pa.Table, k: int) -> pa.Table:
+    """One hash partition of replicated rows, several block-pair buckets:
+    per bucket, matmul side i x side j and keep each row's top-k of the
+    OPPOSITE side (both directions; diagonal masked when i == j). Members
+    are vec_id-sorted so a STABLE argsort on -sim breaks ties by
+    ascending vec_id — the same total order as the final merge and the
+    SQL twin, keeping boundary ties exact."""
+    empty = pa.table(
+        {"q_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+    if part.num_rows == 0:
+        return empty
+    pk = np.asarray(part["pk"].combine_chunks())
+    blk = np.asarray(part["__blk"].combine_chunks())
+    ids = np.asarray(part["vec_id"].combine_chunks().cast(pa.int64()))
+    m = _normalize(_matrix(part))
+    out_q, out_v, out_s = [], [], []
+
+    def side_topk(qi: np.ndarray, ci: np.ndarray, mask_diag: bool):
+        if not len(qi) or not len(ci):
+            return
+        sims = m[qi] @ m[ci].T
+        if mask_diag:
+            np.fill_diagonal(sims, -np.inf)
+        kk = min(k, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        keep = np.isfinite(vals)
+        out_q.append(np.repeat(ids[qi], kk)[keep])
+        out_v.append(ids[ci][top.reshape(-1)][keep])
+        out_s.append(vals[keep])
+
+    order = np.argsort(pk, kind="stable")
+    bounds = np.flatnonzero(np.diff(pk[order])) + 1
+    for seg in np.split(order, bounds):
+        i = int(pk[seg[0]] >> 16)
+        j = int(pk[seg[0]] & 0xFFFF)
+        li = seg[blk[seg] == i]
+        li = li[np.argsort(ids[li], kind="stable")]
+        if i == j:
+            side_topk(li, li, mask_diag=True)
+        else:
+            lj = seg[blk[seg] == j]
+            lj = lj[np.argsort(ids[lj], kind="stable")]
+            side_topk(li, lj, mask_diag=False)
+            side_topk(lj, li, mask_diag=False)
+    if not out_q:
+        return empty
+    return pa.table(
+        {
+            "q_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        }
+    )
+
+
+def knn_self_join(ds, k: int = 3, *, n_blocks: int = 4, num_parts: int = 8):
+    """Exact cosine kNN self-join of the whole embedding table."""
+    from .keyed import map_partitions_by_key
+
+    emitted = ds.map_batches(
+        _SelfJoinEmitter,
+        fn_constructor_args=(n_blocks,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    cand = map_partitions_by_key(
+        emitted,
+        "pk",
+        lambda t: _self_topk_kernel(t, k),
+        num_parts=num_parts,
+    )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        sims = np.asarray(g["sim"].combine_chunks())
+        vids = np.asarray(g["vec_id"].combine_chunks())
+        order = np.lexsort((vids, -sims))[:k]
+        out = g.take(pa.array(order))
+        out = out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+        sims_r = np.round(np.asarray(out["sim"].combine_chunks()), 6)
+        return out.set_column(
+            out.schema.get_field_index("sim"), "sim", pa.array(sims_r)
+        )
+
+    return cand.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # IVF — the scale path: coarse-quantize the corpus into n_lists buckets,
 # probe only the n_probe closest lists per query. With n_probe == n_lists
 # the result is exactly brute force (used for the oracle-backed query);
