@@ -323,8 +323,60 @@ FROM x WHERE k IS NOT NULL GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Text canonicalization: unicode-aware lowercase + whitespace collapse
+# --------------------------------------------------------------------------
+
+
+def q_docs_normalize(sf_dir: str):
+    """Canonicalize document text: unicode-aware lowercase, collapse any
+    whitespace run to a single space, trim — the standard pre-dedup /
+    pre-tokenization cleanup pass. Zero shuffles: a pure streamed Arrow
+    map (RE2 on both sides, so replace semantics agree exactly). NFC
+    composition is intentionally omitted: this pyarrow's utf8_normalize
+    does not compose combining sequences, so there is no exact
+    distributed kernel for it; the corpus is ASCII."""
+    from ..sources.reads import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks()
+        out = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(txt), pattern=r"\s+", replacement=" "
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_norm": out,
+                "n_chars_norm": pc.cast(pc.utf8_length(out), pa.int64()),
+                "changed": pc.cast(pc.not_equal(out, txt), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_NORMALIZE_SQL = r"""
+WITH n AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+    FROM documents
+)
+SELECT doc_id, text_norm,
+       CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+       CAST(text_norm <> text AS BIGINT) AS changed
+FROM n
+"""
+
+
 REGISTRY = {
     "docs_repetition": (q_docs_repetition, DOCS_REPETITION_SQL),
     "docs_decontam": (q_docs_decontam, DOCS_DECONTAM_SQL),
     "events_json_extract": (q_events_json_extract, EVENTS_JSON_EXTRACT_SQL),
+    "docs_normalize": (q_docs_normalize, DOCS_NORMALIZE_SQL),
 }
