@@ -846,6 +846,64 @@ FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > {SEMI_BAL_MIN}) 
 """
 
 # --------------------------------------------------------------------------
+# Full outer join (both-sides null-preserving)
+# --------------------------------------------------------------------------
+
+
+def q_join_full_outer(sf_dir: str):
+    """orders FULL OUTER JOIN the rich-customer slice. Same one-shuffle
+    cogroup plan as the left-outer variant; because the hash exchange
+    routes every occurrence of a key to exactly one partition, the
+    per-partition "rich customers never probed by any order" set is the
+    globally correct right-side remainder — appended with null
+    ``o_orderkey``, no second pass and no broadcast."""
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    customer = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+
+    def part(opart: pa.Table, cpart: pa.Table) -> pa.Table:
+        rich = cpart.filter(pc.greater(cpart["c_acctbal"], SEMI_BAL_MIN))
+        rich_keys = rich["c_custkey"].combine_chunks().cast(pa.int64())
+        okeys = opart["c_custkey"].combine_chunks().cast(pa.int64())
+        idx = pc.index_in(okeys, value_set=rich_keys)
+        bal = rich["c_acctbal"].combine_chunks().take(idx)  # null idx -> null
+        left = pa.table(
+            {
+                "o_orderkey": opart["o_orderkey"].cast(pa.int64()),
+                "cust_key": okeys,
+                "c_acctbal": bal,
+            }
+        )
+        # right remainder: rich customers not hit by any order in this part
+        probed = pc.is_in(rich_keys, value_set=okeys)
+        lonely = rich.filter(pc.invert(probed))
+        n = lonely.num_rows
+        right = pa.table(
+            {
+                "o_orderkey": pa.array([None] * n, pa.int64()),
+                "cust_key": lonely["c_custkey"].cast(pa.int64()),
+                "c_acctbal": lonely["c_acctbal"].cast(pa.float64()),
+            }
+        )
+        return pa.concat_tables([left, right])
+
+    return cogroup_by_key(orders, customer, "c_custkey", part, num_parts=NUM_PARTS)
+
+
+JOIN_FULL_OUTER_SQL = f"""
+SELECT o_orderkey, COALESCE(o_custkey, c.c_custkey) AS cust_key, c.c_acctbal
+FROM orders FULL JOIN (SELECT * FROM customer WHERE c_acctbal > {SEMI_BAL_MIN}) c
+     ON c.c_custkey = o_custkey
+"""
+
+# --------------------------------------------------------------------------
 # Feature hashing (hashing trick over crossed categoricals)
 # --------------------------------------------------------------------------
 
@@ -1103,6 +1161,7 @@ REGISTRY: dict[str, tuple] = {
     "features_group_median": (q_features_group_median, FEATURES_GROUP_MEDIAN_SQL),
     "features_corr": (q_features_corr, FEATURES_CORR_SQL),
     "join_left_outer": (q_join_left_outer, JOIN_LEFT_OUTER_SQL),
+    "join_full_outer": (q_join_full_outer, JOIN_FULL_OUTER_SQL),
     "features_hashed": (q_features_hashed, FEATURES_HASHED_SQL),
     "join_semi": (q_join_semi, JOIN_SEMI_SQL),
     "join_anti": (q_join_anti, JOIN_ANTI_SQL),

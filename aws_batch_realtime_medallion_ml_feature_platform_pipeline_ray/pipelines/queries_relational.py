@@ -109,6 +109,59 @@ ASOF LEFT JOIN ro r
 
 ASOF_PARTITIONED_SQL = ASOF_SQL
 
+# Staleness bound for the tolerance variant. The fixture's event ts sits
+# ~22-27 years after the order dates (match staleness spans 8190-9799
+# days at sf0.01), so 8400 days splits the matches roughly in half —
+# the tolerance is exercised, not vacuous.
+ASOF_TOL_DAYS = 8400
+ASOF_TOL_US = ASOF_TOL_DAYS * 86_400 * 1_000_000
+
+
+def q_asof_join_tolerance(sf_dir: str):
+    """As-of join with a staleness tolerance (feature-store freshness
+    semantics): match the latest right row in ``[ts - tol, ts]``; an
+    older-than-tol state row yields NULL features instead of stale ones.
+    Same broadcast plan as ``asof_join`` — the tolerance is a post-mask on
+    the probe (the as-of match is the latest eligible row, so an
+    out-of-window match proves no in-window row exists)."""
+    right = pa.Table.from_pandas(
+        _orders_by_cust_date(sf_dir).to_pandas(), preserve_index=False
+    )
+    return asof_join_broadcast(
+        _events_left(sf_dir),
+        right,
+        key="o_custkey",
+        ts="o_orderdate",
+        attach_cols=ASOF_ATTACH,
+        left_key="user_id",
+        left_ts="ts",
+        concurrency=2,
+        tolerance_us=ASOF_TOL_US,
+    )
+
+
+# DuckDB has no native as-of tolerance: ASOF LEFT JOIN finds the latest
+# ts' <= ts; CASE-nulling the attached columns when that match is older
+# than the bound is exact (any other candidate is older still).
+ASOF_TOLERANCE_SQL = f"""
+WITH ro AS (
+    SELECT o_custkey, o_orderdate,
+           count(*) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS tot
+    FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.ts, e.user_id, e.value,
+       CASE WHEN r.o_orderdate >= e.ts - INTERVAL {ASOF_TOL_DAYS} DAY
+            THEN r.o_orderdate END AS o_orderdate,
+       CASE WHEN r.o_orderdate >= e.ts - INTERVAL {ASOF_TOL_DAYS} DAY
+            THEN r.n_orders END AS n_orders,
+       CASE WHEN r.o_orderdate >= e.ts - INTERVAL {ASOF_TOL_DAYS} DAY
+            THEN r.tot END AS tot
+FROM events e
+ASOF LEFT JOIN ro r
+    ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
 
 def q_online_latest(sf_dir: str):
     """S7 online-table upsert semantics: latest row per entity
@@ -592,6 +645,7 @@ REGISTRY: dict[str, tuple] = {
     "events_windowed": (q_events_windowed, EVENTS_WINDOWED_SQL),
     "asof_join": (q_asof_join, ASOF_SQL),
     "asof_join_partitioned": (q_asof_join_partitioned, ASOF_PARTITIONED_SQL),
+    "asof_join_tolerance": (q_asof_join_tolerance, ASOF_TOLERANCE_SQL),
     "online_latest": (q_online_latest, ONLINE_LATEST_SQL),
     "train_split": (q_train_split, TRAIN_SPLIT_SQL),
     "agg_pushdown": (q_agg_pushdown, AGG_PUSHDOWN_SQL),

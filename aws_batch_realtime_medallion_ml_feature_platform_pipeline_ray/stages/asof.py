@@ -53,8 +53,19 @@ class _SortedRight:
             idx = idx.combine_chunks()
         return np.asarray(idx.fill_null(-1)).astype(np.int64)
 
-    def probe(self, left_keys, left_ts_i: np.ndarray) -> np.ndarray:
-        """Return right row index per left row (-1 = no match)."""
+    def probe(
+        self,
+        left_keys,
+        left_ts_i: np.ndarray,
+        tolerance_us: int | None = None,
+    ) -> np.ndarray:
+        """Return right row index per left row (-1 = no match).
+
+        ``tolerance_us`` bounds staleness: the matched right row must
+        satisfy ``ts' >= ts - tolerance_us`` as well as ``ts' <= ts``
+        (feature-store freshness semantics). Because the as-of match is
+        the LATEST eligible right row, an out-of-window match implies no
+        in-window row exists — a post-mask is exact, no re-probe needed."""
         if self.table.num_rows == 0:
             return np.full(len(left_ts_i), -1, dtype=np.int64)
         codes = self.left_codes(left_keys)
@@ -65,12 +76,15 @@ class _SortedRight:
         q_adj = q + codes * self.span
         pos = np.searchsorted(self.ts_adj, q_adj, side="right") - 1
         pos_c = pos.clip(min=0)
+        right_ts = (self.ts_adj[pos_c] - self.codes[pos_c] * self.span) + self.t0
         ok = (
             (codes >= 0)
             & (pos >= 0)
             & (self.codes[pos_c] == codes)
-            & (left_ts_i >= (self.ts_adj[pos_c] - self.codes[pos_c] * self.span) + self.t0)
+            & (left_ts_i >= right_ts)
         )
+        if tolerance_us is not None:
+            ok &= right_ts >= left_ts_i - tolerance_us
         return np.where(ok, pos, -1)
 
 
@@ -81,11 +95,15 @@ def asof_attach(
     left_ts: str,
     attach_cols: list[str],
     suffix: str = "",
+    tolerance_us: int | None = None,
 ) -> pa.Table:
     """Attach ``attach_cols`` of the as-of matched right row to ``left``
-    (nulls when no right row with ts' <= ts exists)."""
+    (nulls when no right row with ts' <= ts exists, or — with
+    ``tolerance_us`` — none with ts' in [ts - tol, ts])."""
     lts = np.asarray(left[left_ts].combine_chunks().cast(pa.int64()))
-    pos = right_sorted.probe(left[left_key].combine_chunks(), lts)
+    pos = right_sorted.probe(
+        left[left_key].combine_chunks(), lts, tolerance_us=tolerance_us
+    )
     miss = pos < 0
     out = left
     if right_sorted.table.num_rows == 0:
@@ -107,7 +125,7 @@ class BroadcastAsofJoiner:
 
     def __init__(self, right_ref, key: str, ts: str, attach_cols: list[str],
                  left_key: str | None = None, left_ts: str | None = None,
-                 suffix: str = ""):
+                 suffix: str = "", tolerance_us: int | None = None):
         import ray
 
         right = ray.get(right_ref) if not isinstance(right_ref, pa.Table) else right_ref
@@ -116,11 +134,12 @@ class BroadcastAsofJoiner:
         self.left_ts = left_ts or ts
         self.attach_cols = attach_cols
         self.suffix = suffix
+        self.tolerance_us = tolerance_us
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return asof_attach(
             batch, self.sorted_right, self.left_key, self.left_ts,
-            self.attach_cols, self.suffix,
+            self.attach_cols, self.suffix, tolerance_us=self.tolerance_us,
         )
 
 
@@ -135,6 +154,7 @@ def asof_join_broadcast(
     left_ts: str | None = None,
     suffix: str = "",
     concurrency: int | tuple[int, int] = 4,
+    tolerance_us: int | None = None,
 ):
     """Shuffle-free as-of join for a small right side (state table)."""
     import ray
@@ -142,7 +162,8 @@ def asof_join_broadcast(
     right_ref = ray.put(right)
     return left_ds.map_batches(
         BroadcastAsofJoiner,
-        fn_constructor_args=(right_ref, key, ts, attach_cols, left_key, left_ts, suffix),
+        fn_constructor_args=(right_ref, key, ts, attach_cols, left_key, left_ts,
+                             suffix, tolerance_us),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
