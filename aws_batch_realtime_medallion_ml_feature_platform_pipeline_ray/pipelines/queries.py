@@ -467,8 +467,54 @@ FROM s GROUP BY conv_id, session_id
 """
 
 
+def q_conv_flatten(sf_dir: str):
+    """Conversation flattening — the transcript→training-document step:
+    concatenate each conversation's turn texts in stable turn order with
+    a single-space separator. ONE keyed exchange; per partition the
+    sorted run boundaries become ``ListArray`` offsets and ONE
+    ``pc.binary_join`` builds every flattened doc (no per-row Python, no
+    per-conv loop)."""
+    ds = read_events_as_transcripts(sf_dir)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "n_turns": pa.array([], pa.int64()),
+                 "full_text": pa.array([], pa.string())}
+            )
+        order, _k, _ts, seg_start = _conv_order(tbl)
+        text = tbl["text"].combine_chunks().take(pa.array(order))
+        starts = np.flatnonzero(seg_start)
+        offsets = np.append(starts, len(order)).astype(np.int64)
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), text.cast(pa.large_string())
+        )
+        sep = pa.scalar(" ", pa.large_string())
+        return pa.table(
+            {
+                "conv_id": tbl["conv_id"].combine_chunks()
+                .take(pa.array(order[starts])),
+                "n_turns": pa.array(np.diff(offsets), pa.int64()),
+                "full_text": pc.binary_join(lst, sep).cast(pa.string()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "conv_id", fn, num_parts=NUM_PARTS)
+
+
+CONV_FLATTEN_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(text, ' ' ORDER BY turn_idx) AS full_text
+FROM transcripts GROUP BY conv_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "session_stats": (q_session_stats, SESSION_STATS_SQL),
+    "conv_flatten": (q_conv_flatten, CONV_FLATTEN_SQL),
     "gold_features": (q_gold_features, GOLD_SQL),
     "gold_features_salted": (q_gold_features_salted, GOLD_SQL),
     "rolling_windows": (q_rolling_windows, ROLLING_SQL),

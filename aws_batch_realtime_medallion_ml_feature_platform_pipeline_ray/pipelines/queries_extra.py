@@ -84,6 +84,46 @@ WHERE __bucket < (CASE {_RATE_CASE} ELSE {SAMPLE_DEFAULT_RATE} END)
 
 
 # --------------------------------------------------------------------------
+# Length-weighted deterministic sampling
+# --------------------------------------------------------------------------
+
+WEIGHTED_SALT = 11
+WEIGHT_DIV = 50  # keep-rate percent = min(n_chars // WEIGHT_DIV, 100)
+
+
+def q_docs_sample_weighted(sf_dir: str):
+    """Weight-proportional deterministic sampling: keep probability
+    grows with document length (``min(n_chars // {div}, 100)`` percent).
+    Same splitmix64-bucket mechanism as the stratified sampler — the
+    weight just becomes a per-row integer rate, so the sample stays
+    stable under any partitioning/parallelism. Pure streaming filter,
+    zero shuffles.""".format(div=WEIGHT_DIV)
+    from ..stages.keyed import splitmix64
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()).astype(np.uint64)
+        bucket = splitmix64(ids + np.uint64(WEIGHTED_SALT)) % np.uint64(100)
+        rate = np.minimum(
+            np.asarray(t["n_chars"].combine_chunks()).astype(np.int64)
+            // WEIGHT_DIV,
+            100,
+        ).astype(np.uint64)
+        return t.filter(pa.array(bucket < rate))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_SAMPLE_WEIGHTED_SQL = f"""
+WITH {splitmix64_bucket_sql('doc_id', 'documents', WEIGHTED_SALT)}
+SELECT doc_id, lang, n_chars
+FROM __s5
+WHERE __bucket < LEAST(n_chars // {WEIGHT_DIV}, 100)
+"""
+
+
+# --------------------------------------------------------------------------
 # Near-duplicate removal: anti-join against a similarity removal list
 # --------------------------------------------------------------------------
 
@@ -485,6 +525,42 @@ GROUP BY w.w_user
 TFIDF_TOP_K = 3
 
 
+def _tf_partial(t: pa.Table) -> pa.Table:
+    """Per-batch exact (doc_id, term, tf) partials — docs are whole per
+    batch, so batch-local term frequency is exact. Shared by the tf-idf
+    and commonness operators."""
+    import pandas as pd
+
+    from ..functions.text import _flat_tokens, tokens_list
+
+    flat, offsets = _flat_tokens(tokens_list(t["text"]))
+    n = len(flat)
+    ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "term": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64())}
+        )
+    enc = pc.dictionary_encode(flat)
+    code = np.asarray(enc.indices).astype(np.int64)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    doc_pos = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+    # batch-local (doc, term) key: doc position fits far below 2^32
+    key = (doc_pos << np.int64(32)) | code
+    inv, uniq = pd.factorize(key)
+    tf = np.bincount(inv).astype(np.int64)
+    u_doc = ids[(uniq >> np.int64(32))]
+    u_code = uniq & np.int64(0xFFFFFFFF)
+    return pa.table(
+        {
+            "doc_id": pa.array(u_doc, pa.int64()),
+            "term": enc.dictionary.take(pa.array(u_code)),
+            "tf": pa.array(tf, pa.int64()),
+        }
+    )
+
+
 def q_docs_tfidf_top_terms(sf_dir: str):
     """Top-``TFIDF_TOP_K`` terms per document by tf-idf
     (``tf * ln(N / df)``), ties broken by term.
@@ -502,40 +578,7 @@ def q_docs_tfidf_top_terms(sf_dir: str):
         pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     )
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-
-    def tf_partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        from ..functions.text import _flat_tokens, tokens_list
-
-        flat, offsets = _flat_tokens(tokens_list(t["text"]))
-        n = len(flat)
-        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
-        if n == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "term": pa.array([], pa.string()),
-                 "tf": pa.array([], pa.int64())}
-            )
-        enc = pc.dictionary_encode(flat)
-        code = np.asarray(enc.indices).astype(np.int64)
-        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
-        doc_pos = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
-        # batch-local (doc, term) key: doc position fits far below 2^32
-        key = (doc_pos << np.int64(32)) | code
-        inv, uniq = pd.factorize(key)
-        tf = np.bincount(inv).astype(np.int64)
-        u_doc = ids[(uniq >> np.int64(32))]
-        u_code = uniq & np.int64(0xFFFFFFFF)
-        return pa.table(
-            {
-                "doc_id": pa.array(u_doc, pa.int64()),
-                "term": enc.dictionary.take(pa.array(u_code)),
-                "tf": pa.array(tf, pa.int64()),
-            }
-        )
-
-    tf_rows = ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+    tf_rows = ds.map_batches(_tf_partial, batch_format="pyarrow", zero_copy_batch=True)
 
     def attach_df(part: pa.Table) -> pa.Table:
         import pandas as pd
@@ -598,6 +641,84 @@ r AS (
     ) AS rk FROM s
 )
 SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus-commonness score (unigram-LM quality signal, integer-exact)
+# --------------------------------------------------------------------------
+
+
+def q_docs_commonness(sf_dir: str):
+    """Per-document corpus commonness: ``sum_tok_freq`` = sum over the
+    doc's token occurrences of that token's GLOBAL occurrence count, plus
+    ``n_toks``. The ratio is the unigram-LM "average token probability"
+    quality signal (rare-token-heavy docs score low); both columns stay
+    integer so the oracle compare is exact.
+
+    Scale shape: per-batch (doc, term, tf) partials (the token stream
+    never shuffles) → ONE exchange by term, where each partition holds
+    every row of its terms so the global count is a segmented sum in
+    place — the per-doc weighted partials are pre-aggregated per
+    partition before the final O(docs × parts) doc groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    tf_rows = ds.map_batches(_tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def weigh(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        term = np.asarray(part["term"].combine_chunks().cast(pa.large_string()))
+        tf = np.asarray(part["tf"].combine_chunks()).astype(np.int64)
+        inv, uniq = pd.factorize(term)
+        # int64 scatter-adds, not bincount(weights=...): weights go through
+        # float64 and lose exactness past 2^53 at extreme corpus sizes
+        glob = np.zeros(len(uniq), np.int64)
+        np.add.at(glob, inv, tf)
+        w = tf * glob[inv]
+        doc = np.asarray(part["doc_id"].combine_chunks())
+        d_inv, d_uniq = pd.factorize(doc)
+        wsum = np.zeros(len(d_uniq), np.int64)
+        np.add.at(wsum, d_inv, w)
+        ntok = np.zeros(len(d_uniq), np.int64)
+        np.add.at(ntok, d_inv, tf)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_uniq, pa.int64()),
+                "p_wsum": pa.array(wsum),
+                "p_ntok": pa.array(ntok),
+            }
+        )
+
+    partials = map_partitions_by_key(tf_rows, "term", weigh, num_parts=NUM_PARTS)
+    out = partials.groupby("doc_id").aggregate(
+        Sum("p_wsum", alias_name="sum_tok_freq"), Sum("p_ntok", alias_name="n_toks")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "sum_tok_freq": t["sum_tok_freq"].cast(pa.int64()),
+                "n_toks": t["n_toks"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DOCS_COMMONNESS_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+),
+g AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf * g.c) AS BIGINT) AS sum_tok_freq,
+       CAST(sum(tf.tf) AS BIGINT) AS n_toks
+FROM tf JOIN g USING (term) GROUP BY 1
 """
 
 
@@ -707,7 +828,9 @@ FROM s JOIN p USING (user_id)
 REGISTRY: dict[str, tuple] = {
     "events_funnel": (q_events_funnel, EVENTS_FUNNEL_SQL),
     "docs_tfidf_top_terms": (q_docs_tfidf_top_terms, DOCS_TFIDF_SQL),
+    "docs_commonness": (q_docs_commonness, DOCS_COMMONNESS_SQL),
     "docs_sample_stratified": (q_docs_sample_stratified, DOCS_SAMPLE_STRATIFIED_SQL),
+    "docs_sample_weighted": (q_docs_sample_weighted, DOCS_SAMPLE_WEIGHTED_SQL),
     "docs_neardup_filter": (q_docs_neardup_filter, DOCS_NEARDUP_FILTER_SQL),
     "docs_topk_per_lang": (q_docs_topk_per_lang, DOCS_TOPK_PER_LANG_SQL),
     "docs_len_quantiles": (q_docs_len_quantiles, DOCS_LEN_QUANTILES_SQL),
