@@ -378,6 +378,87 @@ WINDOW wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 """
 
 
+def q_conv_role_transitions(sf_dir: str):
+    """Role-transition structure features: global count and total gap per
+    (previous role → role) pair — the conversation-shape fingerprint
+    (e.g. user→assistant handoff latency). ONE keyed exchange; within
+    each sorted partition the previous turn is just index i-1 (valid
+    where the row doesn't start a conversation), partials are a tiny
+    per-partition Arrow group_by, and the final groupby moves
+    O(roles² × partitions) rows."""
+    from ray.data.aggregate import Sum
+
+    ds = read_events_as_transcripts(sf_dir)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"role_from": pa.array([], pa.string()),
+             "role_to": pa.array([], pa.string()),
+             "p_n": pa.array([], pa.int64()),
+             "p_gap": pa.array([], pa.int64())}
+        )
+        if tbl.num_rows == 0:
+            return empty
+        order, _k, ts, seg_start = _conv_order(tbl)
+        roles = tbl["role"].combine_chunks().take(pa.array(order))
+        valid = ~seg_start
+        idx = np.flatnonzero(valid)
+        if len(idx) == 0:
+            return empty
+        pairs = pa.table(
+            {
+                "role_from": roles.take(pa.array(idx - 1)),
+                "role_to": roles.take(pa.array(idx)),
+                "gap": pa.array(ts[idx] - ts[idx - 1], pa.int64()),
+            }
+        )
+        g = pairs.group_by(["role_from", "role_to"]).aggregate(
+            [("gap", "count"), ("gap", "sum")]
+        )
+        return pa.table(
+            {
+                "role_from": g["role_from"],
+                "role_to": g["role_to"],
+                "p_n": g["gap_count"].cast(pa.int64()),
+                "p_gap": g["gap_sum"].cast(pa.int64()),
+            }
+        )
+
+    partials = map_partitions_by_key(ds, "conv_id", fn, num_parts=NUM_PARTS)
+    out = partials.groupby(["role_from", "role_to"]).aggregate(
+        Sum("p_n", alias_name="n_transitions"),
+        Sum("p_gap", alias_name="sum_gap_us"),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "role_from": t["role_from"],
+                "role_to": t["role_to"],
+                "n_transitions": t["n_transitions"].cast(pa.int64()),
+                "sum_gap_us": t["sum_gap_us"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+CONV_ROLE_TRANSITIONS_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE},
+g AS (
+    SELECT role AS role_to,
+        lag(role) OVER wo AS role_from,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER wo AS gap_us
+    FROM transcripts
+    WINDOW wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+)
+SELECT role_from, role_to,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+FROM g WHERE role_from IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_gold_features_salted(sf_dir: str):
     """B14: same gold pass with hot conversations split into time-bucket
     shards (overlap-prefix windows + stitch) — output must be bit-identical
@@ -515,6 +596,7 @@ FROM transcripts GROUP BY conv_id
 REGISTRY: dict[str, tuple] = {
     "session_stats": (q_session_stats, SESSION_STATS_SQL),
     "conv_flatten": (q_conv_flatten, CONV_FLATTEN_SQL),
+    "conv_role_transitions": (q_conv_role_transitions, CONV_ROLE_TRANSITIONS_SQL),
     "gold_features": (q_gold_features, GOLD_SQL),
     "gold_features_salted": (q_gold_features_salted, GOLD_SQL),
     "rolling_windows": (q_rolling_windows, ROLLING_SQL),
