@@ -638,11 +638,90 @@ SELECT event_type,
 FROM events GROUP BY 1, 2
 """
 
+HOP_WINDOW_HOURS = 3  # window span; hop = 1 hour
+_HOUR_US = 3_600_000_000
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate: 3-hour windows advancing every
+    hour, so each event lands in exactly 3 overlapping windows. The
+    expansion is per-batch (np.tile ×3 BEFORE the partial group_by
+    collapses it to (type, window) rows), so the exchange still moves
+    O(types × windows), never O(3 × events)."""
+    from ..stages.keyed import map_partitions_by_key
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def hop_partial(t: pa.Table) -> pa.Table:
+        hour = (
+            pc.floor_temporal(t["ts"].combine_chunks(), unit="hour")
+            .cast(pa.int64())
+        )
+        h = np.asarray(hour)
+        n = len(h)
+        # window k covers [hour - k, hour - k + W): tile events, offset starts
+        ks = np.repeat(np.arange(HOP_WINDOW_HOURS, dtype=np.int64), n)
+        starts = np.tile(h, HOP_WINDOW_HOURS) - ks * _HOUR_US
+        g = (
+            pa.table(
+                {
+                    "event_type": pa.chunked_array(
+                        [t["event_type"].combine_chunks()] * HOP_WINDOW_HOURS
+                    ).combine_chunks(),
+                    "window_start": pa.array(starts, pa.int64()),
+                    "value": pa.chunked_array(
+                        [t["value"].combine_chunks()] * HOP_WINDOW_HOURS
+                    ).combine_chunks(),
+                }
+            )
+            .group_by(["event_type", "window_start"])
+            .aggregate([("value", "sum"), ("value", "count")])
+        )
+        return g.rename_columns(["event_type", "wkey", "sv", "n"])
+
+    partials = ds.map_batches(
+        hop_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def finalize(part: pa.Table) -> pa.Table:
+        g = part.group_by(["event_type", "wkey"]).aggregate(
+            [("n", "sum"), ("sv", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "window_start": g["wkey"].cast(pa.timestamp("us")),
+                "n_events": g["n_sum"].cast(pa.int64()),
+                "sum_value": pc.cast(
+                    pc.round(g["sv_sum"], ndigits=0,
+                             round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return map_partitions_by_key(partials, "wkey", finalize, num_parts=NUM_PARTS)
+
+
+EVENTS_HOPPING_SQL = f"""
+SELECT event_type,
+       date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS window_start,
+       count(*)::BIGINT AS n_events,
+       CAST(ROUND(sum(value), 0) AS BIGINT) AS sum_value
+FROM events CROSS JOIN (
+    SELECT unnest(range({HOP_WINDOW_HOURS})) AS k
+) k
+GROUP BY 1, 2
+"""
+
 
 REGISTRY: dict[str, tuple] = {
     "join_shuffle": (q_join_shuffle, JOIN_SHUFFLE_SQL),
     "events_distinct_users": (q_events_distinct_users, EVENTS_DISTINCT_SQL),
     "events_windowed": (q_events_windowed, EVENTS_WINDOWED_SQL),
+    "events_hopping": (q_events_hopping, EVENTS_HOPPING_SQL),
     "asof_join": (q_asof_join, ASOF_SQL),
     "asof_join_partitioned": (q_asof_join_partitioned, ASOF_PARTITIONED_SQL),
     "asof_join_tolerance": (q_asof_join_tolerance, ASOF_TOLERANCE_SQL),
