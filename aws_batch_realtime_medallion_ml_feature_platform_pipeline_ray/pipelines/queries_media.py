@@ -1,10 +1,13 @@
-"""Multimodal query entries: metadata projection (oracle-backed) and the
-actor-pool decode/feature stage (rows-only — payload checksums are not
-SQL-expressible; pytest covers them against a pure-Python reference)."""
+"""Multimodal query entries: metadata projection, the actor-pool
+decode/feature stage, and resize. All three are oracle-backed — the
+fake decoder's byte checksums get an exact DuckDB twin via hex()
+expansion (2 hex chars per payload byte → strpos arithmetic), so even
+the binary-payload path is value-hash verified."""
 
 from __future__ import annotations
 
 from ..stages.multimodal import (
+    HEADER_BYTES,
     MEDIA_META_SQL,
     MEDIA_RESIZE_SQL,
     media_meta_pipeline,
@@ -12,8 +15,43 @@ from ..stages.multimodal import (
     media_resize_pipeline,
 )
 
+# frame_stride default in MediaFeaturizer
+_STRIDE = 4
+
+MEDIA_DECODE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS est_frames
+  FROM documents
+),
+b0 AS (SELECT doc_id, hx, unnest(range(n_bytes)) AS i FROM m),
+b AS (
+  SELECT doc_id, i,
+         strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) * 16
+           + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 17
+             AS byte
+  FROM b0
+),
+s AS (
+  SELECT doc_id,
+         CAST(sum(byte) AS BIGINT) AS payload_checksum,
+         CAST(sum(CASE WHEN i < {HEADER_BYTES} THEN byte ELSE 0 END) AS BIGINT)
+             AS header_checksum
+  FROM b GROUP BY doc_id
+)
+SELECT m.doc_id, m.kind, m.n_bytes,
+       CAST(COALESCE(s.payload_checksum, 0) AS BIGINT) AS payload_checksum,
+       CAST(COALESCE(s.header_checksum, 0) AS BIGINT) AS header_checksum,
+       CAST((m.est_frames + {_STRIDE - 1}) // {_STRIDE} AS BIGINT)
+           AS sampled_frames
+FROM m LEFT JOIN s USING (doc_id)
+"""
+
 REGISTRY: dict[str, tuple] = {
     "media_meta": (media_meta_pipeline, MEDIA_META_SQL),
-    "media_decode": (lambda sf_dir: media_pipeline(sf_dir), None),
+    "media_decode": (lambda sf_dir: media_pipeline(sf_dir), MEDIA_DECODE_SQL),
     "media_resize": (lambda sf_dir: media_resize_pipeline(sf_dir), MEDIA_RESIZE_SQL),
 }

@@ -136,3 +136,45 @@ def test_range_join_no_window_leakage(ray_session):
         in_w = ev[(ev["ts"] >= lo) & (ev["ts"] < hi)]
         assert r["n_events"] == len(in_w)
         assert r["sum_value"] == round(in_w["value"].sum())
+
+
+def test_asof_tolerance_boundary_exact():
+    """Tolerance mask boundaries: a right row exactly `tol` old is kept
+    (inclusive), one microsecond older is nulled; no-tolerance probe is
+    unchanged."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.asof import (
+        _SortedRight,
+        asof_attach,
+    )
+
+    right = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"], pa.string()),
+            "ts": pa.array([100, 200, 50], pa.timestamp("us")),
+            "v": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    sr = _SortedRight(right, "k", "ts")
+    left = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "c"], pa.string()),
+            # staleness vs latest eligible right row: 0, 10, 150, 60, n/a
+            "ts": pa.array([200, 210, 150, 110, 10], pa.timestamp("us")),
+        }
+    )
+    # no tolerance: normal as-of
+    out = asof_attach(left, sr, "k", "ts", ["v"])
+    assert out["v"].to_pylist() == [2, 2, 1, 3, None]
+    # tol=10us: keeps staleness <= 10 (inclusive), nulls the rest
+    out = asof_attach(left, sr, "k", "ts", ["v"], tolerance_us=10)
+    assert out["v"].to_pylist() == [2, 2, None, None, None]
+    # tol=9us: the exactly-10us-stale row falls out
+    out = asof_attach(left, sr, "k", "ts", ["v"], tolerance_us=9)
+    assert out["v"].to_pylist() == [2, None, None, None, None]
+    # tol=60us: b's exactly-60us-stale match included (inclusive bound),
+    # and a@150's 50us-stale match comes back too
+    out = asof_attach(left, sr, "k", "ts", ["v"], tolerance_us=60)
+    assert out["v"].to_pylist() == [2, 2, 1, 3, None]
+    # tol=59us: b's match falls out, a@150's (50us) stays
+    out = asof_attach(left, sr, "k", "ts", ["v"], tolerance_us=59)
+    assert out["v"].to_pylist() == [2, 2, 1, None, None]
