@@ -717,8 +717,180 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Multiway join (TPC-H Q5 shape): facts shuffle, dimensions broadcast
+# --------------------------------------------------------------------------
+
+MULTIWAY_REGION = "ASIA"
+
+
+def q_join_multiway(sf_dir: str):
+    """Revenue per nation within one region — the 6-table join pipeline
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region with the
+    Q5 ``c_nationkey = s_nationkey`` colocation predicate).
+
+    Physical plan by table role:
+    * region/nation are FIXED-cardinality (5/25 rows at any SF) — read
+      driver-side, folded into closures as literal dicts.
+    * supplier is a dimension: read distributed + column-pruned + filtered
+      to the region's nations, THEN collected and broadcast (ray.put) —
+      the broadcast side must fit in memory by definition.
+    * orders ⋈ customer and lineitem ⋈ (orders+nation) are big-big:
+      one co-partitioning exchange each (cogroup_by_key), vectorized
+      index_in probes per partition.
+    * revenue is integer-exact: cents × (100 − discount%) in int64,
+      summed per nation inside each partition (O(nations) partials).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .queries import NUM_PARTS as CONV_PARTS  # noqa: F401  (doc link)
+    from ..stages.keyed import cogroup_by_key
+
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    rname = {r["r_regionkey"]: r["r_name"] for r in region}
+    asia = {
+        int(n["n_nationkey"]): n["n_name"]
+        for n in nation
+        if rname[n["n_regionkey"]] == MULTIWAY_REGION
+    }
+    asia_keys = pa.array(sorted(asia), pa.int32())
+
+    # supplier dim: distributed read/filter, then broadcast
+    supp = (
+        read_parquet_sized(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["s_nationkey"], value_set=asia_keys)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    s_keys = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    s_nat = supp["s_nationkey"].to_numpy(np.int64)[
+        np.argsort(supp["s_suppkey"].to_numpy(np.int64), kind="stable")
+    ]
+    supp_ref = ray.put((s_keys, s_nat))
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"custkey": t["c_custkey"].cast(pa.int64()),
+             "c_nationkey": t["c_nationkey"].cast(pa.int64())}
+        ).filter(pc.is_in(t["c_nationkey"].cast(pa.int32()), value_set=asia_keys)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ords = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"orderkey": t["o_orderkey"].cast(pa.int64()),
+             "custkey": t["o_custkey"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def join_oc(opart: pa.Table, cpart: pa.Table) -> pa.Table:
+        idx = pc.index_in(opart["custkey"], value_set=cpart["custkey"].combine_chunks())
+        nat = cpart["c_nationkey"].combine_chunks().take(idx.combine_chunks())
+        out = pa.table({"orderkey": opart["orderkey"], "c_nationkey": nat})
+        return out.filter(pc.is_valid(out["c_nationkey"]))
+
+    order_nat = cogroup_by_key(ords, cust, "custkey", join_oc, num_parts=NUM_PARTS)
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def join_ls(lpart: pa.Table, opart: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {"n_name": pa.array([], pa.string()),
+             "p_n": pa.array([], pa.int64()),
+             "p_rev": pa.array([], pa.int64())}
+        )
+        skeys, snat = ray.get(supp_ref)
+        if lpart.num_rows == 0 or opart.num_rows == 0 or len(skeys) == 0:
+            return empty
+        idx = pc.index_in(
+            lpart["orderkey"], value_set=opart["orderkey"].combine_chunks()
+        ).combine_chunks()
+        c_nat = np.asarray(
+            opart["c_nationkey"].combine_chunks().take(idx).fill_null(-1)
+        )
+        lsup = np.asarray(lpart["l_suppkey"].combine_chunks()).astype(np.int64)
+        pos = np.searchsorted(skeys, lsup)
+        pos_c = pos.clip(max=len(skeys) - 1)
+        s_ok = skeys[pos_c] == lsup
+        s_nat_row = np.where(s_ok, snat[pos_c], -2)
+        keep = (c_nat >= 0) & (s_nat_row == c_nat)
+        if not keep.any():
+            return empty
+        price = np.asarray(lpart["l_extendedprice"].combine_chunks())[keep]
+        disc = np.asarray(lpart["l_discount"].combine_chunks())[keep]
+        cents = np.round(price * 100).astype(np.int64)
+        dpct = np.round(disc * 100).astype(np.int64)
+        rev = cents * (100 - dpct)
+        inv, uniq = pd.factorize(c_nat[keep])
+        n = np.bincount(inv).astype(np.int64)
+        rsum = np.zeros(len(uniq), np.int64)
+        np.add.at(rsum, inv, rev)
+        names = [asia[int(k)] for k in uniq]
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()),
+             "p_n": pa.array(n),
+             "p_rev": pa.array(rsum)}
+        )
+
+    partials = cogroup_by_key(li, order_nat, "orderkey", join_ls, num_parts=NUM_PARTS)
+    out = partials.groupby("n_name").aggregate(
+        Sum("p_n", alias_name="n_items"), Sum("p_rev", alias_name="revenue_c100")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"n_name": t["n_name"],
+             "n_items": t["n_items"].cast(pa.int64()),
+             "revenue_c100": t["revenue_c100"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+JOIN_MULTIWAY_SQL = f"""
+SELECT n_name,
+       count(*)::BIGINT AS n_items,
+       CAST(sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_c100
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{MULTIWAY_REGION}'
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "join_shuffle": (q_join_shuffle, JOIN_SHUFFLE_SQL),
+    "join_multiway": (q_join_multiway, JOIN_MULTIWAY_SQL),
     "events_distinct_users": (q_events_distinct_users, EVENTS_DISTINCT_SQL),
     "events_windowed": (q_events_windowed, EVENTS_WINDOWED_SQL),
     "events_hopping": (q_events_hopping, EVENTS_HOPPING_SQL),
