@@ -871,6 +871,93 @@ def q_join_multiway(sf_dir: str):
     )
 
 
+def q_brand_revenue(sf_dir: str):
+    """Revenue per part brand (lineitem ⋈ part, TPC-H Q14 shape): part is
+    a true dimension that SCALES with the corpus, so it joins through the
+    same one-exchange cogroup as any big-big join (no broadcast); the
+    brand rollup collapses to O(brands) partials inside each partition
+    before the tiny final groupby. Integer-cents revenue, bit-exact."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.keyed import cogroup_by_key
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.rename_columns(["partkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    part = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"partkey": t["p_partkey"].cast(pa.int64()), "p_brand": t["p_brand"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def join_lp(lpart: pa.Table, ppart: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"p_brand": pa.array([], pa.string()),
+             "p_n": pa.array([], pa.int64()),
+             "p_rev": pa.array([], pa.int64())}
+        )
+        if lpart.num_rows == 0 or ppart.num_rows == 0:
+            return empty
+        idx = pc.index_in(
+            lpart["partkey"], value_set=ppart["partkey"].combine_chunks()
+        ).combine_chunks()
+        brand = ppart["p_brand"].combine_chunks().take(idx)
+        keep = pc.is_valid(brand)
+        if not pc.any(keep).as_py():
+            return empty
+        keep_np = np.asarray(keep)
+        price = np.asarray(lpart["l_extendedprice"].combine_chunks())[keep_np]
+        disc = np.asarray(lpart["l_discount"].combine_chunks())[keep_np]
+        rev = np.round(price * 100).astype(np.int64) * (
+            100 - np.round(disc * 100).astype(np.int64)
+        )
+        inv, uniq = pd.factorize(
+            np.asarray(brand.filter(keep).cast(pa.large_string()))
+        )
+        n = np.bincount(inv).astype(np.int64)
+        rsum = np.zeros(len(uniq), np.int64)
+        np.add.at(rsum, inv, rev)
+        return pa.table(
+            {"p_brand": pa.array(uniq, pa.string()),
+             "p_n": pa.array(n),
+             "p_rev": pa.array(rsum)}
+        )
+
+    partials = cogroup_by_key(li, part, "partkey", join_lp, num_parts=NUM_PARTS)
+    out = partials.groupby("p_brand").aggregate(
+        Sum("p_n", alias_name="n_items"), Sum("p_rev", alias_name="revenue_c100")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"p_brand": t["p_brand"],
+             "n_items": t["n_items"].cast(pa.int64()),
+             "revenue_c100": t["revenue_c100"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+BRAND_REVENUE_SQL = """
+SELECT p_brand,
+       count(*)::BIGINT AS n_items,
+       CAST(sum(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_c100
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 JOIN_MULTIWAY_SQL = f"""
 SELECT n_name,
        count(*)::BIGINT AS n_items,
@@ -891,6 +978,7 @@ GROUP BY 1
 REGISTRY: dict[str, tuple] = {
     "join_shuffle": (q_join_shuffle, JOIN_SHUFFLE_SQL),
     "join_multiway": (q_join_multiway, JOIN_MULTIWAY_SQL),
+    "brand_revenue": (q_brand_revenue, BRAND_REVENUE_SQL),
     "events_distinct_users": (q_events_distinct_users, EVENTS_DISTINCT_SQL),
     "events_windowed": (q_events_windowed, EVENTS_WINDOWED_SQL),
     "events_hopping": (q_events_hopping, EVENTS_HOPPING_SQL),
