@@ -188,6 +188,140 @@ FROM f
 EVENTS_HLL_SQL = _hll_sql()
 
 
+# --------------------------------------------------------------------------
+# Heavy-hitter tokens: mergeable Misra-Gries sketch + exact rescore
+# --------------------------------------------------------------------------
+
+# keep tokens with global frequency >= total_tokens / HH_DENOM
+HH_DENOM = 200
+# per-batch sketch size; error after merging <= N / MG_K, and
+# MG_K >= 2 * HH_DENOM makes the candidate superset guarantee hold
+MG_K = 2 * HH_DENOM
+
+
+def _mg_reduce(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries reduction of an exact (token, count) summary to <= k
+    entries: subtract the (k+1)-th largest count from all, keep the
+    positive remainder. Classic mergeable-summaries decrement, vectorized
+    (np.partition, no loop)."""
+    if len(counts) <= k:
+        return tokens, counts
+    d = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > d
+    return tokens[keep], counts[keep] - d
+
+
+def q_docs_heavy_tokens(sf_dir: str):
+    """Tokens whose global frequency is >= 1/{denom} of the total token
+    stream — heavy hitters with EXACT output via a two-pass plan:
+
+    1. sketch pass: per batch, exact local counts collapse to a <= {k}
+       entry Misra-Gries summary (bounded memory regardless of vocab
+       size — the property the tf/commonness term shuffles lack at
+       100 TB). The merged summary underestimates any token by at most
+       N/{k} < threshold, so every true heavy hitter survives the
+       candidate cut (mergeable-summaries guarantee).
+    2. rescore pass: the small candidate set is broadcast and counted
+       EXACTLY (is_in filter + per-batch partials), so the final output
+       is identical to the SQL ``HAVING count * {denom} >= N`` — the
+       sketch only bounds memory, never the answer.
+    """.format(denom=HH_DENOM, k=MG_K)
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import _flat_tokens, tokens_list
+    from ..sources.reads import read_parquet_sized
+
+    def docs(columns):
+        return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        flat, _off = _flat_tokens(tokens_list(t["text"]))
+        if len(flat) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64()),
+                 "n_tok": pa.array([], pa.int64())}
+            )
+        enc = pc.dictionary_encode(flat)
+        counts = np.bincount(
+            np.asarray(enc.indices), minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        toks = np.asarray(enc.dictionary.cast(pa.large_string()))
+        toks, red = _mg_reduce(toks, counts, MG_K)
+        n_tok = np.zeros(len(toks), np.int64)
+        if len(n_tok):
+            n_tok[0] = len(flat)  # batch token total rides the first row
+        return pa.table(
+            {"term": pa.array(toks, pa.string()),
+             "c": pa.array(red),
+             "n_tok": pa.array(n_tok)}
+        )
+
+    sketches = docs(["text"]).map_batches(
+        sketch_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = sketches.groupby("term").aggregate(
+        Sum("c", alias_name="mc"), Sum("n_tok", alias_name="nt")
+    )
+    # merged summary is <= MG_K x blocks rows; one more MG reduction +
+    # the candidate cut happens on the driver over this SMALL table
+    mt = merged.to_pandas()
+    n_total = int(mt["nt"].sum())
+    # candidate cut: survive if merged count could still reach threshold
+    # (threshold = ceil(N/denom); max underestimate = N/MG_K = thr/2)
+    cand = mt[mt["mc"].to_numpy() * np.int64(HH_DENOM) * 2 >= n_total]
+    cand_ref = ray.put(pa.array(cand["term"].to_numpy(object), pa.string()))
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cands = ray.get(cand_ref)
+        flat, _off = _flat_tokens(tokens_list(t["text"]))
+        hit = flat.filter(pc.is_in(flat, value_set=cands))
+        if len(hit) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "pc": pa.array([], pa.int64())}
+            )
+        enc = pc.dictionary_encode(hit)
+        counts = np.bincount(
+            np.asarray(enc.indices), minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        return pa.table(
+            {"term": enc.dictionary.cast(pa.string()),
+             "pc": pa.array(counts)}
+        )
+
+    exact = docs(["text"]).map_batches(
+        exact_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = exact.groupby("term").aggregate(Sum("pc", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].cast(pa.int64())
+        keep = pc.greater_equal(
+            pc.multiply(n, pa.scalar(HH_DENOM, pa.int64())),
+            pa.scalar(n_total, pa.int64()),
+        )
+        return pa.table({"term": t["term"], "n": n}).filter(keep)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+DOCS_HEAVY_TOKENS_SQL = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+n AS (SELECT count(*)::BIGINT AS n_total FROM tok)
+SELECT term, count(*)::BIGINT AS n
+FROM tok GROUP BY 1
+HAVING count(*) * {HH_DENOM} >= (SELECT n_total FROM n)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_hll_users": (q_events_hll_users, EVENTS_HLL_SQL),
+    "docs_heavy_tokens": (q_docs_heavy_tokens, DOCS_HEAVY_TOKENS_SQL),
 }

@@ -68,3 +68,34 @@ def test_hll_query_matches_exact_within_tolerance(ray_session):
     rel = (np.abs(m["hll_users"] - m["d"]) / m["d"]).max()
     assert rel < 0.05, rel
     assert (m["used_registers"] <= HLL_M).all()
+
+
+def test_mg_merge_superset_guarantee():
+    """Merged Misra-Gries summaries never lose a true heavy hitter: for
+    random batched streams, every token with global count >= N/HH_DENOM
+    survives the candidate cut used by docs_heavy_tokens."""
+    import numpy as np
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_sketch import (
+        HH_DENOM,
+        MG_K,
+        _mg_reduce,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        # zipf-ish stream split into uneven batches
+        stream = rng.zipf(1.3, size=40_000) % 5_000
+        n = len(stream)
+        cuts = np.sort(rng.choice(np.arange(1, n), size=30, replace=False))
+        merged: dict[int, int] = {}
+        for part in np.split(stream, cuts):
+            toks, counts = np.unique(part, return_counts=True)
+            toks, red = _mg_reduce(toks, counts.astype(np.int64), MG_K)
+            for t, c in zip(toks, red):
+                merged[int(t)] = merged.get(int(t), 0) + int(c)
+        true_toks, true_counts = np.unique(stream, return_counts=True)
+        thresh_hit = true_toks[true_counts * HH_DENOM >= n]
+        cand = {t for t, c in merged.items() if c * HH_DENOM * 2 >= n}
+        missing = [t for t in thresh_hit if int(t) not in cand]
+        assert not missing, (trial, missing)
