@@ -378,6 +378,33 @@ WINDOW wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 """
 
 
+def q_conv_dedup_turns(sf_dir: str):
+    """Within-conversation repeated-text removal (retrieval/copy-paste
+    artifact cleanup): keep only the FIRST occurrence of each distinct
+    text per conversation, first = stable (ts, event_id) turn order.
+    Rides the engine's one keyed exchange; the per-partition kernel is
+    dedup_first on the (conv_id, text) composite — same machinery as D1
+    exact dedup, different key."""
+    ds = read_events_as_transcripts(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = dedup_first(t, ["conv_id", "text"], ["ts", "event_id"])
+        return out.select(["conv_id", "role", "text", "ts"])
+
+    return map_partitions_by_key(ds, "conv_id", fn, num_parts=NUM_PARTS)
+
+
+CONV_DEDUP_TURNS_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE}
+SELECT conv_id, role, text, ts
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, text
+                                 ORDER BY ts, event_id) AS rn
+    FROM transcripts
+) WHERE rn = 1
+"""
+
+
 def q_conv_role_transitions(sf_dir: str):
     """Role-transition structure features: global count and total gap per
     (previous role → role) pair — the conversation-shape fingerprint
@@ -597,6 +624,7 @@ REGISTRY: dict[str, tuple] = {
     "session_stats": (q_session_stats, SESSION_STATS_SQL),
     "conv_flatten": (q_conv_flatten, CONV_FLATTEN_SQL),
     "conv_role_transitions": (q_conv_role_transitions, CONV_ROLE_TRANSITIONS_SQL),
+    "conv_dedup_turns": (q_conv_dedup_turns, CONV_DEDUP_TURNS_SQL),
     "gold_features": (q_gold_features, GOLD_SQL),
     "gold_features_salted": (q_gold_features_salted, GOLD_SQL),
     "rolling_windows": (q_rolling_windows, ROLLING_SQL),

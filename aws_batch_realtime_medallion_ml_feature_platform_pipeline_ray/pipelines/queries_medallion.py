@@ -20,7 +20,12 @@ import shutil
 import pyarrow as pa
 
 from ..sources.transcripts import generate_transcripts, write_bronze
-from ..sources.ndjson import read_ndjson_transcripts, write_ndjson_gz
+from ..sources.ndjson import (
+    read_csv_transcripts,
+    read_ndjson_transcripts,
+    write_csv,
+    write_ndjson_gz,
+)
 from .medallion import run_stream
 
 PROCESSED_AT = "2024-02-01T00:00:00"
@@ -193,6 +198,43 @@ def q_medallion_incremental(sf_dir: str):
     return read_gold_incremental(out)
 
 
+CSV_SEED = 78
+
+
+def _csv_dir(sf_dir: str = "") -> str:
+    d = "/tmp/medallion_fixture/default/csv"
+    marker = os.path.join(d, "_complete.json")
+    if not os.path.exists(marker):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        tbl = generate_transcripts(n_convs=60, avg_turns=20, seed=CSV_SEED)
+        write_csv(tbl, d, rows_per_file=2000)
+        with open(marker, "w") as f:
+            f.write("{}")
+    return d
+
+
+def q_csv_ingest(sf_dir: str):
+    """Headered-CSV ingest path (the other common landing-zone format):
+    ``ray.data.read_csv`` with nullable strings, canonical schema casts.
+    Oracle reads the SAME files via DuckDB read_csv — exact round trip."""
+    ds = read_csv_transcripts(_csv_dir(sf_dir))
+    return ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def csv_oracle_sql(sf_dir: str = "") -> str:
+    d = _csv_dir()
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool,
+       CAST(ts AS TIMESTAMP) AS ts
+FROM read_csv('{d}/*.csv', header=true)
+"""
+
+
 def build_registry() -> dict[str, tuple]:
     """Fixture content is a pure function of the seeds, so generating it
     at registry-build time is safe and idempotent."""
@@ -200,4 +242,5 @@ def build_registry() -> dict[str, tuple]:
         "medallion_stream": (q_medallion_stream, medallion_oracle_sql()),
         "medallion_incremental": (q_medallion_incremental, medallion_oracle_sql()),
         "ndjson_ingest": (q_ndjson_ingest, ndjson_oracle_sql()),
+        "csv_ingest": (q_csv_ingest, csv_oracle_sql()),
     }

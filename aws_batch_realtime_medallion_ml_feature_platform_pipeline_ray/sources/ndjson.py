@@ -57,3 +57,43 @@ def read_ndjson_transcripts(path: str):
         return pa.table(cols)
 
     return ds.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_csv(tbl: pa.Table, path: str, rows_per_file: int = 100_000) -> list[str]:
+    """Write a table as headered CSV files (the other common landing-zone
+    format next to NDJSON). Timestamps ISO, None → empty field."""
+    os.makedirs(path, exist_ok=True)
+    files = []
+    n = tbl.num_rows
+    for i, start in enumerate(range(0, max(n, 1), rows_per_file)):
+        chunk = tbl.slice(start, rows_per_file).to_pandas()
+        fp = os.path.join(path, f"part-{i:05d}.csv")
+        chunk.to_csv(fp, index=False, date_format="%Y-%m-%dT%H:%M:%S.%f")
+        files.append(fp)
+    return files
+
+
+def read_csv_transcripts(path: str):
+    """CSV → transcript Dataset with canonical schema casts. Empty fields
+    read as NULL (matching the writer's None encoding and DuckDB's
+    read_csv default), so the round trip is exact."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    ds = rd.read_csv(
+        sorted(glob.glob(os.path.join(path, "*.csv"))),
+        convert_options=pacsv.ConvertOptions(strings_can_be_null=True),
+    )
+
+    def cast(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in S.BRONZE:
+            if f.name not in t.column_names:
+                continue
+            col = t[f.name]
+            if pa.types.is_timestamp(f.type) and pa.types.is_string(col.type):
+                col = col.cast(pa.timestamp("us"))
+            cols[f.name] = col.cast(f.type) if col.type != f.type else col
+        return pa.table(cols)
+
+    return ds.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
