@@ -405,6 +405,67 @@ FROM (
 """
 
 
+def q_conv_context_window(sf_dir: str):
+    """Training-sample construction: for every turn, assemble the
+    concatenated context of the previous 2 turns (non-null-skipping
+    join, same semantics as SQL concat_ws). Vectorized per partition:
+    lagged takes with position-validity masks + ONE
+    ``binary_join_element_wise(null_handling='skip')``."""
+    ds = read_events_as_transcripts(sf_dir)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "turn_idx": pa.array([], pa.int32()),
+                 "context": pa.array([], pa.string()),
+                 "text": pa.array([], pa.string())}
+            )
+        order, _k, _ts, seg_start = _conv_order(tbl)
+        pos = _turn_idx(seg_start)
+        text = tbl["text"].combine_chunks().take(pa.array(order))
+        n = len(pos)
+        idx = np.arange(n, dtype=np.int64)
+
+        def lagged(k: int) -> pa.Array:
+            # no mask: rows with pos < k read a bogus value and are
+            # overridden by the position case below (binary_join's
+            # null_handling="skip" DROPS all-null rows — unusable here)
+            take = pa.array(np.where(pos < k, 0, idx - k), pa.int64())
+            out = text.take(take)
+            return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+        l1, l2 = lagged(1), lagged(2)
+        both = pc.binary_join_element_wise(l2, l1, " ")
+        ctx = pc.if_else(
+            pa.array(pos >= 2),
+            both,
+            pc.if_else(pa.array(pos == 1), l1, pa.scalar("", pa.string())),
+        )
+        return pa.table(
+            {
+                "conv_id": tbl["conv_id"].combine_chunks().take(pa.array(order)),
+                "turn_idx": pa.array(pos, pa.int32()),
+                "context": ctx,
+                "text": text,
+            }
+        )
+
+    return map_partitions_by_key(ds, "conv_id", fn, num_parts=NUM_PARTS)
+
+
+CONV_CONTEXT_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE}
+SELECT conv_id, turn_idx,
+    concat_ws(' ',
+        lag(text, 2) OVER wo,
+        lag(text, 1) OVER wo) AS context,
+    text
+FROM transcripts
+WINDOW wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+"""
+
+
 def q_conv_role_transitions(sf_dir: str):
     """Role-transition structure features: global count and total gap per
     (previous role → role) pair — the conversation-shape fingerprint
@@ -625,6 +686,7 @@ REGISTRY: dict[str, tuple] = {
     "conv_flatten": (q_conv_flatten, CONV_FLATTEN_SQL),
     "conv_role_transitions": (q_conv_role_transitions, CONV_ROLE_TRANSITIONS_SQL),
     "conv_dedup_turns": (q_conv_dedup_turns, CONV_DEDUP_TURNS_SQL),
+    "conv_context_window": (q_conv_context_window, CONV_CONTEXT_SQL),
     "gold_features": (q_gold_features, GOLD_SQL),
     "gold_features_salted": (q_gold_features_salted, GOLD_SQL),
     "rolling_windows": (q_rolling_windows, ROLLING_SQL),

@@ -93,6 +93,62 @@ FROM documents
 """
 
 
+# Gopher-style composite quality rules, all in INTEGER arithmetic so the
+# keep decision is bit-exact: token count in range, mean token length in
+# [3, 10] (as 3·nt <= alpha_len <= 10·nt), and >= 2 stopword hits.
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 10_000
+GOPHER_MIN_MEAN_LEN = 3
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_STOPWORDS = 2
+
+
+def q_docs_gopher_filter(sf_dir: str):
+    """Gopher-rules quality filter (Rae et al. 2021 §A1.1 style): drop
+    documents failing cheap structural rules. Pure streaming filter —
+    zero shuffles, runs at read speed; every rule is integer arithmetic
+    over the existing vectorized quality kernels."""
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        toks = T.tokens_list(text)
+        nt = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
+        nc = np.asarray(pc.utf8_length(text).cast(pa.int64()))
+        alpha = nc - (nt - 1)  # chars excluding the single-space joints
+        stop = T.member_count(toks, T.STOPWORDS)
+        keep = (
+            (nt >= GOPHER_MIN_TOKENS)
+            & (nt <= GOPHER_MAX_TOKENS)
+            & (alpha >= GOPHER_MIN_MEAN_LEN * nt)
+            & (alpha <= GOPHER_MAX_MEAN_LEN * nt)
+            & (stop >= GOPHER_MIN_STOPWORDS)
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "n_tokens": pa.array(nt)}
+        ).filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_GOPHER_SQL = f"""
+WITH m AS (
+    SELECT doc_id, lang,
+        length(string_split(text, ' '))::BIGINT AS n_tokens,
+        (length(text) - (length(string_split(text, ' ')) - 1))::BIGINT
+            AS alpha_len,
+        len(list_filter(string_split(text, ' '), x -> x IN ({{stop}})))::BIGINT
+            AS stop_cnt
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens FROM m
+WHERE n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+  AND alpha_len >= {GOPHER_MIN_MEAN_LEN} * n_tokens
+  AND alpha_len <= {GOPHER_MAX_MEAN_LEN} * n_tokens
+  AND stop_cnt >= {GOPHER_MIN_STOPWORDS}
+""".replace("{stop}", _STOP_IN)
+
+
 def q_docs_token_count(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
@@ -754,6 +810,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_exact_dedup": (q_docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, DOCS_NGRAM_JACCARD_SQL),
     "docs_quality": (q_docs_quality, DOCS_QUALITY_SQL),
+    "docs_gopher_filter": (q_docs_gopher_filter, DOCS_GOPHER_SQL),
     "docs_token_count": (q_docs_token_count, DOCS_TOKEN_COUNT_SQL),
     "docs_langid": (q_docs_langid, DOCS_LANGID_SQL),
     "docs_fingerprint": (q_docs_fingerprint, DOCS_FINGERPRINT_SQL),
