@@ -466,6 +466,61 @@ WINDOW wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
 """
 
 
+ROWS_FRAME = 3  # current row + 2 preceding
+
+
+def q_rolling_rows_window(sf_dir: str):
+    """ROWS-frame rolling aggregate (complement of the RANGE frames in
+    rolling_windows): per conversation, the text-length sum and mean over
+    the last {k} turns (2 PRECEDING .. CURRENT ROW). Segmented
+    prefix-sum difference with a clamp at each conversation's start —
+    O(n), no per-row Python."""
+    ds = read_events_as_transcripts(sf_dir)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "turn_idx": pa.array([], pa.int32()),
+                 "len3_sum": pa.array([], pa.int64()),
+                 "len3_mean": pa.array([], pa.float64())}
+            )
+        order, _k, _ts, seg_start = _conv_order(tbl)
+        pos = _turn_idx(seg_start)
+        tl = np.asarray(
+            pc.utf8_length(tbl["text"].combine_chunks()).cast(pa.int64())
+        )[order]
+        cs = np.concatenate(([0], np.cumsum(tl)))
+        idx = np.arange(len(tl), dtype=np.int64)
+        # frame start: max(row - (F-1), first row of this conversation)
+        seg_first = idx - pos
+        lo = np.maximum(idx - (ROWS_FRAME - 1), seg_first)
+        s = cs[idx + 1] - cs[lo]
+        n = (idx - lo + 1).astype(np.float64)
+        return pa.table(
+            {
+                "conv_id": tbl["conv_id"].combine_chunks().take(pa.array(order)),
+                "turn_idx": pa.array(pos, pa.int32()),
+                "len3_sum": pa.array(s, pa.int64()),
+                "len3_mean": pa.array(s.astype(np.float64) / n, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "conv_id", fn, num_parts=NUM_PARTS)
+
+
+ROLLING_ROWS_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE}
+SELECT conv_id, turn_idx,
+    CAST(sum(length(text)) OVER w AS BIGINT) AS len3_sum,
+    CAST(sum(length(text)) OVER w AS DOUBLE)
+        / count(*) OVER w AS len3_mean
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+             ROWS BETWEEN {ROWS_FRAME - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_conv_role_transitions(sf_dir: str):
     """Role-transition structure features: global count and total gap per
     (previous role → role) pair — the conversation-shape fingerprint
@@ -687,6 +742,7 @@ REGISTRY: dict[str, tuple] = {
     "conv_role_transitions": (q_conv_role_transitions, CONV_ROLE_TRANSITIONS_SQL),
     "conv_dedup_turns": (q_conv_dedup_turns, CONV_DEDUP_TURNS_SQL),
     "conv_context_window": (q_conv_context_window, CONV_CONTEXT_SQL),
+    "rolling_rows_window": (q_rolling_rows_window, ROLLING_ROWS_SQL),
     "gold_features": (q_gold_features, GOLD_SQL),
     "gold_features_salted": (q_gold_features_salted, GOLD_SQL),
     "rolling_windows": (q_rolling_windows, ROLLING_SQL),

@@ -871,6 +871,49 @@ def q_join_multiway(sf_dir: str):
     )
 
 
+def q_events_union(sf_dir: str):
+    """Explicit ``Dataset.union``: two independently filtered/pruned
+    streams concatenated lazily (no shuffle — union of block lists),
+    then a combiner-pattern count per type. The multi-source ingestion
+    shape (e.g. two landing zones feeding one silver build)."""
+    from ray.data.aggregate import Sum
+
+    def side(ev_type: str):
+        return read_parquet_sized(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(
+            lambda t, et=ev_type: t.filter(pc.equal(t["event_type"], et)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    u = side("purchase").union(side("signup"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("value", "count")])
+        return g.rename_columns(["event_type", "pn"])
+
+    out = u.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = out.groupby("event_type").aggregate(Sum("pn", alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"event_type": t["event_type"], "n": t["n"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_UNION_SQL = """
+SELECT event_type, count(*)::BIGINT AS n
+FROM (
+    SELECT event_type FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_type FROM events WHERE event_type = 'signup'
+)
+GROUP BY 1
+"""
+
+
 def q_brand_revenue(sf_dir: str):
     """Revenue per part brand (lineitem ⋈ part, TPC-H Q14 shape): part is
     a true dimension that SCALES with the corpus, so it joins through the
@@ -979,6 +1022,7 @@ REGISTRY: dict[str, tuple] = {
     "join_shuffle": (q_join_shuffle, JOIN_SHUFFLE_SQL),
     "join_multiway": (q_join_multiway, JOIN_MULTIWAY_SQL),
     "brand_revenue": (q_brand_revenue, BRAND_REVENUE_SQL),
+    "events_union": (q_events_union, EVENTS_UNION_SQL),
     "events_distinct_users": (q_events_distinct_users, EVENTS_DISTINCT_SQL),
     "events_windowed": (q_events_windowed, EVENTS_WINDOWED_SQL),
     "events_hopping": (q_events_hopping, EVENTS_HOPPING_SQL),
