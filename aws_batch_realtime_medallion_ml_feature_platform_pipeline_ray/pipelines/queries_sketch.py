@@ -264,14 +264,24 @@ def q_docs_heavy_tokens(sf_dir: str):
     )
     merged = sketches.groupby("term").aggregate(
         Sum("c", alias_name="mc"), Sum("n_tok", alias_name="nt")
+    ).materialize()  # bounded: <= MG_K x blocks rows, stays distributed
+    n_total = int(merged.sum("nt"))
+    # candidate cut runs DISTRIBUTED: survive if the merged count could
+    # still reach threshold (threshold = ceil(N/denom); max underestimate
+    # = N/MG_K = thr/2). Since merged counts sum to <= N, at most
+    # 2*HH_DENOM candidates exist — the driver collect is O(1), never
+    # O(blocks), at any corpus size.
+    cut = np.int64(2 * HH_DENOM)
+    cand_ds = merged.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(
+                pc.multiply(t["mc"].cast(pa.int64()), pa.scalar(cut, pa.int64())),
+                pa.scalar(n_total, pa.int64()),
+            )
+        ).select(["term"]),
+        batch_format="pyarrow",
     )
-    # merged summary is <= MG_K x blocks rows; one more MG reduction +
-    # the candidate cut happens on the driver over this SMALL table
-    mt = merged.to_pandas()
-    n_total = int(mt["nt"].sum())
-    # candidate cut: survive if merged count could still reach threshold
-    # (threshold = ceil(N/denom); max underestimate = N/MG_K = thr/2)
-    cand = mt[mt["mc"].to_numpy() * np.int64(HH_DENOM) * 2 >= n_total]
+    cand = cand_ds.to_pandas()
     cand_ref = ray.put(pa.array(cand["term"].to_numpy(object), pa.string()))
 
     def exact_partial(t: pa.Table) -> pa.Table:
