@@ -41,6 +41,7 @@ from .. import schema as S
 from ..stages.featurize import GoldConfig, dedup_first, gold_features_partition
 from ..stages.keyed import PART_COL, add_partition_col
 from ..state import manifest as M
+from ..state import feature_put as FP
 from ..sources.reads import read_parquet_sized
 
 RUN_STAGE_SILVER = "silver"
@@ -207,6 +208,12 @@ def run_stream(
         gold_files = write_gold_partition(
             gold_tbl, os.path.join(gold_root, f"part={key}")
         )
+
+        # ---- online: latest feature row per conv (S7 upsert semantics),
+        # validated + retried with success/error tallies (S8) ------------
+        online_tbl = latest_per_conv(gold_tbl)
+        put = FP.put_partition(online_tbl, online_root, key, run_id=run_id)
+
         M.write_manifest(
             gold_root,
             M.PartitionManifest(
@@ -217,13 +224,11 @@ def run_stream(
                 rows_out=gold_tbl.num_rows,
                 wall_s=time.perf_counter() - t1,
                 files=gold_files,
+                extra={
+                    "put_success": put["success"],
+                    "put_errors": put["errors"],
+                },
             ),
-        )
-
-        # ---- online: latest feature row per conv (S7 upsert semantics) --
-        online_tbl = latest_per_conv(gold_tbl)
-        M.atomic_write_table(
-            online_tbl, os.path.join(online_root, f"part={key}", "data.parquet")
         )
 
         return pa.table(
@@ -256,6 +261,7 @@ def run_stream(
         partitions=len(stats),
         silver=M.summarize(silver_ms),
         gold=M.summarize(gold_ms),
+        online=FP.summarize_puts(gold_ms),
     )
     run_manifest = os.path.join(out_root, f"run-{run_id}.json")
     with open(run_manifest, "w") as f:

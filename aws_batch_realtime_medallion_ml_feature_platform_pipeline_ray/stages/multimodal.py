@@ -254,6 +254,79 @@ FROM s
 """
 
 
+class MediaFrameSampler:
+    """Actor-pool frame-sample stage (the video/audio frame-extraction
+    analog): EXPLODES each media item into one output row per sampled
+    frame — ``frame_idx = 0, stride, 2·stride, …  < est_frames`` — the
+    flat-map shape a real frame sampler has (one input row → many frame
+    rows). A real implementation hands each frame's bytes to a decoder;
+    that decoder is stubbed (:func:`decode_real`), so the deterministic
+    stand-in treats each ``FRAME_BYTES``-sized payload slice as a frame
+    and emits its offset, length and byte checksum. Fully vectorized:
+    the explode is a ``repeat``/``arange`` index build and the per-frame
+    checksums are one interleaved ``reduceat`` over the shared Arrow
+    data buffer — no per-row loop, payload buffers stay zero-copy."""
+
+    def __init__(self, stride: int = 4, use_real_decoder: bool = False):
+        if use_real_decoder:  # pragma: no cover - stub gate
+            self.decoder = decode_real("video")
+        else:
+            self.decoder = FakeDecoder("frame")
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"].combine_chunks()
+        offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            payload.offset : payload.offset + len(payload) + 1
+        ].astype(np.int64)
+        data_buf = payload.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None
+            else np.zeros(0, dtype=np.uint8)
+        )
+        est = np.asarray(batch["est_frames"].combine_chunks())
+        cnt = (est + self.stride - 1) // self.stride
+        total = int(cnt.sum())
+        n = len(est)
+        row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        row_start = np.cumsum(cnt) - cnt
+        fidx = (np.arange(total, dtype=np.int64) - np.repeat(row_start, cnt)) * self.stride
+        starts = offsets[:-1][row] + fidx * FRAME_BYTES
+        item_end = offsets[1:][row]
+        starts = np.minimum(starts, item_end)
+        ends = np.minimum(starts + FRAME_BYTES, item_end)
+        cks = _range_sums(data, starts, ends)
+        take = pa.array(row)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(take),
+                "kind": batch["kind"].take(take),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame_off": pa.array(fidx * FRAME_BYTES, pa.int64()),
+                "frame_bytes": pa.array(ends - starts, pa.int64()),
+                "frame_checksum": pa.array(cks, pa.int64()),
+            }
+        )
+
+
+def media_frames_pipeline(sf_dir: str, *, concurrency: int = 2, batch_size: int = 64):
+    """documents → media synth → MediaFrameSampler (actor pool): one row
+    per sampled frame, checksums included (hex-expansion DuckDB twin)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    media = ds.map_batches(
+        media_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return media.map_batches(
+        MediaFrameSampler,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
 def media_resize_pipeline(sf_dir: str, *, concurrency: int = 2, batch_size: int = 64):
     """documents → media synth → MediaResizer (actor pool), metadata
     projection only (the oracle-backed query); the resized payload +

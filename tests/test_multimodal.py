@@ -94,3 +94,32 @@ def test_media_resize_payload_matches_reference(ray_session):
         assert out["resized_bytes"][i].as_py() == len(ref)
         assert out["resized_payload"][i].as_py() == ref
         assert out["resized_checksum"][i].as_py() == sum(ref)
+
+
+def test_frame_sampler_matches_python(ray_session):
+    import pyarrow as pa
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.multimodal import (
+        FRAME_BYTES,
+        MediaFrameSampler,
+    )
+
+    texts = ["hello", "", "é" * 3000, "x" * (FRAME_BYTES * 3), "abc" * 900]
+    docs = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+    media = media_from_documents(docs)
+    out = MediaFrameSampler(stride=2)(media).to_pandas()
+    # pure-Python reference: explode each payload into stride-sampled frames
+    want = []
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        est = len(raw) // FRAME_BYTES + 1
+        for f in range(0, est, 2):
+            seg = raw[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+            want.append((i, f, f * FRAME_BYTES, len(seg), sum(seg)))
+    got = list(
+        out[["doc_id", "frame_idx", "frame_off", "frame_bytes", "frame_checksum"]]
+        .sort_values(["doc_id", "frame_idx"])
+        .itertuples(index=False, name=None)
+    )
+    assert got == sorted(want)
