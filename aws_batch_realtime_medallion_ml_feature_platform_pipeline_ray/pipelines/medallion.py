@@ -292,13 +292,23 @@ def write_gold_partition(gold_tbl: pa.Table, part_dir: str) -> list[str]:
         order = np.argsort(codes, kind="stable")
         sorted_tbl = gold_tbl.take(pa.array(order))
         counts = np.bincount(codes, minlength=len(dts))
-        start = 0
-        for i, dt in enumerate(dts):
+        # per-dt writes are independent; parquet encode/IO releases the
+        # GIL, so a small thread pool overlaps the many per-day files one
+        # partition produces (days dominate wall time at fine dt grain)
+        from concurrent.futures import ThreadPoolExecutor
+
+        starts = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+        def write_one(i_dt):
+            i, dt = i_dt
             f = os.path.join(part_dir, f"dt={dt}", "data.parquet")
-            M.atomic_write_table(sorted_tbl.slice(start, int(counts[i])), f)
-            start += int(counts[i])
-            new_files.append(f)
-            new_dts.add(str(dt))
+            M.atomic_write_table(sorted_tbl.slice(int(starts[i]), int(counts[i])), f)
+            return f, str(dt)
+
+        with ThreadPoolExecutor(max_workers=min(8, len(dts))) as ex:
+            for f, dt in ex.map(write_one, enumerate(dts)):
+                new_files.append(f)
+                new_dts.add(dt)
     legacy = os.path.join(part_dir, "data.parquet")
     if os.path.exists(legacy):
         os.remove(legacy)
