@@ -1001,6 +1001,78 @@ GROUP BY 1
 """
 
 
+SKEW_HOT_THRESHOLD = 68  # per-user event counts are ~49-88 at every sf,
+# so this fixed cut routes roughly half the keys down EACH path — the
+# query exercises broadcast + shuffle + union in one oracle-checked run.
+
+
+def q_skew_join(sf_dir: str):
+    """Skew-aware events x customer join: heavy-hitter users broadcast,
+    the cold tail co-partition-shuffled (stages/skewjoin.py). Identical
+    inner-join semantics to a single-path join for any hot/cold split,
+    so the SQL oracle is the plain join."""
+    from ..sources.reads import read_parquet_sized
+    from ..stages.skewjoin import skew_aware_join
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).map_batches(
+        lambda t: t.rename_columns(["user_id", "c_name", "c_mktsegment"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("c_name", pa.string()),
+            ("c_mktsegment", pa.string()),
+        ]
+    )
+
+    def join(lp: pa.Table, rp: pa.Table) -> pa.Table:
+        if lp.num_rows == 0 or rp.num_rows == 0:
+            return schema.empty_table()
+        rk = np.asarray(rp["user_id"].combine_chunks())
+        order = np.argsort(rk)
+        rk_s = rk[order]
+        lk = np.asarray(lp["user_id"].combine_chunks())
+        pos = np.minimum(np.searchsorted(rk_s, lk), len(rk_s) - 1)
+        hit = rk_s[pos] == lk
+        out = lp.select(["event_id", "user_id", "event_type", "value"]).take(
+            pa.array(np.flatnonzero(hit))
+        )
+        sel_r = pa.array(order[pos[hit]])
+        for c in ("c_name", "c_mktsegment"):
+            out = out.append_column(c, rp[c].combine_chunks().take(sel_r))
+        return out.cast(schema)
+
+    return skew_aware_join(
+        events,
+        cust,
+        "user_id",
+        join,
+        num_parts=32,
+        hot_threshold=SKEW_HOT_THRESHOLD,
+    )
+
+
+SKEW_JOIN_SQL = """
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       c.c_name, c.c_mktsegment
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 JOIN_MULTIWAY_SQL = f"""
 SELECT n_name,
        count(*)::BIGINT AS n_items,
@@ -1021,6 +1093,7 @@ GROUP BY 1
 REGISTRY: dict[str, tuple] = {
     "join_shuffle": (q_join_shuffle, JOIN_SHUFFLE_SQL),
     "join_multiway": (q_join_multiway, JOIN_MULTIWAY_SQL),
+    "skew_join": (q_skew_join, SKEW_JOIN_SQL),
     "brand_revenue": (q_brand_revenue, BRAND_REVENUE_SQL),
     "events_union": (q_events_union, EVENTS_UNION_SQL),
     "events_distinct_users": (q_events_distinct_users, EVENTS_DISTINCT_SQL),
