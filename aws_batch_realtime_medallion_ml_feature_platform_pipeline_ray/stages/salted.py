@@ -462,7 +462,9 @@ def _apply_corrections(batch: pa.Table, corr: pd.DataFrame, compute_turn_idx: bo
             n_real = np.where(hit, j["n_real"].fillna(0).to_numpy(np.int64), 0)
             prev_last = j["prev_last_ts"].to_numpy(dtype=object)
             next_first = j["next_first_ts"].to_numpy(dtype=object)
-            no_prefix = j["no_prefix"].fillna(False).to_numpy(bool)
+            no_prefix = j["no_prefix"].notna().to_numpy() & j[
+                "no_prefix"
+            ].to_numpy(dtype=object).astype(bool)
 
             sid = np.where(hit, b_prior + b - 1, sid)
             lead_run = hit & (b == 0)
