@@ -295,7 +295,112 @@ FROM t
 """
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Distributed covariance matrix of the embedding columns — the
+    second-moment building block of PCA / whitening / Mahalanobis
+    scoring.
+
+    Scale shape: each batch collapses to one 64x64 Gram partial
+    (``mat.T @ mat`` — a single BLAS call) plus per-dim sums, emitted as
+    O(d^2) rows; ONE tiny keyed exchange folds partials and the final
+    single-block pass applies the covariance formula. The vector stream
+    itself never shuffles — bytes moved are O(batches x d^2), constant
+    in corpus size per batch. ROUND(,6) absorbs summation-order ULP
+    (same contract as ``embedding_centroids``)."""
+    import numpy as np
+
+    from ..sources.reads import read_parquet_sized
+    from ..stages.keyed import map_partitions_by_key
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        offs = np.asarray(emb.offsets)
+        dims = np.diff(offs)
+        empty = pa.table(
+            {"i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
+             "s": pa.array([], pa.float64())}
+        )
+        if len(dims) == 0:
+            return empty
+        d = int(dims[0])
+        if not (dims == d).all():
+            raise ValueError("ragged embedding lengths")
+        mat = np.asarray(emb.flatten()).astype(np.float64).reshape(-1, d)
+        gram = mat.T @ mat
+        iu, ju = np.triu_indices(d)
+        colsum = mat.sum(axis=0)
+        # pair rows (1-based dims), per-dim sum rows (j=-1), count row
+        i = np.concatenate([iu + 1, np.arange(1, d + 1), [-1]])
+        j = np.concatenate([ju + 1, np.full(d, -1), [-1]])
+        s = np.concatenate([gram[iu, ju], colsum, [float(mat.shape[0])]])
+        return pa.table(
+            {"i": pa.array(i, pa.int64()), "j": pa.array(j, pa.int64()),
+             "s": pa.array(s, pa.float64())}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(part: pa.Table) -> pa.Table:
+        g = part.group_by(["i", "j"]).aggregate([("s", "sum")])
+        return g.rename_columns(["i", "j", "s"])
+
+    merged = map_partitions_by_key(partials, "i", fold, num_parts=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        i = np.asarray(t["i"].combine_chunks())
+        j = np.asarray(t["j"].combine_chunks())
+        s = np.asarray(t["s"].combine_chunks())
+        n = float(s[(i == -1) & (j == -1)][0])
+        dim_rows = (j == -1) & (i != -1)
+        sx = np.zeros(int(i[~((j == -1))].max()) + 1)
+        sx[i[dim_rows]] = s[dim_rows]
+        pair = (j != -1)
+        pi, pj, ps = i[pair], j[pair], s[pair]
+        cov = (ps - sx[pi] * sx[pj] / n) / n
+        order = np.lexsort((pj, pi))
+        return pa.table(
+            {
+                "i": pa.array(pi[order], pa.int64()),
+                "j": pa.array(pj[order], pa.int64()),
+                "cov": pc.round(
+                    pa.array(cov[order], pa.float64()),
+                    ndigits=6,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH e AS (
+    SELECT vec_id,
+           CAST(unnest(embedding) AS DOUBLE) AS v,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+)
+SELECT a.dim::BIGINT AS i, b.dim::BIGINT AS j,
+       ROUND((sum(a.v * b.v) - sum(a.v) * sum(b.v) / count(*))
+             / count(*), 6) AS cov
+FROM e a JOIN e b USING (vec_id)
+WHERE a.dim <= b.dim
+GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "embedding_covariance": (q_embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "knn": (q_knn, KNN_SQL),
     "knn_ivf": (q_knn_ivf, KNN_SQL),

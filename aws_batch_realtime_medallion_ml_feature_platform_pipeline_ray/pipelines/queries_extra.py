@@ -825,7 +825,31 @@ FROM s JOIN p USING (user_id)
 """
 
 
+def q_docs_global_rank(sf_dir: str):
+    """Exact global row number over a total order: Ray Data's
+    range-partitioned sort + the O(#blocks) block-offset scan
+    (stages/globalorder.py). The rank VALUES encode the global order, so
+    the driver's order-insensitive hash still verifies the sort."""
+    from ..sources.reads import read_parquet_sized
+    from ..stages.globalorder import with_global_rank
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return with_global_rank(
+        docs, ["n_chars", "doc_id"], descending=[True, False]
+    )
+
+
+DOCS_GLOBAL_RANK_SQL = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id)::BIGINT AS rnk
+FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "docs_global_rank": (q_docs_global_rank, DOCS_GLOBAL_RANK_SQL),
     "events_funnel": (q_events_funnel, EVENTS_FUNNEL_SQL),
     "docs_tfidf_top_terms": (q_docs_tfidf_top_terms, DOCS_TFIDF_SQL),
     "docs_commonness": (q_docs_commonness, DOCS_COMMONNESS_SQL),
