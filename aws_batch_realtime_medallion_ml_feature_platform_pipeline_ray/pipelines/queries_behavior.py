@@ -209,7 +209,91 @@ FROM h
 """
 
 
+def q_events_scd2(sf_dir: str):
+    """SCD-Type-2 history build: collapse each user's event stream to
+    validity intervals of the *current* event_type — one row per change,
+    with ``valid_from``/``valid_to`` (NULL while current). The history
+    sibling of the online store's keep-latest upsert (reference
+    feature_store/ingest_features.py keeps only the newest record per
+    key; SCD2 is what a training pipeline needs to reconstruct any
+    point-in-time state without leakage).
+
+    Scale shape: ONE keyed exchange on ``user_id`` (the engine's shared
+    hash partitioning), then a fused segmented pass per partition:
+    lexsort, dictionary-encoded change detection, and a shifted-array
+    lead for ``valid_to`` — no per-row Python, no window shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.keyed import map_partitions_by_key
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+
+    def scd2_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "valid_from": pa.array([], pa.timestamp("us")),
+                "valid_to": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks())
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        code = np.asarray(enc.indices).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, code = uid[order], ts[order], code[order]
+        head = np.concatenate(([True], uid[1:] != uid[:-1]))
+        change = head | np.concatenate(([True], code[1:] != code[:-1]))
+        ku, kt, kc = uid[change], ts[change], code[change]
+        # lead(ts) within user over the kept rows
+        nxt = np.concatenate((kt[1:], [0]))
+        same_user = np.concatenate((ku[1:] == ku[:-1], [False]))
+        valid_to = pa.array(
+            np.where(same_user, nxt, 0).view("datetime64[us]"),
+            pa.timestamp("us"),
+            mask=~same_user,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(ku, pa.int64()),
+                "event_type": enc.dictionary.take(pa.array(kc)).cast(
+                    pa.string()
+                ),
+                "valid_from": pa.array(
+                    kt.view("datetime64[us]"), pa.timestamp("us")
+                ),
+                "valid_to": valid_to,
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", scd2_part, num_parts=32)
+
+
+EVENTS_SCD2_SQL = """
+WITH o AS (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev
+    FROM events
+),
+c AS (
+    SELECT user_id, ts, event_type FROM o
+    WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+FROM c
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_retention": (q_events_retention, EVENTS_RETENTION_SQL),
     "events_time_cyclical": (q_events_time_cyclical, EVENTS_TIME_CYCLICAL_SQL),
+    "events_scd2": (q_events_scd2, EVENTS_SCD2_SQL),
 }
