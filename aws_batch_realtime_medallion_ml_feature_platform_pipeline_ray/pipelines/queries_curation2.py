@@ -374,7 +374,98 @@ FROM n
 """
 
 
+MIXTURE_BUDGET = 800  # tokens per source (~55% of the fixture's per-source mass)
+
+
+def q_docs_mixture_budget(sf_dir: str):
+    """Data-mixture construction: cap every source (domain) at a fixed
+    token budget, keeping its highest-priority documents first
+    (longest-first with doc_id tiebreak here; the priority key is a
+    parameter). This is the per-domain token-quota step of training-
+    mixture recipes — distinct from a count cap (``docs_topk_per_lang``)
+    and from global contiguous sharding (``docs_pack_bins``).
+
+    Scale shape: per-batch token counts ride with (doc_id, source) —
+    the text itself never shuffles; ONE source-keyed exchange co-locates
+    each domain, then a segmented sort + per-segment cumulative sum
+    takes the budgeted prefix. Output is (doc, tokens, cumulative) so
+    the cut is auditable."""
+    from ..functions.text import token_count
+
+    docs = _docs(sf_dir, columns=["doc_id", "source", "n_chars", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_chars": t["n_chars"],
+                "n_tok": pa.array(
+                    token_count(t["text"].combine_chunks()), pa.int64()
+                ),
+            }
+        )
+
+    slim = docs.map_batches(tokens, batch_format="pyarrow", zero_copy_batch=True)
+
+    def budget_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_tok": pa.array([], pa.int64()),
+                "cum_tok": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        enc = pc.dictionary_encode(t["source"].combine_chunks())
+        src = np.asarray(enc.indices).astype(np.int64)
+        did = np.asarray(t["doc_id"].combine_chunks())
+        nch = np.asarray(t["n_chars"].combine_chunks())
+        ntk = np.asarray(t["n_tok"].combine_chunks())
+        order = np.lexsort((did, -nch, src))
+        src, did, ntk = src[order], did[order], ntk[order]
+        head = np.concatenate(([True], src[1:] != src[:-1]))
+        cum = np.cumsum(ntk)
+        seg_base = np.where(head, cum - ntk, 0)
+        np.maximum.accumulate(seg_base, out=seg_base)
+        cum = cum - seg_base  # per-segment inclusive running total
+        keep = cum <= MIXTURE_BUDGET
+        sel = pa.array(order[keep])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().take(sel),
+                "source": t["source"].combine_chunks().take(sel),
+                "n_tok": pa.array(ntk[keep], pa.int64()),
+                "cum_tok": pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(slim, "source", budget_part, num_parts=NUM_PARTS)
+
+
+DOCS_MIXTURE_BUDGET_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, source, n_chars,
+           length(string_split(text, ' '))::BIGINT AS n_tok
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source, n_tok,
+           sum(n_tok) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS UNBOUNDED PRECEDING
+           )::BIGINT AS cum_tok
+    FROM tok
+)
+SELECT doc_id, source, n_tok, cum_tok
+FROM r WHERE cum_tok <= {MIXTURE_BUDGET}
+"""
+
+
 REGISTRY = {
+    "docs_mixture_budget": (q_docs_mixture_budget, DOCS_MIXTURE_BUDGET_SQL),
     "docs_repetition": (q_docs_repetition, DOCS_REPETITION_SQL),
     "docs_decontam": (q_docs_decontam, DOCS_DECONTAM_SQL),
     "events_json_extract": (q_events_json_extract, EVENTS_JSON_EXTRACT_SQL),
