@@ -321,29 +321,37 @@ def q_agg_pushdown(sf_dir: str):
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("p_qty", alias_name="sum_qty"),
-        Sum("p_price", alias_name="sum_price"),
-        Sum("p_disc", alias_name="s_disc"),
-        Sum("p_n", alias_name="n_rows"),
-    )
 
+    # the partial stream is O(batches x groups) tiny rows with a
+    # low-cardinality key — merge it with a narrow repartition(1) + one
+    # in-task fold (the HLL pattern) instead of a sort-shuffle groupby,
+    # whose coordination floor (~8 s at 32 CPUs) dwarfs the payload
     def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("p_qty", "sum"),
+                ("p_price", "sum"),
+                ("p_disc", "sum"),
+                ("p_n", "sum"),
+            ]
+        )
         return pa.table(
             {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "sum_qty": pc.round(t["sum_qty"], ndigits=6),
-                "sum_price": pc.cast(pc.round(t["sum_price"], ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": pc.round(g["p_qty_sum"], ndigits=6),
+                "sum_price": pc.cast(pc.round(g["p_price_sum"], ndigits=0, round_mode="half_towards_infinity"), pa.int64()),
                 "avg_disc": pc.round(
-                    pc.divide(t["s_disc"], pc.cast(t["n_rows"], pa.float64())),
+                    pc.divide(g["p_disc_sum"], pc.cast(g["p_n_sum"], pa.float64())),
                     ndigits=6,
                 ),
-                "n_rows": t["n_rows"],
+                "n_rows": g["p_n_sum"],
             }
         )
 
-    return final.map_batches(finish, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
 
 
 AGG_PUSHDOWN_SQL = """
