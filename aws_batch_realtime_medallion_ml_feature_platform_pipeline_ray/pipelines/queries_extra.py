@@ -825,6 +825,48 @@ FROM s JOIN p USING (user_id)
 """
 
 
+SN_WINDOW = 3  # sorted-neighborhood sliding-window size
+
+
+def q_docs_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood dedup blocking: candidate pairs whose global
+    ranks (by the blocking key ``(n_chars, doc_id)``) differ by at most
+    {w} — the classic windowed alternative to LSH banding for entity
+    resolution. Global rank via the range-partitioned sort, pairs via a
+    bucket-keyed exchange with overlap-prefix copies (each pair emitted
+    exactly once by the bucket owning its left row).""".format(w=SN_WINDOW)
+    from ..sources.reads import read_parquet_sized
+    from ..stages.globalorder import neighbor_pairs, with_global_rank
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    ranked = with_global_rank(
+        docs, ["n_chars", "doc_id"], descending=[False, False]
+    )
+    # bucket_size 64 so multi-bucket partitions + overlap copies are
+    # exercised even at the smallest fixture
+    return neighbor_pairs(
+        ranked,
+        rank_col="rnk",
+        window=SN_WINDOW,
+        carry_cols=["doc_id"],
+        bucket_size=64,
+        num_parts=NUM_PARTS,
+    )
+
+
+DOCS_SORTED_NEIGHBORHOOD_SQL = f"""
+WITH r AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+    FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {SN_WINDOW}
+"""
+
+
 def q_docs_global_rank(sf_dir: str):
     """Exact global row number over a total order: Ray Data's
     range-partitioned sort + the O(#blocks) block-offset scan
@@ -850,6 +892,10 @@ FROM documents
 
 REGISTRY: dict[str, tuple] = {
     "docs_global_rank": (q_docs_global_rank, DOCS_GLOBAL_RANK_SQL),
+    "docs_sorted_neighborhood": (
+        q_docs_sorted_neighborhood,
+        DOCS_SORTED_NEIGHBORHOOD_SQL,
+    ),
     "events_funnel": (q_events_funnel, EVENTS_FUNNEL_SQL),
     "docs_tfidf_top_terms": (q_docs_tfidf_top_terms, DOCS_TFIDF_SQL),
     "docs_commonness": (q_docs_commonness, DOCS_COMMONNESS_SQL),

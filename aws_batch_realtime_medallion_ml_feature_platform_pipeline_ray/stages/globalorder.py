@@ -98,3 +98,108 @@ def with_global_rank(
     return s.map_batches(
         add_rank, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def neighbor_pairs(
+    ranked,
+    *,
+    rank_col: str,
+    window: int,
+    carry_cols: list[str],
+    bucket_size: int = 4096,
+    num_parts: int = 32,
+):
+    """Sorted-neighborhood candidate pairs: every (a, b) whose global
+    ranks differ by 1..``window``.
+
+    The blocking step of sorted-neighborhood entity resolution (Monge &
+    Elkan's classic alternative to LSH banding): sort by a blocking key,
+    then only compare records inside a sliding window of the total
+    order. Combined with :func:`with_global_rank` this is fully
+    distributed: rows are hash-exchanged by ``rank // bucket_size``,
+    rows within ``window`` of a bucket's start are ALSO copied into the
+    previous bucket (the same overlap-prefix trick as the salted window
+    shards, stages/salted.py), and each partition emits its pairs from a
+    plain shifted-array zip — every pair produced exactly once because
+    only the bucket that OWNS the left row emits it.
+
+    Requires ``window < bucket_size``. Output columns:
+    ``<c>_a`` / ``<c>_b`` for every carry column.
+    """
+    import pyarrow.compute as pc
+
+    from .keyed import map_partitions_by_key
+
+    if window >= bucket_size:
+        raise ValueError("window must be < bucket_size")
+
+    def tag(t: pa.Table):
+        import numpy as np
+
+        rnk = np.asarray(t[rank_col].combine_chunks())
+        bucket = (rnk - 1) // bucket_size
+        own = t.append_column("__bkt", pa.array(bucket, pa.int64()))
+        dup = (rnk - 1) % bucket_size < window
+        dup &= bucket > 0
+        copies = t.filter(pa.array(dup)).append_column(
+            "__bkt", pa.array(bucket[dup] - 1, pa.int64())
+        )
+        return pa.concat_tables([own, copies])
+
+    tagged_cols = carry_cols + [rank_col]
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out_schema = pa.schema(
+            [(f"{c}_a", t.schema.field(c).type) for c in carry_cols]
+            + [(f"{c}_b", t.schema.field(c).type) for c in carry_cols]
+        )
+        n = t.num_rows
+        if n < 2:
+            return out_schema.empty_table()
+        rnk = np.asarray(t[rank_col].combine_chunks())
+        bkt_all = np.asarray(t["__bkt"].combine_chunks())
+        own_all = (rnk - 1) // bucket_size == bkt_all
+        # a row can be present twice (own + overlap copy) when adjacent
+        # buckets hash to the same partition — dedup by rank, preferring
+        # the owner copy, so index offset == rank offset below
+        order = np.lexsort((~own_all, rnk))
+        rs = rnk[order]
+        keep = np.concatenate(([True], rs[1:] != rs[:-1]))
+        order = order[keep]
+        srt = t.take(pa.array(order))
+        rs = rs[keep]
+        owner = own_all[order]
+        n = srt.num_rows
+        if n < 2:
+            return out_schema.empty_table()
+        cols: dict[str, list] = {f.name: [] for f in out_schema}
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            la = np.arange(0, n - d)
+            rb = la + d
+            ok = owner[la] & (rs[rb] - rs[la] == d)
+            sel_a, sel_b = pa.array(la[ok]), pa.array(rb[ok])
+            for c in carry_cols:
+                col = srt[c].combine_chunks()
+                cols[f"{c}_a"].append(col.take(sel_a))
+                cols[f"{c}_b"].append(col.take(sel_b))
+        return pa.table(
+            {
+                name: pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in chunks]
+                )
+                if chunks
+                else pa.array([], out_schema.field(name).type)
+                for name, chunks in cols.items()
+            }
+        ).cast(out_schema)
+
+    slim = ranked.map_batches(
+        lambda t: t.select(tagged_cols), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return map_partitions_by_key(slim, "__bkt", pairs_part, num_parts=num_parts)

@@ -33,6 +33,33 @@ def _rank_check(n, descending, seed):
     assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
 
 
+def test_neighbor_pairs_exact_with_cohashed_buckets(ray_session):
+    """num_parts=2 forces many buckets per partition, so rows present as
+    both owner and overlap copy in one partition are exercised."""
+    import ray.data as rd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.globalorder import (
+        neighbor_pairs,
+    )
+
+    n, w, b = 5_000, 4, 32
+    rng = np.random.default_rng(5)
+    ids = rng.permutation(n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"id": ids})).repartition(16)
+    ranked = with_global_rank(ds, ["id"], descending=[False])
+    pairs = neighbor_pairs(
+        ranked, rank_col="rnk", window=w, carry_cols=["id"],
+        bucket_size=b, num_parts=2,
+    ).to_pandas()
+    # expected: ids sorted ascending = 0..n-1; pair (a, a+d) for d<=w
+    exp = set()
+    for d in range(1, w + 1):
+        exp.update(zip(range(0, n - d), range(d, n)))
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert len(pairs) == len(got), "duplicate pairs emitted"
+    assert got == exp
+
+
 def test_global_rank_multiblock_desc(ray_session):
     _rank_check(20_000, True, 3)
 
