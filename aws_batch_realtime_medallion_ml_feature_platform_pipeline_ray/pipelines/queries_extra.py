@@ -825,6 +825,60 @@ FROM s JOIN p USING (user_id)
 """
 
 
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_events_value_quantiles(sf_dir: str):
+    """EXACT global percentiles of a high-cardinality double column
+    (nearest-rank definition) — the unbounded-domain complement of the
+    bounded-histogram grouped quantiles (`docs_len_quantiles`): global
+    rank via the range-partitioned sort, then a distributed filter to
+    the O(#qs) target ranks. N comes from the parquet footer (no data
+    read)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.reads import read_parquet_sized
+    from ..stages.globalorder import with_global_rank
+
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    targets = {
+        1 + int(np.floor(q * (n - 1))): q for q in QUANTILE_QS
+    }  # rank -> q (distinct at any n >= ~100)
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    ranked = with_global_rank(
+        ev, ["value", "event_id"], descending=[False, False]
+    )
+    tgt = pa.array(sorted(targets), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.is_in(t["rnk"], value_set=tgt))
+        qs = pa.array(
+            [targets[r] for r in np.asarray(hit["rnk"].combine_chunks())],
+            pa.float64(),
+        )
+        return pa.table({"q": qs, "value": hit["value"]})
+
+    return ranked.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+EVENTS_VALUE_QUANTILES_SQL = f"""
+WITH r AS (
+    SELECT value,
+           row_number() OVER (ORDER BY value, event_id) AS rnk
+    FROM events
+),
+n AS (SELECT count(*)::BIGINT AS c FROM events)
+SELECT t.q, r.value
+FROM (VALUES {', '.join(f'({q})' for q in QUANTILE_QS)}) t(q)
+CROSS JOIN n
+JOIN r ON r.rnk = 1 + CAST(floor(t.q * (n.c - 1)) AS BIGINT)
+"""
+
+
 SN_WINDOW = 3  # sorted-neighborhood sliding-window size
 
 
@@ -892,6 +946,10 @@ FROM documents
 
 REGISTRY: dict[str, tuple] = {
     "docs_global_rank": (q_docs_global_rank, DOCS_GLOBAL_RANK_SQL),
+    "events_value_quantiles": (
+        q_events_value_quantiles,
+        EVENTS_VALUE_QUANTILES_SQL,
+    ),
     "docs_sorted_neighborhood": (
         q_docs_sorted_neighborhood,
         DOCS_SORTED_NEIGHBORHOOD_SQL,
