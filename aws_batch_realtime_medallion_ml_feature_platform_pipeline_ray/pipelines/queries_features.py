@@ -484,6 +484,72 @@ SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY ROLLUP (event_type, d)
 """
 
+
+def q_events_cube(sf_dir: str):
+    """CUBE(event_type, dow) counts — the full grouping-sets lattice
+    (ROLLUP's sibling). Same scale shape as the rollup: the stream
+    collapses to O(types x 7) finest-grain partials in ONE small
+    groupby; the other three grains are derived from the finest on the
+    driver (tiny by construction), never by re-scanning the stream."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # ISO dow 1..7 to match DuckDB's isodow()
+        dow = pc.add(
+            pc.day_of_week(t["ts"].combine_chunks(), count_from_zero=True),
+            pa.scalar(1, pa.int64()),
+        ).cast(pa.int64())
+        g = (
+            pa.table({"event_type": t["event_type"], "dow": dow})
+            .group_by(["event_type", "dow"])
+            .aggregate([("dow", "count")])
+        )
+        return g.rename_columns(["event_type", "dow", "p_n"])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .take_all()
+    )  # O(types x 7)
+    et = [r["event_type"] for r in fine]
+    dw = [int(r["dow"]) for r in fine]
+    nn = [int(r["n"]) for r in fine]
+    by_type: dict[str, int] = {}
+    by_dow: dict[int, int] = {}
+    for e, d, n in zip(et, dw, nn):
+        by_type[e] = by_type.get(e, 0) + n
+        by_dow[d] = by_dow.get(d, 0) + n
+    rows_et = sorted(by_type)
+    rows_dw = sorted(by_dow)
+    return pa.table(
+        {
+            "event_type": pa.array(
+                et + rows_et + [None] * (len(rows_dw) + 1), pa.string()
+            ),
+            "dow": pa.array(
+                dw + [None] * len(rows_et) + rows_dw + [None], pa.int64()
+            ),
+            "n": pa.array(
+                nn
+                + [by_type[e] for e in rows_et]
+                + [by_dow[d] for d in rows_dw]
+                + [sum(nn)],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, isodow(ts)::BIGINT AS dow, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY CUBE (event_type, dow)
+"""
+
 # --------------------------------------------------------------------------
 # Lexicon-based PII-style redaction (RE2 on both sides)
 # --------------------------------------------------------------------------
@@ -1176,5 +1242,6 @@ REGISTRY: dict[str, tuple] = {
     "features_bucketize": (q_features_bucketize, FEATURES_BUCKETIZE_SQL),
     "features_onehot": (q_features_onehot, FEATURES_ONEHOT_SQL),
     "events_rollup": (q_events_rollup, EVENTS_ROLLUP_SQL),
+    "events_cube": (q_events_cube, EVENTS_CUBE_SQL),
     "docs_pii_redact": (q_docs_pii_redact, DOCS_PII_REDACT_SQL),
 }
