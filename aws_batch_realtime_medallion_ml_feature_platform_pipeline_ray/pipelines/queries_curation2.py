@@ -464,7 +464,134 @@ FROM r WHERE cum_tok <= {MIXTURE_BUDGET}
 """
 
 
+def q_docs_curation_e2e(sf_dir: str):
+    """Flagship composed curation pipeline — the chain a training-data
+    run actually executes, fused into the minimal number of passes:
+
+    1. normalize (lowercase, whitespace collapse, trim) — streamed;
+    2. Gopher-rules quality filter ON the normalized text — fused into
+       the SAME streamed map (integer-arithmetic keep decision);
+    3. exact dedup on normalized text, keep-min doc_id — the pipeline's
+       ONE exchange, keyed on the text hash.
+
+    At 100 TB this is one read-speed pass plus one dedup shuffle whose
+    payload is already quality-filtered and carries only (text_norm,
+    doc_id, stats) — the composition order (filter before shuffle) is
+    the point."""
+    import aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.functions.text as T
+    from .queries_text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+    )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t["text"].combine_chunks()),
+                pattern=r"\s+",
+                replacement=" ",
+            )
+        )
+        toks = T.tokens_list(txt)
+        nt = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
+        nc = np.asarray(pc.utf8_length(txt).cast(pa.int64()))
+        alpha = nc - (nt - 1)
+        stop = T.member_count(toks, T.STOPWORDS)
+        keep = (
+            (nt >= GOPHER_MIN_TOKENS)
+            & (nt <= GOPHER_MAX_TOKENS)
+            & (alpha >= GOPHER_MIN_MEAN_LEN * nt)
+            & (alpha <= GOPHER_MAX_MEAN_LEN * nt)
+            & (stop >= GOPHER_MIN_STOPWORDS)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "text_norm": txt,
+                "n_tokens": pa.array(nt),
+                "n_chars_norm": pa.array(nc),
+            }
+        ).filter(pa.array(keep))
+
+    slim = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_chars_norm": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        codes = np.asarray(
+            pc.dictionary_encode(t["text_norm"].combine_chunks()).indices
+        ).astype(np.int64)
+        did = np.asarray(t["doc_id"].combine_chunks())
+        order = np.lexsort((did, codes))
+        c = codes[order]
+        first = np.concatenate(([True], c[1:] != c[:-1]))
+        sel = pa.array(order[first])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().take(sel),
+                "n_tokens": t["n_tokens"].combine_chunks().take(sel),
+                "n_chars_norm": t["n_chars_norm"].combine_chunks().take(sel),
+            }
+        )
+
+    return map_partitions_by_key(slim, "text_norm", dedup_part, num_parts=NUM_PARTS)
+
+
+def _curation_e2e_sql() -> str:
+    from .queries_text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        _STOP_IN,
+    )
+
+    return rf"""
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+    FROM documents
+),
+m AS (
+    SELECT doc_id, text_norm,
+        length(string_split(text_norm, ' '))::BIGINT AS n_tokens,
+        (length(text_norm)
+         - (length(string_split(text_norm, ' ')) - 1))::BIGINT AS alpha_len,
+        len(list_filter(string_split(text_norm, ' '),
+            x -> x IN ({_STOP_IN})))::BIGINT AS stop_cnt
+    FROM n
+),
+f AS (
+    SELECT * FROM m
+    WHERE n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+      AND alpha_len >= {GOPHER_MIN_MEAN_LEN} * n_tokens
+      AND alpha_len <= {GOPHER_MAX_MEAN_LEN} * n_tokens
+      AND stop_cnt >= {GOPHER_MIN_STOPWORDS}
+),
+d AS (
+    SELECT doc_id, n_tokens, length(text_norm)::BIGINT AS n_chars_norm,
+           row_number() OVER (PARTITION BY text_norm ORDER BY doc_id) AS rn
+    FROM f
+)
+SELECT doc_id, n_tokens, n_chars_norm FROM d WHERE rn = 1
+"""
+
+
 REGISTRY = {
+    "docs_curation_e2e": (q_docs_curation_e2e, _curation_e2e_sql()),
     "docs_mixture_budget": (q_docs_mixture_budget, DOCS_MIXTURE_BUDGET_SQL),
     "docs_repetition": (q_docs_repetition, DOCS_REPETITION_SQL),
     "docs_decontam": (q_docs_decontam, DOCS_DECONTAM_SQL),
