@@ -112,6 +112,8 @@ def cogroup_by_key(
     fn: Callable[[pa.Table, pa.Table], pa.Table],
     *,
     num_parts: int,
+    left_schema=None,
+    right_schema=None,
 ):
     """Co-partition two datasets by ``key`` through ONE shuffle and apply
     ``fn(left_part, right_part)`` per hash partition.
@@ -119,10 +121,20 @@ def cogroup_by_key(
     Implemented as schema-aligned union with a side tag column, then the
     same ``groupby(__part)`` exchange as :func:`map_partitions_by_key` —
     the portable partitioned-join pattern when both sides are large.
+
+    ``left_schema`` / ``right_schema``: optional ray.data ``Schema``
+    overrides for when ``ds.schema()`` returns None (Ray loses the
+    schema of an all-empty dataset after ``map_batches``); pass the
+    schema captured from the pre-transform dataset.
     """
     tune_shuffle_context()
-    l_schema = left.schema()  # ray.data.Schema (names + arrow types)
-    r_schema = right.schema()
+    l_schema = left.schema() or left_schema  # ray Schema (names + types)
+    r_schema = right.schema() or right_schema
+    if l_schema is None or r_schema is None:
+        raise ValueError(
+            "cogroup_by_key: a side has no observable schema (all-empty "
+            "dataset after map_batches) — pass left_schema/right_schema"
+        )
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     all_names = l_names + [n for n in r_names if n not in l_names]

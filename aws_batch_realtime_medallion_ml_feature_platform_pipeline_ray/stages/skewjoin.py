@@ -88,9 +88,15 @@ def skew_aware_join(
     """
     import ray
 
+    # capture schemas up front: filtered-to-empty sides lose theirs
+    l_schema, r_schema = left.schema(), right.schema()
+
     hot_keys = detect_hot_keys(left, key, hot_threshold)
     if len(hot_keys) == 0:
-        return cogroup_by_key(left, right, key, join_fn, num_parts=num_parts)
+        return cogroup_by_key(
+            left, right, key, join_fn, num_parts=num_parts,
+            left_schema=l_schema, right_schema=r_schema,
+        )
 
     right_hot = _collect_table(
         right.map_batches(
@@ -121,6 +127,7 @@ def skew_aware_join(
         drop_hot, batch_format="pyarrow", zero_copy_batch=True
     )
     cold_out = cogroup_by_key(
-        left_cold, right_cold, key, join_fn, num_parts=num_parts
+        left_cold, right_cold, key, join_fn, num_parts=num_parts,
+        left_schema=l_schema, right_schema=r_schema,
     )
     return hot_out.union(cold_out)

@@ -60,6 +60,30 @@ def test_neighbor_pairs_exact_with_cohashed_buckets(ray_session):
     assert got == exp
 
 
+def test_neighbor_pairs_window_must_be_below_bucket(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.globalorder import (
+        neighbor_pairs,
+    )
+
+    ds = rd.from_arrow(pa.table({"id": np.arange(10, dtype=np.int64)}))
+    ranked = with_global_rank(ds, ["id"], descending=[False])
+    with _pytest.raises(ValueError):
+        neighbor_pairs(
+            ranked, rank_col="rnk", window=8, carry_cols=["id"], bucket_size=8
+        )
+
+
+def test_global_rank_single_row(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"id": np.array([42], np.int64)}))
+    out = with_global_rank(ds, ["id"], descending=[False]).to_pandas()
+    assert out["rnk"].tolist() == [1]
+
+
 def test_global_rank_multiblock_desc(ray_session):
     _rank_check(20_000, True, 3)
 

@@ -98,3 +98,19 @@ def test_skew_join_all_hot_is_pure_broadcast(ray_session):
     out = skew_aware_join(fact, dim, "k", _make_join(), num_parts=8, hot_threshold=1)
     got = _canon(out.to_pandas())
     pd.testing.assert_frame_equal(got, _expected(ks), check_dtype=False)
+
+
+def test_skew_join_empty_right_yields_empty_inner_join(ray_session):
+    import ray.data as rd
+
+    fact, _dim, _ks = _fixture()
+    empty_dim = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "name": pa.array([], pa.string())})
+    )
+    out = skew_aware_join(
+        fact, empty_dim, "k", _make_join(), num_parts=8, hot_threshold=100
+    ).to_pandas()
+    assert len(out) == 0
+    # Ray drops the schema of an all-empty materialized result; when any
+    # columns survive they must be the join schema
+    assert sorted(out.columns) in ([], ["k", "name", "v"])
