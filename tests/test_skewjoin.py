@@ -100,6 +100,38 @@ def test_skew_join_all_hot_is_pure_broadcast(ray_session):
     pd.testing.assert_frame_equal(got, _expected(ks), check_dtype=False)
 
 
+def test_skew_join_plan_equivalence_zipf(ray_session):
+    """Both plans (skew-aware vs single-path cogroup) must emit identical
+    rows on a heavily Zipf-skewed corpus — routing is correctness-neutral."""
+    import ray.data as rd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.keyed import (
+        cogroup_by_key,
+    )
+
+    rng = np.random.default_rng(23)
+    # Zipf keys over 200 distinct values, ~60k rows, top key ~20%
+    ks = rng.zipf(1.3, size=60_000).astype(np.int64) % 200
+    fact = rd.from_arrow(
+        pa.table({"k": ks, "v": np.arange(len(ks), dtype=np.int64)})
+    ).repartition(16)
+    dim = rd.from_arrow(
+        pa.table(
+            {"k": np.arange(200, dtype=np.int64),
+             "name": [f"n{i}" for i in range(200)]}
+        )
+    )
+    a = skew_aware_join(
+        fact, dim, "k", _make_join(), num_parts=16, hot_threshold=1000
+    ).to_pandas()
+    b = cogroup_by_key(
+        fact, dim, "k", _make_join(), num_parts=16
+    ).to_pandas()
+    a = a.sort_values(["k", "v"], ignore_index=True)
+    b = b.sort_values(["k", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_skew_join_empty_right_yields_empty_inner_join(ray_session):
     import ray.data as rd
 
