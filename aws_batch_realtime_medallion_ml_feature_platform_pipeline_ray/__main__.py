@@ -72,6 +72,12 @@ def cmd_bootstrap(args) -> dict:
     return bootstrap_lake(args.out)
 
 
+def cmd_expire(args) -> dict:
+    from .pipelines.medallion import expire_gold_partitions
+
+    return expire_gold_partitions(args.out, keep_from_dt=args.keep_from_dt)
+
+
 def cmd_lookup(args) -> dict:
     from .pipelines.medallion import lookup_online
 
@@ -119,6 +125,11 @@ def main(argv=None) -> int:
     b = sub.add_parser("bootstrap", help="register layer schemas + empty online table")
     b.add_argument("--out", required=True)
     b.set_defaults(fn=cmd_bootstrap)
+
+    ex = sub.add_parser("expire", help="C8 retention: drop gold dt= fragments older than a cutoff")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--keep-from-dt", required=True, help="YYYY-MM-DD; fragments with dt < this are deleted")
+    ex.set_defaults(fn=cmd_expire)
 
     lk = sub.add_parser("lookup", help="point/batch online feature lookup")
     lk.add_argument("--out", required=True)

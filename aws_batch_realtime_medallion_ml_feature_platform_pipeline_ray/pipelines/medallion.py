@@ -338,6 +338,52 @@ def gold_dt_fragments(
     return sorted(out), sorted(dts)
 
 
+def expire_gold_partitions(out_root: str, *, keep_from_dt: str) -> dict:
+    """C8 retention lifecycle: delete gold ``dt=`` fragments strictly
+    older than ``keep_from_dt`` — the engine analog of the reference's
+    S3 lifecycle expiry (infra/terraform/modules/s3_datalake/main.tf:33-65,
+    ``lifecycle_days`` default 30). Filesystem-metadata only (parquet
+    footers for row counts — no data bytes); idempotent (re-running after
+    a partial delete converges); an ``expire`` manifest records every
+    removed fragment (dt, rows, file) so lineage stays auditable after
+    the bytes are gone."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    gold_root = os.path.join(out_root, "gold")
+    removed: list[dict] = []
+    for d in sorted(glob.glob(os.path.join(gold_root, "part=*", "dt=*"))):
+        dt = os.path.basename(d)[3:]
+        if dt >= keep_from_dt:
+            continue
+        rows = 0
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            try:
+                rows += _pq.ParquetFile(f).metadata.num_rows
+            except Exception:
+                pass  # half-written leftover: still expired below
+        removed.append(
+            {"fragment": os.path.relpath(d, gold_root), "dt": dt, "rows": rows}
+        )
+        shutil.rmtree(d)
+    M.write_manifest(
+        out_root,
+        M.PartitionManifest(
+            stage="expire",
+            partition_key=f"before-{keep_from_dt}",
+            run_id=f"expire-{keep_from_dt}",
+            rows_out=sum(r["rows"] for r in removed),
+            extra={"keep_from_dt": keep_from_dt, "removed": removed},
+        ),
+    )
+    return {
+        "keep_from_dt": keep_from_dt,
+        "fragments_removed": len(removed),
+        "rows_removed": sum(r["rows"] for r in removed),
+    }
+
+
 def latest_per_conv(gold_tbl: pa.Table) -> pa.Table:
     """Latest feature row per conv_id (argmax ts, tiebreak max turn_idx) —
     the typed-Parquet online table replacing the reference's stringified

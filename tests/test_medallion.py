@@ -345,3 +345,42 @@ def test_reject_accounting(ray_session, tmp_path):
     res = run_stream(d, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4)
     assert res["silver"]["rows_rejected"] == n_bad
     assert res["silver"]["rows_out"] <= tbl.num_rows - n_bad
+
+
+def test_expire_gold_partitions(ray_session, bronze_dir, tmp_path):
+    """C8 retention: fragments older than the cutoff are deleted with an
+    audit manifest; the remaining lake serves daily builds; idempotent."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+        expire_gold_partitions,
+        gold_dt_fragments,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.state import (
+        manifest as M,
+    )
+
+    out = str(tmp_path / "lake")
+    run_stream(bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4)
+    gold_dir = os.path.join(out, "gold")
+    _, all_dts = gold_dt_fragments(gold_dir)
+    assert len(all_dts) > 2
+    cutoff = all_dts[1]  # expire only the oldest day
+    gold_before = gold_to_pandas(out)
+
+    res = expire_gold_partitions(out, keep_from_dt=cutoff)
+    assert res["fragments_removed"] > 0
+    assert res["rows_removed"] == int((gold_before["dt"] < cutoff).sum())
+    _, left_dts = gold_dt_fragments(gold_dir)
+    assert left_dts == [d for d in all_dts if d >= cutoff]
+    # audit manifest exists and itemizes the removals
+    ms = [m for m in M.load_manifests(out, "expire")]
+    assert ms and ms[0].extra["keep_from_dt"] == cutoff
+    assert len(ms[0].extra["removed"]) == res["fragments_removed"]
+    # idempotent
+    res2 = expire_gold_partitions(out, keep_from_dt=cutoff)
+    assert res2["fragments_removed"] == 0
+    # surviving lake still serves dataset builds
+    meta = run_daily(out, created_at=PROCESSED_AT, dt_start=cutoff, dt_end=left_dts[-1])
+    gold_after = gold_to_pandas(out)
+    assert (gold_after["dt"] >= cutoff).all()
+    c = meta["counts"]
+    assert c["train"] + c["validation"] == len(gold_after)
