@@ -41,6 +41,52 @@ def token_count(text) -> np.ndarray:
     return np.asarray(pc.list_value_length(tokens_list(text)).cast(pa.int64()))
 
 
+def normalize_text(text) -> pa.Array:
+    """Canonicalize: unicode-aware lowercase, collapse whitespace runs to
+    a single space, trim. RE2 on both pyarrow and DuckDB, so the SQL twin
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` agrees
+    exactly. The single normalization definition — used by the standalone
+    normalize query AND the composed curation pipeline."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    return pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(text), pattern=r"\s+", replacement=" "
+        )
+    )
+
+
+def gopher_keep(
+    text,
+    *,
+    min_tokens: int,
+    max_tokens: int,
+    min_mean_len: int,
+    max_mean_len: int,
+    min_stopwords: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gopher-style structural quality rules in pure integer arithmetic
+    (token count in range, mean token length via ``min*nt <= alpha <=
+    max*nt``, stopword floor). Returns (keep_mask, n_tokens, n_chars).
+    The single keep-predicate definition shared by the standalone filter
+    and the composed curation pipeline."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = tokens_list(text)
+    nt = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
+    nc = np.asarray(pc.utf8_length(text).cast(pa.int64()))
+    alpha = nc - (nt - 1)  # chars excluding the single-space joints
+    stop = member_count(toks, STOPWORDS)
+    keep = (
+        (nt >= min_tokens)
+        & (nt <= max_tokens)
+        & (alpha >= min_mean_len * nt)
+        & (alpha <= max_mean_len * nt)
+        & (stop >= min_stopwords)
+    )
+    return keep, nt, nc
+
+
 def _flat_tokens(toks: pa.Array) -> tuple[pa.Array, np.ndarray]:
     """Flatten a list<string> array; return (flat values, per-list offsets)."""
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks

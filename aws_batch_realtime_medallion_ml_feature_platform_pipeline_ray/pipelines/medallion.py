@@ -367,16 +367,17 @@ def expire_gold_partitions(out_root: str, *, keep_from_dt: str) -> dict:
             {"fragment": os.path.relpath(d, gold_root), "dt": dt, "rows": rows}
         )
         shutil.rmtree(d)
-    M.write_manifest(
-        out_root,
-        M.PartitionManifest(
-            stage="expire",
-            partition_key=f"before-{keep_from_dt}",
-            run_id=f"expire-{keep_from_dt}",
-            rows_out=sum(r["rows"] for r in removed),
-            extra={"keep_from_dt": keep_from_dt, "removed": removed},
-        ),
-    )
+    if removed:  # a no-op re-run must not overwrite the audit record
+        M.write_manifest(
+            out_root,
+            M.PartitionManifest(
+                stage="expire",
+                partition_key=f"before-{keep_from_dt}",
+                run_id=f"expire-{keep_from_dt}",
+                rows_out=sum(r["rows"] for r in removed),
+                extra={"keep_from_dt": keep_from_dt, "removed": removed},
+            ),
+        )
     return {
         "keep_from_dt": keep_from_dt,
         "fragments_removed": len(removed),

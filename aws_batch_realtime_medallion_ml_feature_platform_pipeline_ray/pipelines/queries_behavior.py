@@ -275,19 +275,19 @@ def q_events_scd2(sf_dir: str):
 
 EVENTS_SCD2_SQL = """
 WITH o AS (
-    SELECT user_id, ts, event_type,
+    SELECT user_id, ts, event_id, event_type,
            lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
            ) AS prev
     FROM events
 ),
 c AS (
-    SELECT user_id, ts, event_type FROM o
+    SELECT user_id, ts, event_id, event_type FROM o
     WHERE prev IS NULL OR prev <> event_type
 )
 SELECT user_id, event_type,
        ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
 FROM c
 """
 

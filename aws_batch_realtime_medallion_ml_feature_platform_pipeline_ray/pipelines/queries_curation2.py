@@ -343,12 +343,10 @@ def q_docs_normalize(sf_dir: str):
     )
 
     def norm(t: pa.Table) -> pa.Table:
+        from ..functions.text import normalize_text
+
         txt = t["text"].combine_chunks()
-        out = pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(
-                pc.utf8_lower(txt), pattern=r"\s+", replacement=" "
-            )
-        )
+        out = normalize_text(txt)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -490,24 +488,14 @@ def q_docs_curation_e2e(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
     def prep(t: pa.Table) -> pa.Table:
-        txt = pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(
-                pc.utf8_lower(t["text"].combine_chunks()),
-                pattern=r"\s+",
-                replacement=" ",
-            )
-        )
-        toks = T.tokens_list(txt)
-        nt = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
-        nc = np.asarray(pc.utf8_length(txt).cast(pa.int64()))
-        alpha = nc - (nt - 1)
-        stop = T.member_count(toks, T.STOPWORDS)
-        keep = (
-            (nt >= GOPHER_MIN_TOKENS)
-            & (nt <= GOPHER_MAX_TOKENS)
-            & (alpha >= GOPHER_MIN_MEAN_LEN * nt)
-            & (alpha <= GOPHER_MAX_MEAN_LEN * nt)
-            & (stop >= GOPHER_MIN_STOPWORDS)
+        txt = T.normalize_text(t["text"])
+        keep, nt, nc = T.gopher_keep(
+            txt,
+            min_tokens=GOPHER_MIN_TOKENS,
+            max_tokens=GOPHER_MAX_TOKENS,
+            min_mean_len=GOPHER_MIN_MEAN_LEN,
+            max_mean_len=GOPHER_MAX_MEAN_LEN,
+            min_stopwords=GOPHER_MIN_STOPWORDS,
         )
         return pa.table(
             {

@@ -93,11 +93,11 @@ WEIGHT_DIV = 50  # keep-rate percent = min(n_chars // WEIGHT_DIV, 100)
 
 def q_docs_sample_weighted(sf_dir: str):
     """Weight-proportional deterministic sampling: keep probability
-    grows with document length (``min(n_chars // {div}, 100)`` percent).
-    Same splitmix64-bucket mechanism as the stratified sampler — the
-    weight just becomes a per-row integer rate, so the sample stays
-    stable under any partitioning/parallelism. Pure streaming filter,
-    zero shuffles.""".format(div=WEIGHT_DIV)
+    grows with document length (``min(n_chars // WEIGHT_DIV, 100)``
+    percent). Same splitmix64-bucket mechanism as the stratified
+    sampler — the weight just becomes a per-row integer rate, so the
+    sample stays stable under any partitioning/parallelism. Pure
+    streaming filter, zero shuffles."""
     from ..stages.keyed import splitmix64
 
     ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
@@ -841,24 +841,31 @@ def q_events_value_quantiles(sf_dir: str):
     from ..stages.globalorder import with_global_rank
 
     n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    targets = {
-        1 + int(np.floor(q * (n - 1))): q for q in QUANTILE_QS
-    }  # rank -> q (distinct at any n >= ~100)
+    # one (rank, q) pair PER q — colliding ranks (tiny n) emit one output
+    # row per q, matching the SQL twin's VALUES join
+    targets = [(1 + int(np.floor(q * (n - 1))), q) for q in QUANTILE_QS]
     ev = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["event_id", "value"]
     )
     ranked = with_global_rank(
         ev, ["value", "event_id"], descending=[False, False]
     )
-    tgt = pa.array(sorted(targets), pa.int64())
+    tgt = pa.array(sorted({r for r, _ in targets}), pa.int64())
 
     def pick(t: pa.Table) -> pa.Table:
         hit = t.filter(pc.is_in(t["rnk"], value_set=tgt))
-        qs = pa.array(
-            [targets[r] for r in np.asarray(hit["rnk"].combine_chunks())],
-            pa.float64(),
+        ranks = np.asarray(hit["rnk"].combine_chunks())
+        vals = np.asarray(hit["value"].combine_chunks())
+        qs, out_vals = [], []
+        for r, q in targets:  # O(#qs x #hits) — both tiny
+            m = ranks == r
+            if m.any():
+                qs.append(q)
+                out_vals.append(vals[m][0])
+        return pa.table(
+            {"q": pa.array(qs, pa.float64()),
+             "value": pa.array(out_vals, pa.float64())}
         )
-        return pa.table({"q": qs, "value": hit["value"]})
 
     return ranked.map_batches(
         pick, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -885,10 +892,10 @@ SN_WINDOW = 3  # sorted-neighborhood sliding-window size
 def q_docs_sorted_neighborhood(sf_dir: str):
     """Sorted-neighborhood dedup blocking: candidate pairs whose global
     ranks (by the blocking key ``(n_chars, doc_id)``) differ by at most
-    {w} — the classic windowed alternative to LSH banding for entity
-    resolution. Global rank via the range-partitioned sort, pairs via a
-    bucket-keyed exchange with overlap-prefix copies (each pair emitted
-    exactly once by the bucket owning its left row).""".format(w=SN_WINDOW)
+    ``SN_WINDOW`` — the classic windowed alternative to LSH banding for
+    entity resolution. Global rank via the range-partitioned sort, pairs
+    via a bucket-keyed exchange with overlap-prefix copies (each pair
+    emitted exactly once by the bucket owning its left row)."""
     from ..sources.reads import read_parquet_sized
     from ..stages.globalorder import neighbor_pairs, with_global_rank
 

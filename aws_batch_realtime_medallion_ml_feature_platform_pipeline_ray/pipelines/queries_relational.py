@@ -1024,7 +1024,7 @@ def q_skew_join(sf_dir: str):
 
     events = read_parquet_sized(
         f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        columns=["event_id", "user_id", "event_type", "value"],
     )
     cust = read_parquet_sized(
         f"{sf_dir}/customer.parquet",

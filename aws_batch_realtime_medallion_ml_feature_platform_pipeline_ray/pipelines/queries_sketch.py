@@ -212,20 +212,20 @@ def _mg_reduce(tokens: np.ndarray, counts: np.ndarray, k: int):
 
 
 def q_docs_heavy_tokens(sf_dir: str):
-    """Tokens whose global frequency is >= 1/{denom} of the total token
+    """Tokens whose global frequency is >= 1/HH_DENOM of the total token
     stream — heavy hitters with EXACT output via a two-pass plan:
 
-    1. sketch pass: per batch, exact local counts collapse to a <= {k}
+    1. sketch pass: per batch, exact local counts collapse to a <= MG_K
        entry Misra-Gries summary (bounded memory regardless of vocab
        size — the property the tf/commonness term shuffles lack at
        100 TB). The merged summary underestimates any token by at most
-       N/{k} < threshold, so every true heavy hitter survives the
+       N/MG_K < threshold, so every true heavy hitter survives the
        candidate cut (mergeable-summaries guarantee).
     2. rescore pass: the small candidate set is broadcast and counted
        EXACTLY (is_in filter + per-batch partials), so the final output
-       is identical to the SQL ``HAVING count * {denom} >= N`` — the
+       is identical to the SQL ``HAVING count * HH_DENOM >= N`` — the
        sketch only bounds memory, never the answer.
-    """.format(denom=HH_DENOM, k=MG_K)
+    """
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum

@@ -111,18 +111,13 @@ def q_docs_gopher_filter(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "lang", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        text = t["text"].combine_chunks()
-        toks = T.tokens_list(text)
-        nt = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
-        nc = np.asarray(pc.utf8_length(text).cast(pa.int64()))
-        alpha = nc - (nt - 1)  # chars excluding the single-space joints
-        stop = T.member_count(toks, T.STOPWORDS)
-        keep = (
-            (nt >= GOPHER_MIN_TOKENS)
-            & (nt <= GOPHER_MAX_TOKENS)
-            & (alpha >= GOPHER_MIN_MEAN_LEN * nt)
-            & (alpha <= GOPHER_MAX_MEAN_LEN * nt)
-            & (stop >= GOPHER_MIN_STOPWORDS)
+        keep, nt, _nc = T.gopher_keep(
+            t["text"],
+            min_tokens=GOPHER_MIN_TOKENS,
+            max_tokens=GOPHER_MAX_TOKENS,
+            min_mean_len=GOPHER_MIN_MEAN_LEN,
+            max_mean_len=GOPHER_MAX_MEAN_LEN,
+            min_stopwords=GOPHER_MIN_STOPWORDS,
         )
         return pa.table(
             {"doc_id": t["doc_id"], "lang": t["lang"], "n_tokens": pa.array(nt)}

@@ -53,14 +53,16 @@ from .salted import detect_hot_keys
 
 
 def _collect_table(ds) -> pa.Table:
-    """Bounded driver collect of a small Dataset as one Arrow table."""
-    rows = ds.take_all()
-    if not rows:
-        schema = getattr(ds.schema(), "base_schema", None)
-        if schema is not None:
-            return schema.empty_table()
+    """Bounded driver collect of a small Dataset as ONE Arrow table,
+    preserving the exact Arrow schema (a pylist round-trip would re-infer
+    types and diverge from the cold path on all-null or exotic columns)."""
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t is not None]
+    tables = [t for t in tables if t.num_columns]
+    if not tables:
         return pa.table({})
-    return pa.Table.from_pylist(rows)
+    return pa.concat_tables(tables).combine_chunks()
 
 
 def skew_aware_join(
@@ -105,10 +107,14 @@ def skew_aware_join(
             zero_copy_batch=True,
         )
     )
-    bcast = ray.put((hot_keys, right_hot))
+    # hot_keys lives ONCE in the object store; every closure carries only
+    # the ref (a low threshold on a big corpus makes the set non-trivial)
+    keys_ref = ray.put(hot_keys)
+    bcast = ray.put(right_hot)
 
     def hot_probe(batch: pa.Table) -> pa.Table:
-        ks, rhot = ray.get(bcast)  # zero-copy object-store read per task
+        ks = ray.get(keys_ref)  # zero-copy object-store reads per task
+        rhot = ray.get(bcast)
         return join_fn(batch.filter(pc.is_in(batch[key], value_set=ks)), rhot)
 
     hot_out = left.map_batches(
@@ -116,9 +122,8 @@ def skew_aware_join(
     )
 
     def drop_hot(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.invert(pc.is_in(batch[key], value_set=hot_keys))
-        )
+        ks = ray.get(keys_ref)
+        return batch.filter(pc.invert(pc.is_in(batch[key], value_set=ks)))
 
     left_cold = left.map_batches(
         drop_hot, batch_format="pyarrow", zero_copy_batch=True
