@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 from ..functions.text import token_count
 from ..stages.keyed import map_partitions_by_key
 from .queries_relational import splitmix64_bucket_sql
-from .queries_text import JACCARD_THRESHOLD, DOCS_NGRAM_JACCARD_SQL
+from .queries_text import DOCS_NGRAM_JACCARD_SQL
 
 NUM_PARTS = 8
 

@@ -9,7 +9,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.asof import asof_join_broadcast, asof_join_partitioned
-from ..stages.featurize import dedup_first
 from ..stages.keyed import map_partitions_by_key
 from ..sources.reads import read_parquet_sized
 

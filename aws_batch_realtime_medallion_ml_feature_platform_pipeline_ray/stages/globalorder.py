@@ -126,8 +126,6 @@ def neighbor_pairs(
     Requires ``window < bucket_size``. Output columns:
     ``<c>_a`` / ``<c>_b`` for every carry column.
     """
-    import pyarrow.compute as pc
-
     from .keyed import map_partitions_by_key
 
     if window >= bucket_size:

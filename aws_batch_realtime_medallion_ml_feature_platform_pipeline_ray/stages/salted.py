@@ -44,7 +44,7 @@ import pyarrow.compute as pc
 from .. import schema as S
 from ..functions import windows as W
 from .featurize import GoldConfig, TS_NULL, dedup_first, _ts_with_null
-from .keyed import PART_COL, add_partition_col, hash_key, splitmix64, tune_shuffle_context
+from .keyed import PART_COL, hash_key, splitmix64, tune_shuffle_context
 
 SHARD_COL = "__shard"     # int64 time-bucket id; NON_SALTED for cold convs
 PREFIX_COL = "__prefix"   # int8: 1 = overlap copy (window state only)
