@@ -162,6 +162,37 @@ DOCS_TOKEN_COUNT_SQL = """
 SELECT doc_id, length(string_split(text, ' ')) AS n_tokens FROM documents
 """
 
+# BPE-ish pre-tokenizer: word pieces, digit runs, and single punctuation
+# marks — the GPT-2-style coarse split that approximates subword counts
+# far better than whitespace on punctuated text. RE2 on both sides.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def q_docs_token_count_bpe(sf_dir: str):
+    """Regex (BPE-ish) token counting — the second counter the brief
+    calls for alongside the whitespace splitter: one vectorized RE2
+    ``count_substring_regex`` per batch, zero shuffles."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_pieces": pc.count_substring_regex(
+                    t["text"].combine_chunks(), pattern=BPE_PATTERN
+                ).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_TOKEN_COUNT_BPE_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS n_pieces
+FROM documents
+"""
+
 
 def q_docs_langid(sf_dir: str):
     """Marker-stopword language-ID heuristic (first-max argmax over
@@ -807,6 +838,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_quality": (q_docs_quality, DOCS_QUALITY_SQL),
     "docs_gopher_filter": (q_docs_gopher_filter, DOCS_GOPHER_SQL),
     "docs_token_count": (q_docs_token_count, DOCS_TOKEN_COUNT_SQL),
+    "docs_token_count_bpe": (q_docs_token_count_bpe, DOCS_TOKEN_COUNT_BPE_SQL),
     "docs_langid": (q_docs_langid, DOCS_LANGID_SQL),
     "docs_fingerprint": (q_docs_fingerprint, DOCS_FINGERPRINT_SQL),
     "docs_minhash_pairs": (q_docs_minhash_pairs, DOCS_MINHASH_SQL),
