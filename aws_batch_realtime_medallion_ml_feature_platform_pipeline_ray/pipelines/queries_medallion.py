@@ -198,6 +198,81 @@ def q_medallion_incremental(sf_dir: str):
     return read_gold_incremental(out)
 
 
+EVO_SEED = 91
+
+
+def _evo_dir(sf_dir: str = "") -> str:
+    """Schema-evolution fixture: generation 1 parquet lacks the ``tool``
+    column (pre-migration writer); generation 2 has the full schema —
+    the heterogeneous-file lake every long-lived pipeline accumulates."""
+    d = "/tmp/medallion_fixture/default/evo"
+    marker = os.path.join(d, "_complete.json")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+        tbl = generate_transcripts(n_convs=60, avg_turns=20, seed=EVO_SEED)
+        half = tbl.num_rows // 2
+        pq.write_table(
+            tbl.slice(0, half).drop_columns(["tool"]),
+            os.path.join(d, "gen1.parquet"),
+        )
+        pq.write_table(tbl.slice(half), os.path.join(d, "gen2.parquet"))
+        with open(marker, "w") as f:
+            f.write("{}")
+    return d
+
+
+def q_schema_evolution_read(sf_dir: str):
+    """Union-by-name read over a lake whose files span a schema migration
+    (S2 extension): each generation is read with its own schema, aligned
+    to the union schema with typed nulls for absent columns (the same
+    ``_align`` machinery the cogroup exchange uses), and unioned — no
+    rewrite of old files, no Python rows. Missing ``tool`` surfaces as
+    NULL exactly like the SQL twin's ``union_by_name=true``."""
+    import ray.data as rd
+
+    d = _evo_dir()
+    gen1 = rd.read_parquet(os.path.join(d, "gen1.parquet"))
+    gen2 = rd.read_parquet(os.path.join(d, "gen2.parquet"))
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    types = {
+        "conv_id": pa.string(),
+        "turn_idx": pa.int32(),
+        "role": pa.string(),
+        "text": pa.string(),
+        "tool": pa.string(),
+        "ts": pa.timestamp("us"),
+    }
+
+    def align(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            out[c] = (
+                t[c].combine_chunks().cast(types[c])
+                if c in t.column_names
+                else pa.nulls(t.num_rows, types[c])
+            )
+        return pa.table(out)
+
+    a1 = gen1.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
+    a2 = gen2.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
+    return a1.union(a2).map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def schema_evolution_oracle_sql(sf_dir: str = "") -> str:
+    d = _evo_dir()
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool,
+       CAST(ts AS TIMESTAMP) AS ts
+FROM read_parquet('{d}/*.parquet', union_by_name=true)
+"""
+
+
 CSV_SEED = 78
 
 
@@ -243,4 +318,5 @@ def build_registry() -> dict[str, tuple]:
         "medallion_incremental": (q_medallion_incremental, medallion_oracle_sql()),
         "ndjson_ingest": (q_ndjson_ingest, ndjson_oracle_sql()),
         "csv_ingest": (q_csv_ingest, csv_oracle_sql()),
+        "schema_evolution_read": (q_schema_evolution_read, schema_evolution_oracle_sql()),
     }
