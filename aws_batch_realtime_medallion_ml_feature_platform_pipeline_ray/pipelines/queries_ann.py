@@ -399,7 +399,137 @@ GROUP BY 1, 2
 """
 
 
+KMEANS_K = 8
+KMEANS_QSCALE = 1_000_000  # distance quantization: exact int64 argmin
+
+
+def q_embedding_kmeans_step(sf_dir: str):
+    """One exact Lloyd's iteration (the inner loop of distributed k-means
+    / IVF training): assign every vector to its nearest of the first
+    ``KMEANS_K`` vectors, then recompute centroids.
+
+    Exactness trick: embeddings are quantized to int64 at 1e-6 resolution
+    for the DISTANCE computation only, so squared-L2 sums are exact
+    integers and the argmin (ties → lowest cluster id) is bit-identical
+    to the SQL twin — no float summation-order hazard in the assignment.
+    Centroid means use float64 + ROUND(,6) like ``embedding_centroids``.
+
+    Scale shape: K centroids broadcast in the closure; per batch ONE
+    (n x d) x (d x K) integer matmul + argmin, then the same O(K x d)
+    partial-sum rows as the centroid op into one tiny keyed exchange.
+    The vector stream never shuffles; iterating = re-running this step
+    with the previous output broadcast."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..sources.reads import read_parquet_sized
+    from ..stages.keyed import map_partitions_by_key
+
+    seed_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KMEANS_K)],
+    ).sort_by("vec_id")
+    cq = np.floor(
+        np.asarray(seed_tbl["embedding"].combine_chunks().flatten(), np.float64)
+        .reshape(KMEANS_K, -1)
+        * KMEANS_QSCALE
+        + 0.5
+    ).astype(np.int64)  # FLOOR(x+0.5): same literal op as the SQL twin
+
+    ds = read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        empty = pa.table(
+            {"cluster": pa.array([], pa.int64()),
+             "dim": pa.array([], pa.int64()),
+             "s": pa.array([], pa.float64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if len(emb) == 0:
+            return empty
+        d = cq.shape[1]
+        mat = np.asarray(emb.flatten()).astype(np.float64).reshape(-1, d)
+        q = np.floor(mat * KMEANS_QSCALE + 0.5).astype(np.int64)
+        # exact ||q - c||^2 = ||q||^2 - 2 q.c + ||c||^2; argmin unaffected
+        # by the ||q||^2 term, so compare -2 q.c + ||c||^2 (all int64)
+        cross = q @ cq.T  # int64, exact (|q.c| <= d * (2e6)^2 << 2^63)
+        score = (cq * cq).sum(axis=1)[None, :] - 2 * cross
+        assign = np.argmin(score, axis=1)  # ties -> lowest cluster id
+        sums = np.zeros((KMEANS_K, d), dtype=np.float64)
+        np.add.at(sums, assign, mat)
+        n = np.bincount(assign, minlength=KMEANS_K).astype(np.int64)
+        used = np.flatnonzero(n)
+        return pa.table(
+            {
+                "cluster": pa.array(np.repeat(used, d), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64), len(used)),
+                    pa.int64(),
+                ),
+                "s": pa.array(sums[used].ravel(), pa.float64()),
+                "n": pa.array(np.repeat(n[used], d), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fold(part: pa.Table) -> pa.Table:
+        g = part.group_by(["cluster", "dim"]).aggregate(
+            [("s", "sum"), ("n", "sum")]
+        )
+        return pa.table(
+            {
+                "cluster": g["cluster"],
+                "dim": g["dim"],
+                "c": pc.round(
+                    pc.divide(g["s_sum"], pc.cast(g["n_sum"], pa.float64())),
+                    ndigits=6,
+                    round_mode="half_towards_infinity",
+                ),
+                "n": g["n_sum"].cast(pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(partials, "cluster", fold, num_parts=8)
+
+
+EMBEDDING_KMEANS_STEP_SQL = f"""
+WITH e AS (
+    SELECT vec_id,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {KMEANS_QSCALE}
+                      + 0.5) AS BIGINT) AS q,
+           CAST(unnest(embedding) AS DOUBLE) AS v,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+),
+c AS (SELECT vec_id AS cluster, q AS cq, dim FROM e WHERE vec_id < {KMEANS_K}),
+dist AS (
+    SELECT e.vec_id, c.cluster,
+           sum(c.cq * c.cq - 2 * e.q * c.cq) AS score
+    FROM e JOIN c USING (dim)
+    GROUP BY 1, 2
+),
+assign AS (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score, cluster) AS rn
+    FROM dist
+)
+SELECT a.cluster, e.dim::BIGINT AS dim,
+       ROUND(sum(e.v) / count(*), 6) AS c,
+       count(*)::BIGINT AS n
+FROM assign a JOIN e USING (vec_id)
+WHERE a.rn = 1
+GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "embedding_kmeans_step": (q_embedding_kmeans_step, EMBEDDING_KMEANS_STEP_SQL),
     "embedding_covariance": (q_embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "knn": (q_knn, KNN_SQL),
