@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.keyed import map_partitions_by_key
 
@@ -292,8 +293,129 @@ FROM c
 """
 
 
+def q_events_profile(sf_dir: str):
+    """Data-quality profile of the events stream (the deequ/Great-
+    Expectations-style observability pass every production lake runs):
+    per column — row count, null count, min, max, and exact distinct
+    count — emitted long-form as (column, metric, val).
+
+    Scale shape: counts/min/max collapse per batch to O(columns) partial
+    rows (selection + addition, so exact); distinct counts ride per-batch
+    ``value_counts`` partials into ONE small groupby per profiled column
+    (the `events_hll_users` sketch is the alternative when the key space
+    itself is huge). Everything merges on the driver from O(batches x
+    columns) tiny partials."""
+    from ..sources.reads import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows: list[tuple[str, str, float]] = []
+        n = float(t.num_rows)
+        for col in ("event_id", "ts", "user_id", "event_type", "value"):
+            a = t[col].combine_chunks()
+            rows.append((col, "count", n))
+            rows.append((col, "nulls", float(a.null_count)))
+            if col == "ts":
+                v = a.cast(pa.int64())
+                rows.append((col, "min", float(pc.min(v).as_py())))
+                rows.append((col, "max", float(pc.max(v).as_py())))
+            elif col != "event_type":
+                rows.append((col, "min", float(pc.min(a).as_py())))
+                rows.append((col, "max", float(pc.max(a).as_py())))
+        return pa.table(
+            {
+                "column": pa.array([r[0] for r in rows], pa.string()),
+                "metric": pa.array([r[1] for r in rows], pa.string()),
+                "val": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+    scalar_partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # O(batches x columns x metrics) tiny rows
+
+
+    acc: dict[tuple[str, str], float] = {}
+    for r in scalar_partials:
+        k = (r["column"], r["metric"])
+        v = float(r["val"])
+        if r["metric"] in ("count", "nulls"):
+            acc[k] = acc.get(k, 0.0) + v
+        elif r["metric"] == "min":
+            acc[k] = min(acc.get(k, v), v)
+        else:
+            acc[k] = max(acc.get(k, v), v)
+
+    # exact distinct for the two key-like columns: per-batch value_counts
+    # partial -> one small groupby each
+    def distinct_count(col: str) -> float:
+        def vc(t: pa.Table) -> pa.Table:
+            u = pc.unique(t[col].combine_chunks())
+            return pa.table({col: u})
+
+        uniq = (
+            ds.select_columns([col])
+            .map_batches(vc, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(col)
+            .count()
+        )
+        return float(uniq.count())
+
+    acc[("event_type", "distinct")] = distinct_count("event_type")
+    acc[("user_id", "distinct")] = distinct_count("user_id")
+
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "column": pa.array([k[0] for k in keys], pa.string()),
+            "metric": pa.array([k[1] for k in keys], pa.string()),
+            "val": pa.array([acc[k] for k in keys], pa.float64()),
+        }
+    )
+
+
+EVENTS_PROFILE_SQL = """
+WITH m AS (
+    SELECT 'event_id' AS col, count(*)::DOUBLE AS cnt,
+           (count(*) - count(event_id))::DOUBLE AS nulls,
+           min(event_id)::DOUBLE AS mn, max(event_id)::DOUBLE AS mx,
+           NULL::DOUBLE AS dst
+    FROM events
+    UNION ALL
+    SELECT 'ts', count(*)::DOUBLE, (count(*) - count(ts))::DOUBLE,
+           epoch_us(min(ts))::DOUBLE, epoch_us(max(ts))::DOUBLE, NULL
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*)::DOUBLE, (count(*) - count(user_id))::DOUBLE,
+           min(user_id)::DOUBLE, max(user_id)::DOUBLE,
+           count(DISTINCT user_id)::DOUBLE
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*)::DOUBLE,
+           (count(*) - count(event_type))::DOUBLE,
+           NULL, NULL, count(DISTINCT event_type)::DOUBLE
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*)::DOUBLE, (count(*) - count(value))::DOUBLE,
+           min(value)::DOUBLE, max(value)::DOUBLE, NULL
+    FROM events
+)
+SELECT col AS "column", u.metric, u.val
+FROM m, LATERAL (VALUES
+    ('count', cnt), ('nulls', nulls), ('min', mn), ('max', mx),
+    ('distinct', dst)
+) u(metric, val)
+WHERE u.val IS NOT NULL
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_retention": (q_events_retention, EVENTS_RETENTION_SQL),
+    "events_profile": (q_events_profile, EVENTS_PROFILE_SQL),
     "events_time_cyclical": (q_events_time_cyclical, EVENTS_TIME_CYCLICAL_SQL),
     "events_scd2": (q_events_scd2, EVENTS_SCD2_SQL),
 }
