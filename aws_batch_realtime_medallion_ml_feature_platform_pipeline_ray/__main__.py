@@ -78,6 +78,12 @@ def cmd_expire(args) -> dict:
     return expire_gold_partitions(args.out, keep_from_dt=args.keep_from_dt)
 
 
+def cmd_reconcile(args) -> dict:
+    from .pipelines.medallion import reconcile_lake
+
+    return reconcile_lake(args.out, run_id=args.run_id)
+
+
 def cmd_lookup(args) -> dict:
     from .pipelines.medallion import lookup_online
 
@@ -125,6 +131,11 @@ def main(argv=None) -> int:
     b = sub.add_parser("bootstrap", help="register layer schemas + empty online table")
     b.add_argument("--out", required=True)
     b.set_defaults(fn=cmd_bootstrap)
+
+    rc = sub.add_parser("reconcile", help="verify manifests vs on-disk files/rows; flag orphans")
+    rc.add_argument("--out", required=True)
+    rc.add_argument("--run-id", default=None)
+    rc.set_defaults(fn=cmd_reconcile)
 
     ex = sub.add_parser("expire", help="C8 retention: drop gold dt= fragments older than a cutoff")
     ex.add_argument("--out", required=True)

@@ -385,6 +385,92 @@ def expire_gold_partitions(out_root: str, *, keep_from_dt: str) -> dict:
     }
 
 
+def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
+    """Lineage-integrity reconciliation: verify that every silver/gold
+    partition manifest's file list exists on disk with the manifested
+    row counts, and flag on-disk parquet leaves no manifest claims
+    (orphans — e.g. debris from a killed run before its manifest
+    landed). Filesystem metadata + parquet footers only, no data reads.
+    The check a resumable lake needs before trusting `completed_partitions`
+    for a resume, and the per-partition-metrics audit the north rule's
+    lineage requirement implies.
+
+    Row-parity comparison assumes the manifests being checked describe
+    the CURRENT lake contents: on a lake rewritten across several
+    run_ids, pass ``run_id`` to validate one run's manifests — older
+    runs' manifests describe bytes that were legitimately overwritten."""
+    import pyarrow.parquet as _pq
+
+    missing: list[dict] = []
+    mismatched: list[dict] = []
+    claimed: set[str] = set()
+    # fragments removed by C8 retention are expected absences; their
+    # audited row counts reconcile the manifest totals below
+    gold_root = os.path.join(out_root, "gold")
+    expired_rows: dict[str, int] = {}
+    for em in M.load_manifests(out_root, "expire"):
+        for r in em.extra.get("removed", []):
+            d = os.path.realpath(os.path.join(gold_root, r["fragment"]))
+            expired_rows[d] = expired_rows.get(d, 0) + int(r["rows"])
+
+    def expired_dir_of(path: str) -> str | None:
+        rp = os.path.realpath(path)
+        for d in expired_rows:
+            if rp.startswith(d + os.sep) or rp == d:
+                return d
+        return None
+
+    # partition manifests live under each layer's own root
+    manifests = [
+        m
+        for stage in ("silver", "gold")
+        for m in M.load_manifests(os.path.join(out_root, stage), stage)
+        if run_id is None or m.run_id == run_id
+    ]
+    for m in manifests:
+        rows_found = 0
+        rows_expired = 0
+        any_missing = False
+        for f in m.files:
+            if not os.path.exists(f):
+                d = expired_dir_of(f)
+                if d is not None:
+                    rows_expired += expired_rows[d]
+                    continue
+                any_missing = True
+                missing.append(
+                    {"stage": m.stage, "partition": m.partition_key, "file": f}
+                )
+                continue
+            claimed.add(os.path.realpath(f))
+            rows_found += _pq.ParquetFile(f).metadata.num_rows
+        # row parity over surviving files: manifest total minus the rows
+        # the expire audit accounts for must equal what is on disk
+        if not any_missing and rows_found != m.rows_out - rows_expired:
+            mismatched.append(
+                {
+                    "stage": m.stage,
+                    "partition": m.partition_key,
+                    "manifest_rows": m.rows_out - rows_expired,
+                    "disk_rows": rows_found,
+                }
+            )
+    orphans = [
+        f
+        for layer in ("silver", "gold")
+        for f in glob.glob(os.path.join(out_root, layer, "part=*", "**", "*.parquet"),
+                           recursive=True)
+        if os.path.realpath(f) not in claimed
+    ]
+    return {
+        "manifests_checked": len(manifests),
+        "ok": not (missing or mismatched or orphans),
+        "missing_files": missing,
+        "row_mismatches": mismatched,
+        "orphan_files": sorted(orphans),
+    }
+
+
 def latest_per_conv(gold_tbl: pa.Table) -> pa.Table:
     """Latest feature row per conv_id (argmax ts, tiebreak max turn_idx) —
     the typed-Parquet online table replacing the reference's stringified

@@ -384,3 +384,52 @@ def test_expire_gold_partitions(ray_session, bronze_dir, tmp_path):
     assert (gold_after["dt"] >= cutoff).all()
     c = meta["counts"]
     assert c["train"] + c["validation"] == len(gold_after)
+
+
+def test_reconcile_lake(ray_session, bronze_dir, tmp_path):
+    """Lineage reconciliation: clean lake passes; a deleted file, a row
+    mismatch, and an orphan are each flagged; C8-expired fragments are
+    expected absences, not errors."""
+    import pyarrow.parquet as pq
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+        expire_gold_partitions,
+        gold_dt_fragments,
+        reconcile_lake,
+    )
+
+    out = str(tmp_path / "lake")
+    run_stream(bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4)
+    rep = reconcile_lake(out)
+    assert rep["ok"], rep
+    assert rep["manifests_checked"] > 0
+
+    # C8 expiry is an expected absence
+    _, dts = gold_dt_fragments(os.path.join(out, "gold"))
+    expire_gold_partitions(out, keep_from_dt=dts[1])
+    rep = reconcile_lake(out)
+    assert rep["ok"], rep
+
+    # orphan parquet file (killed-run debris) is flagged
+    orphan = os.path.join(out, "gold", "part=00000", "dt=1999-01-01", "data.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    files, _ = gold_dt_fragments(os.path.join(out, "gold"))
+    shutil.copyfile(files[0], orphan)
+    rep = reconcile_lake(out)
+    assert not rep["ok"] and rep["orphan_files"] == [orphan]
+    os.remove(orphan)
+    shutil.rmtree(os.path.dirname(orphan))
+
+    # a truncated partition file is a row mismatch
+    victim = files[0]
+    tbl = pq.read_table(victim)
+    pq.write_table(tbl.slice(0, tbl.num_rows - 1), victim)
+    rep = reconcile_lake(out)
+    assert any(
+        m["disk_rows"] == m["manifest_rows"] - 1 for m in rep["row_mismatches"]
+    )
+
+    # a missing manifested file is flagged
+    os.remove(victim)
+    rep = reconcile_lake(out)
+    assert any(m["file"] == victim for m in rep["missing_files"])
