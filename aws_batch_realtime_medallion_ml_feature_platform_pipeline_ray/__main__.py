@@ -165,6 +165,10 @@ def main(argv=None) -> int:
     finally:
         if owns:
             ray.shutdown()
+    # the audit command's exit status IS its contract: a pre-resume gate
+    # (`reconcile && resume`) must fail on a corrupted lake
+    if args.cmd == "reconcile" and not result.get("ok", False):
+        return 1
     return 0
 
 

@@ -395,10 +395,12 @@ def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
     for a resume, and the per-partition-metrics audit the north rule's
     lineage requirement implies.
 
-    Row-parity comparison assumes the manifests being checked describe
-    the CURRENT lake contents: on a lake rewritten across several
-    run_ids, pass ``run_id`` to validate one run's manifests — older
-    runs' manifests describe bytes that were legitimately overwritten."""
+    Multi-run semantics: silver is append-per-run, so every silver
+    manifest stays live; gold is overwrite-per-partition, so only the
+    NEWEST gold manifest per partition (by manifest mtime) describes the
+    current bytes — older ones are superseded and skipped for parity.
+    ``run_id`` narrows missing/row checks to one run's manifests; the
+    orphan scan always considers every manifest's claims."""
     import pyarrow.parquet as _pq
 
     missing: list[dict] = []
@@ -420,29 +422,51 @@ def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
                 return d
         return None
 
-    # partition manifests live under each layer's own root
+    # partition manifests live under each layer's own root; ALL of them
+    # contribute file claims (so older runs' silver appends are never
+    # "orphans"), but only live ones are parity-checked
+    all_manifests: list[tuple] = []
+    for stage in ("silver", "gold"):
+        root = os.path.join(out_root, stage)
+        for m in M.load_manifests(root, stage):
+            mtime = os.path.getmtime(
+                M.manifest_path(root, m.stage, m.partition_key, m.run_id)
+            )
+            all_manifests.append((m, mtime))
+            for f in m.files:
+                if os.path.exists(f):
+                    claimed.add(os.path.realpath(f))
+    # gold overwrites per partition: keep only the newest manifest per key
+    latest_gold: dict[str, float] = {}
+    for m, mtime in all_manifests:
+        if m.stage == "gold":
+            latest_gold[m.partition_key] = max(
+                latest_gold.get(m.partition_key, 0.0), mtime
+            )
     manifests = [
         m
-        for stage in ("silver", "gold")
-        for m in M.load_manifests(os.path.join(out_root, stage), stage)
-        if run_id is None or m.run_id == run_id
+        for m, mtime in all_manifests
+        if (run_id is None or m.run_id == run_id)
+        and (m.stage != "gold" or mtime >= latest_gold[m.partition_key])
     ]
     for m in manifests:
         rows_found = 0
         rows_expired = 0
         any_missing = False
+        expired_seen: set[str] = set()
         for f in m.files:
             if not os.path.exists(f):
                 d = expired_dir_of(f)
                 if d is not None:
-                    rows_expired += expired_rows[d]
+                    if d not in expired_seen:  # dir rows counted once
+                        expired_seen.add(d)
+                        rows_expired += expired_rows[d]
                     continue
                 any_missing = True
                 missing.append(
                     {"stage": m.stage, "partition": m.partition_key, "file": f}
                 )
                 continue
-            claimed.add(os.path.realpath(f))
             rows_found += _pq.ParquetFile(f).metadata.num_rows
         # row parity over surviving files: manifest total minus the rows
         # the expire audit accounts for must equal what is on disk

@@ -299,12 +299,14 @@ def q_events_profile(sf_dir: str):
     per column — row count, null count, min, max, and exact distinct
     count — emitted long-form as (column, metric, val).
 
-    Scale shape: counts/min/max collapse per batch to O(columns) partial
-    rows (selection + addition, so exact); distinct counts ride per-batch
-    ``value_counts`` partials into ONE small groupby per profiled column
-    (the `events_hll_users` sketch is the alternative when the key space
-    itself is huge). Everything merges on the driver from O(batches x
-    columns) tiny partials."""
+    Scale shape: ONE pass over the data. Each batch collapses to
+    O(columns) scalar partials (count/nulls/min/max — selection and
+    addition, so exact) plus the batch's distinct values for the two
+    key-like columns, all in one long-form partial table; the driver
+    folds O(batches x (columns + batch-distincts)) tiny rows. The
+    distinct channel is bounded by the true key cardinality per batch —
+    for key spaces too large for that (user_id at 10^12-turn scale) the
+    mergeable-sketch path is ``events_hll_users``."""
     from ..sources.reads import read_parquet_sized
 
     ds = read_parquet_sized(
@@ -313,60 +315,62 @@ def q_events_profile(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        rows: list[tuple[str, str, float]] = []
+        cols: list[str] = []
+        mets: list[str] = []
+        vals: list[float] = []
+        svals: list[str | None] = []
+
+        def emit(c, m, v, sv=None):
+            cols.append(c)
+            mets.append(m)
+            vals.append(v)
+            svals.append(sv)
+
         n = float(t.num_rows)
         for col in ("event_id", "ts", "user_id", "event_type", "value"):
             a = t[col].combine_chunks()
-            rows.append((col, "count", n))
-            rows.append((col, "nulls", float(a.null_count)))
-            if col == "ts":
-                v = a.cast(pa.int64())
-                rows.append((col, "min", float(pc.min(v).as_py())))
-                rows.append((col, "max", float(pc.max(v).as_py())))
-            elif col != "event_type":
-                rows.append((col, "min", float(pc.min(a).as_py())))
-                rows.append((col, "max", float(pc.max(a).as_py())))
+            emit(col, "count", n)
+            emit(col, "nulls", float(a.null_count))
+            if col != "event_type" and a.null_count < len(a):
+                v = a.cast(pa.int64()) if col == "ts" else a
+                emit(col, "min", float(pc.min(v).as_py()))
+                emit(col, "max", float(pc.max(v).as_py()))
+        # distinct partials ride the same pass (no extra dataset scan)
+        for col in ("event_type", "user_id"):
+            a = t[col].combine_chunks()
+            for u in pc.unique(pc.drop_null(a)).to_pylist():
+                emit(col, "dp", 0.0, str(u))
         return pa.table(
             {
-                "column": pa.array([r[0] for r in rows], pa.string()),
-                "metric": pa.array([r[1] for r in rows], pa.string()),
-                "val": pa.array([r[2] for r in rows], pa.float64()),
+                "column": pa.array(cols, pa.string()),
+                "metric": pa.array(mets, pa.string()),
+                "val": pa.array(vals, pa.float64()),
+                "sval": pa.array(svals, pa.string()),
             }
         )
 
-    scalar_partials = ds.map_batches(
+    rows = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # O(batches x columns x metrics) tiny rows
-
+    ).take_all()
 
     acc: dict[tuple[str, str], float] = {}
-    for r in scalar_partials:
-        k = (r["column"], r["metric"])
+    distinct: dict[str, set] = {"event_type": set(), "user_id": set()}
+    for r in rows:
+        m = r["metric"]
+        if m == "dp":
+            distinct[r["column"]].add(r["sval"])
+            continue
+        k = (r["column"], m)
         v = float(r["val"])
-        if r["metric"] in ("count", "nulls"):
+        if m in ("count", "nulls"):
             acc[k] = acc.get(k, 0.0) + v
-        elif r["metric"] == "min":
+        elif m == "min":
             acc[k] = min(acc.get(k, v), v)
         else:
             acc[k] = max(acc.get(k, v), v)
-
-    # exact distinct for the two key-like columns: per-batch value_counts
-    # partial -> one small groupby each
-    def distinct_count(col: str) -> float:
-        def vc(t: pa.Table) -> pa.Table:
-            u = pc.unique(t[col].combine_chunks())
-            return pa.table({col: u})
-
-        uniq = (
-            ds.select_columns([col])
-            .map_batches(vc, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(col)
-            .count()
-        )
-        return float(uniq.count())
-
-    acc[("event_type", "distinct")] = distinct_count("event_type")
-    acc[("user_id", "distinct")] = distinct_count("user_id")
+    for col, s_ in distinct.items():
+        if s_:
+            acc[(col, "distinct")] = float(len(s_))
 
     keys = sorted(acc)
     return pa.table(

@@ -259,9 +259,7 @@ def q_schema_evolution_read(sf_dir: str):
 
     a1 = gen1.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
     a2 = gen2.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
-    return a1.union(a2).map_batches(
-        lambda t: t.select(cols), batch_format="pyarrow", zero_copy_batch=True
-    )
+    return a1.union(a2)  # align already emits `cols` in order on both sides
 
 
 def schema_evolution_oracle_sql(sf_dir: str = "") -> str:

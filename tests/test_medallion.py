@@ -433,3 +433,22 @@ def test_reconcile_lake(ray_session, bronze_dir, tmp_path):
     os.remove(victim)
     rep = reconcile_lake(out)
     assert any(m["file"] == victim for m in rep["missing_files"])
+
+
+def test_reconcile_lake_multi_run(ray_session, bronze_dir, tmp_path):
+    """A healthy two-run lake must reconcile clean: silver appends from
+    both runs are claimed, superseded gold manifests are skipped, and the
+    run_id filter narrows checks without flagging the other run's files."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+        reconcile_lake,
+    )
+
+    out = str(tmp_path / "lake")
+    run_stream(bronze_dir, out, run_id="r1", processed_at=PROCESSED_AT, num_parts=4)
+    run_stream(bronze_dir, out, run_id="r2", processed_at=PROCESSED_AT, num_parts=4)
+    rep = reconcile_lake(out)
+    assert rep["ok"], rep
+    rep2 = reconcile_lake(out, run_id="r2")
+    assert rep2["ok"], rep2
+    rep1 = reconcile_lake(out, run_id="r1")
+    assert rep1["ok"], rep1
