@@ -417,8 +417,100 @@ WHERE u.val IS NOT NULL
 """
 
 
+EWMA_ALPHA = 0.1  # smoothing factor; weights (1-a)^k, adjust=True form
+
+
+def q_events_ewma(sf_dir: str):
+    """Per-user exponentially-weighted moving average of ``value`` over
+    event order — the recursive time-series feature (s_t depends on
+    s_{t-1}) that naive vectorization can't express. Both sides use the
+    closed weighted-cumsum form: with r = 1-alpha and i the 0-based row
+    number per user,
+
+        ewma_t = cumsum(x_i r^-i) / cumsum(r^-i)   (common r^t cancels)
+
+    which is two segmented cumulative sums — fully vectorized per hash
+    partition after ONE user-keyed exchange. r^-i stays finite because
+    per-user sequence lengths are bounded (~10^2 here; at longer
+    horizons the same pass is applied per time-chunk with carried state,
+    exactly like the incremental medallion stream). ROUND(,6) absorbs
+    the cumsum-order ULP vs DuckDB's segment-tree window sums."""
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+
+    def ewma_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                "ewma": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks())
+        x = np.asarray(t["value"].combine_chunks())
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, x = uid[order], eid[order], x[order]
+        head = np.concatenate(([True], uid[1:] != uid[:-1]))
+        idx = np.arange(len(uid), dtype=np.int64)
+        seg0 = np.where(head, idx, 0)
+        np.maximum.accumulate(seg0, out=seg0)
+        i = idx - seg0  # 0-based row number within user
+        w = np.power(1.0 / (1.0 - EWMA_ALPHA), i.astype(np.float64))
+        num = np.cumsum(x * w)
+        den = np.cumsum(w)
+        # per-segment base via gather (x may be negative, so num is not
+        # monotonic and a maximum-accumulate base would be wrong)
+        seg_id = np.cumsum(head) - 1
+        heads_idx = np.flatnonzero(head)
+        base_n = (num - x * w)[heads_idx][seg_id]
+        base_d = (den - w)[heads_idx][seg_id]
+        ewma = (num - base_n) / (den - base_d)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "value": pa.array(x, pa.float64()),
+                "ewma": pc.round(
+                    pa.array(ewma, pa.float64()),
+                    ndigits=6,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", ewma_part, num_parts=NUM_PARTS)
+
+
+EVENTS_EWMA_SQL = f"""
+WITH o AS (
+    SELECT event_id, user_id, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) - 1 AS i
+    FROM events
+),
+w AS (
+    SELECT event_id, user_id, value,
+           power(1.0 / (1.0 - {EWMA_ALPHA}), i) AS wt
+    FROM o
+)
+SELECT event_id, user_id, value,
+       ROUND(
+           sum(value * wt) OVER win / sum(wt) OVER win, 6
+       ) AS ewma
+FROM w
+WINDOW win AS (PARTITION BY user_id ORDER BY wt
+               ROWS UNBOUNDED PRECEDING)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_retention": (q_events_retention, EVENTS_RETENTION_SQL),
+    "events_ewma": (q_events_ewma, EVENTS_EWMA_SQL),
     "events_profile": (q_events_profile, EVENTS_PROFILE_SQL),
     "events_time_cyclical": (q_events_time_cyclical, EVENTS_TIME_CYCLICAL_SQL),
     "events_scd2": (q_events_scd2, EVENTS_SCD2_SQL),
