@@ -88,5 +88,21 @@ def test_global_rank_multiblock_desc(ray_session):
     _rank_check(20_000, True, 3)
 
 
+def test_global_rank_adversarial_tiny_blocks(ray_session):
+    """Stress the two-pass block-bundling assumption with a tiny
+    target block size (many small sorted blocks): ranks must stay an
+    exact permutation, or the loud boundary-drift guard must fire —
+    silent corruption is the only unacceptable outcome."""
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024  # ~16 KiB blocks
+        _rank_check(50_000, False, 17)
+    finally:
+        ctx.target_max_block_size = old
+
+
 def test_global_rank_multiblock_asc(ray_session):
     _rank_check(20_000, False, 11)
