@@ -221,12 +221,22 @@ SCALING_ROUNDS = 3         # interleaved (lo, hi) rounds; best per level
 SCALING_TIME_BUDGET = 1500  # skip later rounds when the wall budget is spent
 
 
-def run_scaling(lo: int, hi: int) -> dict:
+def run_scaling(lo: int, hi: int, corpus: str | None = None) -> dict:
     """Interleave the two levels across rounds and keep each level's best
     sample: on a shared host, throughput weather changes minute to minute,
-    and measuring the levels far apart in time corrupts the ratio."""
-    corpus = os.path.join("/tmp", "graft_scaling_bronze")
-    n_rows = _gen_corpus(corpus)
+    and measuring the levels far apart in time corrupts the ratio.
+
+    ``corpus``: optional pre-generated bronze dir (e.g. a smaller corpus
+    when the host's lazy-paging degradation makes the 70M-turn arena
+    unaffordable — see BASELINE.md round-2 notes; each child's untimed
+    warm-up run absorbs the page-fault cost either way)."""
+    if corpus is None:
+        corpus = os.path.join("/tmp", "graft_scaling_bronze")
+        n_rows = _gen_corpus(corpus)
+    else:
+        import pyarrow.parquet as _pq, glob as _glob
+        n_rows = sum(_pq.ParquetFile(f).metadata.num_rows
+                     for f in _glob.glob(os.path.join(corpus, "*.parquet")))
     results = {}
     t_start = time.time()
     for rnd in range(SCALING_ROUNDS):
@@ -307,7 +317,7 @@ def main() -> None:
         _child(args.input, args.num_cpus, args.reps)
         return
     if args.scaling:
-        print(json.dumps(run_scaling(args.cpus_lo, args.cpus_hi)))
+        print(json.dumps(run_scaling(args.cpus_lo, args.cpus_hi, corpus=args.input)))
         return
     if args.stats:
         run_stats(args.sf_dir, args.num_cpus)
