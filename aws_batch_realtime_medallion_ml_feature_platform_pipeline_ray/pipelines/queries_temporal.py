@@ -1,0 +1,245 @@
+"""Temporal feature/label operators: forward as-of (next-event label
+join), per-entity running max, and a leak-free temporal holdout split.
+
+The backward as-of join (stages/asof.py) is the anti-leakage FEATURE
+join; its mirror image — the earliest right row with ``ts' >= ts`` — is
+the LABEL join (next purchase / next failure / time-to-conversion) every
+supervised pipeline over the reference's gold layer needs
+(``/root/reference/spark_jobs/build_datasets.py:60-71`` derives labels
+from a same-row flag; these operators generalize that to cross-row,
+future-looking targets without a self-join blowup).
+
+Oracle twins in DuckDB SQL (float policy: no arithmetic on doubles that
+both sides don't perform identically — pass-through or max only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.reads import read_parquet_sized
+from ..stages.asof import asof_join_broadcast
+from ..stages.keyed import map_partitions_by_key
+from ..stages.salted import _segmented_maximum_accumulate
+
+NUM_PARTS = 16
+
+
+# ---------------------------------------------------------------------------
+# forward as-of: next-purchase label join
+# ---------------------------------------------------------------------------
+
+def _purchases_by_user_ts(sf_dir: str):
+    """Right side: one row per (user_id, ts) over purchase events —
+    pre-aggregated (count + max value) so the as-of match is
+    deterministic under hypothetical ts ties. Type/column pruning pushed
+    into the parquet read; ONE hash exchange; per-partition Arrow-native
+    group_by."""
+    import pyarrow.dataset as pads
+
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value"],
+        filter=pads.field("event_type") == "purchase",
+    )
+
+    def agg_partition(part: pa.Table) -> pa.Table:
+        g = part.group_by(["user_id", "ts"]).aggregate(
+            [("value", "count"), ("value", "max")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "next_ts": g["ts"].cast(pa.timestamp("us")),
+                "n_nx": g["value_count"].cast(pa.int64()),
+                "next_value": g["value_max"],
+            }
+        )
+
+    return map_partitions_by_key(events, "user_id", agg_partition,
+                                 num_parts=NUM_PARTS)
+
+
+def q_asof_join_forward(sf_dir: str):
+    """Forward as-of join: for every event, the user's EARLIEST purchase
+    at or after ``ts`` (next-purchase label: its timestamp, tie count and
+    value). Same broadcast plan as the backward join — the right side is
+    the per-entity purchase state table (bounded, pre-aggregated
+    distributed, collected only for the ``ray.put`` broadcast); the probe
+    is one global ``np.searchsorted`` with ``side="left"`` on the
+    segment-offset axis (stages/asof.py, direction="forward")."""
+    right = pa.Table.from_pandas(
+        _purchases_by_user_ts(sf_dir).to_pandas(), preserve_index=False
+    )
+    return asof_join_broadcast(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        ),
+        right,
+        key="user_id",
+        ts="next_ts",
+        attach_cols=["next_ts", "n_nx", "next_value"],
+        left_ts="ts",
+        concurrency=2,
+        direction="forward",
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH p AS (
+    SELECT user_id, ts AS next_ts,
+           CAST(count(*) AS BIGINT) AS n_nx,
+           max(value) AS next_value
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.ts, e.user_id, e.value,
+       p.next_ts, p.n_nx, p.next_value
+FROM events e
+ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.next_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-entity running max (cumulative window aggregate)
+# ---------------------------------------------------------------------------
+
+def q_features_cummax(sf_dir: str):
+    """Running MAX(o_totalprice) per customer in (o_orderdate, o_orderkey)
+    order — the cumulative-extreme companion to ``features_cumsum``
+    ("biggest order so far" style features). ONE keyed exchange; per
+    partition a single lexsort + the engine's segmented
+    maximum-accumulate (integer cents, so the running max is bit-exact:
+    max only ever SELECTS one of the original 2-decimal doubles and
+    cents/100.0 round-trips exactly below 2^53)."""
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "run_max": pa.array([], pa.float64()),
+                }
+            )
+        cust = np.asarray(part["o_custkey"].combine_chunks().cast(pa.int64()))
+        okey = np.asarray(part["o_orderkey"].combine_chunks().cast(pa.int64()))
+        date_i = np.asarray(
+            part["o_orderdate"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        cents = np.asarray(
+            pc.round(
+                pc.multiply(part["o_totalprice"].combine_chunks(), 100.0)
+            ).cast(pa.int64())
+        )
+        order = np.lexsort((okey, date_i, cust))
+        cust_s = cust[order]
+        seg_start = np.empty(len(cust_s), dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = cust_s[1:] != cust_s[:-1]
+        run = _segmented_maximum_accumulate(cents[order], seg_start)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey[order], pa.int64()),
+                "o_custkey": pa.array(cust_s, pa.int64()),
+                "o_orderdate": pa.array(date_i[order], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "run_max": pa.array(run.astype(np.float64) / 100.0, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(orders, "o_custkey", partition,
+                                 num_parts=NUM_PARTS)
+
+
+FEATURES_CUMMAX_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       MAX(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS run_max
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# temporal holdout split (leak-free last-k-per-entity validation)
+# ---------------------------------------------------------------------------
+
+HOLDOUT_K = 2
+
+
+def q_events_holdout_split(sf_dir: str):
+    """Temporal holdout: each user's last ``HOLDOUT_K`` events (by ts,
+    event_id desc) become the validation rows, everything earlier is
+    train — the per-entity time-based split that, unlike the hash split
+    (``train_split``), guarantees validation rows are strictly LATER than
+    every training row of the same entity (no temporal leakage across the
+    split). ONE keyed exchange; per partition a lexsort + vectorized
+    rank-from-end off segment boundaries."""
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "split": pa.array([], pa.string()),
+                }
+            )
+        user = np.asarray(part["user_id"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(part["event_id"].combine_chunks().cast(pa.int64()))
+        ts_i = np.asarray(
+            part["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        order = np.lexsort((eid, ts_i, user))
+        user_s = user[order]
+        n = len(user_s)
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = user_s[1:] != user_s[:-1]
+        # last index of each row's segment, broadcast back to rows
+        starts = np.flatnonzero(seg_start)
+        ends = np.append(starts[1:], n) - 1  # inclusive
+        seg_id = np.cumsum(seg_start) - 1
+        rank_from_end = ends[seg_id] - np.arange(n)  # 0 = entity's last event
+        split = np.where(rank_from_end < HOLDOUT_K, "validation", "train")
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(user_s, pa.int64()),
+                "ts": pa.array(ts_i[order], pa.int64()).cast(pa.timestamp("us")),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return map_partitions_by_key(events, "user_id", partition,
+                                 num_parts=NUM_PARTS)
+
+
+EVENTS_HOLDOUT_SQL = f"""
+SELECT event_id, user_id, ts,
+       CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) <= {HOLDOUT_K}
+            THEN 'validation' ELSE 'train' END AS split
+FROM events
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_SQL),
+    "features_cummax": (q_features_cummax, FEATURES_CUMMAX_SQL),
+    "events_holdout_split": (q_events_holdout_split, EVENTS_HOLDOUT_SQL),
+}

@@ -46,4 +46,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_medallion
 
     reg.update(queries_medallion.build_registry())
+    from . import queries_temporal
+
+    reg.update(queries_temporal.REGISTRY)
     return reg

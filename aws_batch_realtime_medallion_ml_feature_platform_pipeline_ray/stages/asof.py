@@ -58,33 +58,61 @@ class _SortedRight:
         left_keys,
         left_ts_i: np.ndarray,
         tolerance_us: int | None = None,
+        direction: str = "backward",
     ) -> np.ndarray:
         """Return right row index per left row (-1 = no match).
 
-        ``tolerance_us`` bounds staleness: the matched right row must
-        satisfy ``ts' >= ts - tolerance_us`` as well as ``ts' <= ts``
-        (feature-store freshness semantics). Because the as-of match is
-        the LATEST eligible right row, an out-of-window match implies no
-        in-window row exists — a post-mask is exact, no re-probe needed."""
+        ``direction="backward"`` (default, the anti-leakage feature join)
+        matches the LATEST right row with ``ts' <= ts``;
+        ``direction="forward"`` (label generation: next purchase / next
+        failure) matches the EARLIEST right row with ``ts' >= ts``.
+
+        ``tolerance_us`` bounds staleness: the matched right row must also
+        satisfy ``ts' >= ts - tolerance_us`` (backward) or
+        ``ts' <= ts + tolerance_us`` (forward — a label horizon). Because
+        the as-of match is the nearest eligible right row in the probe
+        direction, an out-of-window match implies no in-window row exists —
+        a post-mask is exact, no re-probe needed."""
         if self.table.num_rows == 0:
             return np.full(len(left_ts_i), -1, dtype=np.int64)
         codes = self.left_codes(left_keys)
-        # clip the relative query into [-1, span-1]: below-range probes land
-        # just before the segment (-> miss), above-range probes land on the
-        # segment's last row without crossing into the next segment.
-        q = (left_ts_i - self.t0).clip(min=-1, max=self.span - 1)
-        q_adj = q + codes * self.span
-        pos = np.searchsorted(self.ts_adj, q_adj, side="right") - 1
-        pos_c = pos.clip(min=0)
-        right_ts = (self.ts_adj[pos_c] - self.codes[pos_c] * self.span) + self.t0
-        ok = (
-            (codes >= 0)
-            & (pos >= 0)
-            & (self.codes[pos_c] == codes)
-            & (left_ts_i >= right_ts)
-        )
-        if tolerance_us is not None:
-            ok &= right_ts >= left_ts_i - tolerance_us
+        if direction == "backward":
+            # clip the relative query into [-1, span-1]: below-range probes
+            # land just before the segment (-> miss), above-range probes land
+            # on the segment's last row without crossing into the next.
+            q = (left_ts_i - self.t0).clip(min=-1, max=self.span - 1)
+            q_adj = q + codes * self.span
+            pos = np.searchsorted(self.ts_adj, q_adj, side="right") - 1
+            pos_c = pos.clip(min=0)
+            right_ts = (self.ts_adj[pos_c] - self.codes[pos_c] * self.span) + self.t0
+            ok = (
+                (codes >= 0)
+                & (pos >= 0)
+                & (self.codes[pos_c] == codes)
+                & (left_ts_i >= right_ts)
+            )
+            if tolerance_us is not None:
+                ok &= right_ts >= left_ts_i - tolerance_us
+        elif direction == "forward":
+            # mirror image: clip into [0, span-1] — below-range probes land
+            # on the segment's first row (every row qualifies), above-range
+            # probes land past the segment end (codes mismatch -> miss).
+            n = len(self.ts_adj)
+            q = (left_ts_i - self.t0).clip(min=0, max=self.span - 1)
+            q_adj = q + codes * self.span
+            pos = np.searchsorted(self.ts_adj, q_adj, side="left")
+            pos_c = pos.clip(max=n - 1)
+            right_ts = (self.ts_adj[pos_c] - self.codes[pos_c] * self.span) + self.t0
+            ok = (
+                (codes >= 0)
+                & (pos < n)
+                & (self.codes[pos_c] == codes)
+                & (right_ts >= left_ts_i)
+            )
+            if tolerance_us is not None:
+                ok &= right_ts <= left_ts_i + tolerance_us
+        else:
+            raise ValueError(f"unknown as-of direction: {direction!r}")
         return np.where(ok, pos, -1)
 
 
@@ -96,13 +124,16 @@ def asof_attach(
     attach_cols: list[str],
     suffix: str = "",
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> pa.Table:
     """Attach ``attach_cols`` of the as-of matched right row to ``left``
-    (nulls when no right row with ts' <= ts exists, or — with
-    ``tolerance_us`` — none with ts' in [ts - tol, ts])."""
+    (nulls when no right row with ts' <= ts exists — ts' >= ts for
+    ``direction="forward"`` — or, with ``tolerance_us``, none within the
+    staleness/horizon window)."""
     lts = np.asarray(left[left_ts].combine_chunks().cast(pa.int64()))
     pos = right_sorted.probe(
-        left[left_key].combine_chunks(), lts, tolerance_us=tolerance_us
+        left[left_key].combine_chunks(), lts, tolerance_us=tolerance_us,
+        direction=direction,
     )
     miss = pos < 0
     out = left
@@ -125,7 +156,8 @@ class BroadcastAsofJoiner:
 
     def __init__(self, right_ref, key: str, ts: str, attach_cols: list[str],
                  left_key: str | None = None, left_ts: str | None = None,
-                 suffix: str = "", tolerance_us: int | None = None):
+                 suffix: str = "", tolerance_us: int | None = None,
+                 direction: str = "backward"):
         import ray
 
         right = ray.get(right_ref) if not isinstance(right_ref, pa.Table) else right_ref
@@ -135,11 +167,13 @@ class BroadcastAsofJoiner:
         self.attach_cols = attach_cols
         self.suffix = suffix
         self.tolerance_us = tolerance_us
+        self.direction = direction
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return asof_attach(
             batch, self.sorted_right, self.left_key, self.left_ts,
             self.attach_cols, self.suffix, tolerance_us=self.tolerance_us,
+            direction=self.direction,
         )
 
 
@@ -155,6 +189,7 @@ def asof_join_broadcast(
     suffix: str = "",
     concurrency: int | tuple[int, int] = 4,
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ):
     """Shuffle-free as-of join for a small right side (state table)."""
     import ray
@@ -163,7 +198,7 @@ def asof_join_broadcast(
     return left_ds.map_batches(
         BroadcastAsofJoiner,
         fn_constructor_args=(right_ref, key, ts, attach_cols, left_key, left_ts,
-                             suffix, tolerance_us),
+                             suffix, tolerance_us, direction),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
@@ -179,6 +214,7 @@ def asof_join_partitioned(
     attach_cols: list[str],
     left_ts: str | None = None,
     num_parts: int,
+    direction: str = "backward",
 ):
     """Both-sides-large as-of join: ONE co-partitioning shuffle by ``key``
     (union + groupby, stages/keyed.py), then the same vectorized probe per
@@ -196,6 +232,6 @@ def asof_join_partitioned(
                 )
             return out
         sr = _SortedRight(rpart, key, ts)
-        return asof_attach(lpart, sr, key, lts, attach_cols)
+        return asof_attach(lpart, sr, key, lts, attach_cols, direction=direction)
 
     return cogroup_by_key(left_ds, right_ds, key, fn, num_parts=num_parts)

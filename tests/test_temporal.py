@@ -1,0 +1,113 @@
+"""Forward as-of (label join), running max, and temporal holdout split."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.asof import (
+    _SortedRight,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _right():
+    return pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "ts": pa.array([10, 20, 30, 5, 7], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "v": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+
+
+def test_forward_probe_kernel():
+    sr = _SortedRight(_right(), "k", "ts")
+    keys = pa.array([1, 1, 1, 1, 2, 2, 9], pa.int64())
+    ts = np.array([10, 11, 30, 31, 1, 6, 10], np.int64)
+    pos = sr.probe(keys, ts, direction="forward")
+    got = [None if p < 0 else sr.table["v"][int(p)].as_py() for p in pos]
+    # ties inclusive (ts'==ts matches); past-range and unknown keys miss
+    assert got == ["a", "b", "c", None, "d", None, None]
+
+
+def test_forward_probe_horizon_tolerance():
+    sr = _SortedRight(_right(), "k", "ts")
+    keys = pa.array([1, 1], pa.int64())
+    ts = np.array([11, 11], np.int64)
+    near = sr.probe(keys, ts, direction="forward", tolerance_us=9)
+    far = sr.probe(keys, ts, direction="forward", tolerance_us=8)
+    assert near[0] >= 0 and far[0] < 0  # match at 20 is 9us ahead
+
+
+def test_forward_probe_empty_right():
+    sr = _SortedRight(_right().slice(0, 0), "k", "ts")
+    pos = sr.probe(pa.array([1], pa.int64()), np.array([5], np.int64),
+                   direction="forward")
+    assert list(pos) == [-1]
+
+
+def test_asof_forward_no_past_leakage(ray_session):
+    """Property: every attached purchase is at or after the event ts and
+    is the EARLIEST eligible one (labels never look backward)."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_temporal import (
+        q_asof_join_forward,
+    )
+
+    out = q_asof_join_forward(SF).to_pandas()
+    hit = out[out["next_ts"].notna()]
+    assert len(hit) > 0
+    assert (hit["next_ts"] >= hit["ts"]).all()
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    px = ev[ev["event_type"] == "purchase"]
+    by_user = {k: np.sort(g["ts"].to_numpy()) for k, g in px.groupby("user_id")}
+    sample = out.sample(n=min(250, len(out)), random_state=0)
+    for _, r in sample.iterrows():
+        cand = by_user.get(r["user_id"])
+        elig = cand[cand >= np.datetime64(r["ts"])] if cand is not None else []
+        if len(elig) == 0:
+            assert pd.isna(r["next_ts"])
+        else:
+            assert np.datetime64(r["next_ts"]) == elig[0]
+
+
+def test_holdout_split_leak_free(ray_session):
+    """Property: per user, every validation ts is >= every train ts, and
+    validation rows number min(K, user's events)."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_temporal import (
+        HOLDOUT_K,
+        q_events_holdout_split,
+    )
+
+    out = q_events_holdout_split(SF).to_pandas()
+    assert len(out) == len(pd.read_parquet(f"{SF}/events.parquet"))
+    for uid, g in out.groupby("user_id"):
+        val = g[g["split"] == "validation"]
+        trn = g[g["split"] == "train"]
+        assert len(val) == min(HOLDOUT_K, len(g))
+        if len(trn) and len(val):
+            assert val["ts"].min() >= trn["ts"].max()
+
+
+def test_cummax_monotone_per_customer(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_temporal import (
+        q_features_cummax,
+    )
+
+    out = q_features_cummax(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert len(out) == len(orders)
+    out = out.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    for _, g in out.groupby("o_custkey"):
+        assert g["run_max"].is_monotonic_increasing
+    # spot-exact vs brute force on one customer
+    c0 = out["o_custkey"].iloc[0]
+    g = orders[orders["o_custkey"] == c0].sort_values(
+        ["o_orderdate", "o_orderkey"]
+    )
+    expect = g["o_totalprice"].cummax().to_numpy()
+    got = out[out["o_custkey"] == c0]["run_max"].to_numpy()
+    assert np.array_equal(got, expect)
