@@ -928,6 +928,91 @@ FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {SN_WINDOW}
 """
 
 
+FUZZY_PREFIX = 64  # bytes of canonical prefix compared
+FUZZY_MAX_DIST = 20  # near-dup verdict threshold (corpus background ~49)
+
+
+def q_docs_fuzzy_pairs(sf_dir: str):
+    """Fuzzy near-dup pairs via exact Levenshtein verify — the
+    edit-distance dedup family (complements MinHash/SimHash/n-gram/
+    embedding): sorted-neighborhood blocking proposes candidate pairs,
+    each pair's canonical 64-byte prefixes ride the SAME bucket exchange
+    as carry columns (no extra join), and a vectorized two-row DP scores
+    every pair in the batch at once (stages/dedup.py:edit_distance_pairs
+    — the Python loop is over the fixed 64x64 cell grid, O(P) vectorized
+    per cell, never over pairs). The bounded prefix keeps per-pair cost
+    constant at any document length — the standard blocking-verify
+    practice for fuzzy entity resolution."""
+    import pyarrow.compute as pc
+
+    from ..sources.reads import read_parquet_sized
+    from ..stages.dedup import ascii_prefix_matrix, edit_distance_pairs
+    from ..stages.globalorder import neighbor_pairs, with_global_rank
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "pfx": pc.utf8_slice_codeunits(
+                    t["text"].combine_chunks(), 0, FUZZY_PREFIX
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ranked = with_global_rank(docs, ["n_chars", "doc_id"],
+                              descending=[False, False])
+    pairs = neighbor_pairs(
+        ranked,
+        rank_col="rnk",
+        window=SN_WINDOW,
+        carry_cols=["doc_id", "pfx"],
+        bucket_size=64,
+        num_parts=NUM_PARTS,
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id_a": pa.array([], pa.int64()),
+                    "doc_id_b": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        a_mat, a_len = ascii_prefix_matrix(t["pfx_a"], FUZZY_PREFIX)
+        b_mat, b_len = ascii_prefix_matrix(t["pfx_b"], FUZZY_PREFIX)
+        dist = edit_distance_pairs(a_mat, a_len, b_mat, b_len)
+        keep = pa.array(dist <= FUZZY_MAX_DIST)
+        return pa.table(
+            {
+                "doc_id_a": t["doc_id_a"].combine_chunks().cast(pa.int64()),
+                "doc_id_b": t["doc_id_b"].combine_chunks().cast(pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        ).filter(keep)
+
+    return pairs.map_batches(verify, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+DOCS_FUZZY_PAIRS_SQL = f"""
+WITH r AS (
+    SELECT doc_id, substr(text, 1, {FUZZY_PREFIX}) AS pfx,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+    FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {SN_WINDOW}
+WHERE levenshtein(a.pfx, b.pfx) <= {FUZZY_MAX_DIST}
+"""
+
+
 def q_docs_global_rank(sf_dir: str):
     """Exact global row number over a total order: Ray Data's
     range-partitioned sort + the O(#blocks) block-offset scan
@@ -961,6 +1046,7 @@ REGISTRY: dict[str, tuple] = {
         q_docs_sorted_neighborhood,
         DOCS_SORTED_NEIGHBORHOOD_SQL,
     ),
+    "docs_fuzzy_pairs": (q_docs_fuzzy_pairs, DOCS_FUZZY_PAIRS_SQL),
     "events_funnel": (q_events_funnel, EVENTS_FUNNEL_SQL),
     "docs_tfidf_top_terms": (q_docs_tfidf_top_terms, DOCS_TFIDF_SQL),
     "docs_commonness": (q_docs_commonness, DOCS_COMMONNESS_SQL),

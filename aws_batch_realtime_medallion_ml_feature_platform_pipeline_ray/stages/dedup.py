@@ -453,3 +453,65 @@ def simhash64(sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         out |= np.uint64(1 << b) * (votes * 2 > lens).astype(np.uint64)
     out[lens == 0] = 0
     return out
+
+
+# ---------------------------------------------------------------------------
+# edit-distance (Levenshtein) fuzzy verify — the 5th dedup family
+# ---------------------------------------------------------------------------
+
+def ascii_prefix_matrix(
+    arr: pa.Array | pa.ChunkedArray, width: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-width (P, width) uint8 matrix of each ASCII string's first
+    ``width`` bytes (zero-padded) plus the clipped byte lengths.
+
+    Zero-copy views of the Arrow string buffers + ONE vectorized gather —
+    no per-row Python. ASCII-only by contract (byte == character); the
+    caller's SQL twin uses ``substr(text, 1, width)`` which matches
+    byte-for-byte on ASCII."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    dbuf = arr.buffers()[2]
+    lens = np.minimum(off[1:] - off[:-1], width)
+    data = np.frombuffer(dbuf, np.uint8) if dbuf is not None else np.zeros(0, np.uint8)
+    if len(arr) == 0 or len(data) == 0:  # all-empty strings have a 0-byte buffer
+        return np.zeros((len(arr), width), np.uint8), lens
+    col = np.arange(width, dtype=np.int64)[None, :]
+    idx = off[:-1, None] + col
+    valid = col < lens[:, None]
+    mat = np.where(valid, data[np.where(valid, idx, 0)], 0).astype(np.uint8)
+    return mat, lens
+
+
+def edit_distance_pairs(
+    a_mat: np.ndarray,
+    a_len: np.ndarray,
+    b_mat: np.ndarray,
+    b_len: np.ndarray,
+) -> np.ndarray:
+    """Exact Levenshtein distance for P string pairs at once.
+
+    Classic two-row DP over the (width x width) cell grid; every cell
+    step is an O(P) vectorized min — the Python loop is over the FIXED
+    prefix grid (width^2 iterations), never over rows or pairs, so the
+    cost is the DP work itself. Zero-padding never leaks: each pair's
+    answer is read at exactly (a_len, b_len)."""
+    P, W = a_mat.shape
+    ans = b_len.astype(np.int64).copy()  # a_len == 0 rows: distance = |b|
+    prev = np.broadcast_to(np.arange(W + 1, dtype=np.int64), (P, W + 1)).copy()
+    for i in range(1, W + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = a_mat[:, i - 1]
+        for j in range(1, W + 1):
+            cost = (ai != b_mat[:, j - 1]).astype(np.int64)
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + cost, out=cur[:, j])
+        done = a_len == i
+        if done.any():
+            ans[done] = cur[done, b_len[done]]
+        prev = cur
+    return ans

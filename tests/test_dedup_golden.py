@@ -10,6 +10,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings, strategies as st
 
 SF = "/root/testdata/sf0.001"
 
@@ -167,3 +168,47 @@ def test_pair_jaccard_kernel_matches_bruteforce():
         for r in sub_out.itertuples(index=False):
             k = pack_pairs(np.array([r.doc_a]), np.array([r.doc_b]))[0]
             assert got[k] == pytest.approx(r.jaccard, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance fuzzy verify kernel
+# ---------------------------------------------------------------------------
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook O(|a||b|) reference."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcxyz ", max_size=12),
+            st.text(alphabet="abcxyz ", max_size=12),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_edit_distance_pairs_matches_reference(pairs):
+    import pyarrow as pa
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.dedup import (
+        ascii_prefix_matrix,
+        edit_distance_pairs,
+    )
+
+    a = pa.array([p[0] for p in pairs], pa.string())
+    b = pa.array([p[1] for p in pairs], pa.string())
+    am, al = ascii_prefix_matrix(a, 12)
+    bm, bl = ascii_prefix_matrix(b, 12)
+    got = edit_distance_pairs(am, al, bm, bl)
+    want = [_lev_ref(x, y) for x, y in pairs]
+    assert list(got) == want
