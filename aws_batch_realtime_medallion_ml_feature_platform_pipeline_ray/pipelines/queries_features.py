@@ -767,6 +767,77 @@ SELECT o_custkey,
 FROM orders GROUP BY o_custkey
 """
 
+
+def q_features_robust_scale(sf_dir: str):
+    """Median/MAD robust scaling per customer — the outlier-immune
+    z-score ((x - median) / MAD): the scaling-family member z-score and
+    min-max can't provide when heavy tails corrupt mean and variance.
+
+    ONE keyed exchange; per whole hash partition BOTH statistics come
+    from two segmented sorts (values, then absolute deviations) with
+    discrete-quantile picks (``ceil(q*n) - 1`` — DuckDB ``quantile_disc``
+    parity: selection not interpolation, so every double that enters the
+    final (x - med) / mad is byte-identical on both sides; groups whose
+    MAD is 0 yield NULL)."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_custkey": pa.array([], pa.int64()),
+                    "robust": pa.array([], pa.float64()),
+                }
+            )
+        cust = np.asarray(t["o_custkey"].combine_chunks())
+        okey = np.asarray(t["o_orderkey"].combine_chunks())
+        price = np.asarray(t["o_totalprice"].combine_chunks())
+        order = np.lexsort((price, cust))
+        cs, ps = cust[order], price[order]
+        n = len(cs)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(cs)) + 1))
+        lens = np.diff(np.concatenate((starts, [n])))
+        seg_id = np.repeat(np.arange(len(starts)), lens)
+        med = ps[starts - 1 + np.ceil(lens * 0.5).astype(np.int64)]
+        dev = np.abs(ps - med[seg_id])
+        # second segmented sort, of deviations within the same segments
+        order2 = np.lexsort((dev, cs))
+        mad = dev[order2][starts - 1 + np.ceil(lens * 0.5).astype(np.int64)]
+        mad_row, med_row = mad[seg_id], med[seg_id]
+        ok = mad_row > 0
+        robust = np.where(ok, (ps - med_row) / np.where(ok, mad_row, 1.0), 0.0)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey[order], pa.int64()),
+                "o_custkey": pa.array(cs, pa.int64()),
+                "robust": pa.array(robust, pa.float64(), mask=~ok),
+            }
+        )
+
+    return map_partitions_by_key(ds, "o_custkey", part_fn, num_parts=NUM_PARTS)
+
+
+FEATURES_ROBUST_SCALE_SQL = """
+WITH med AS (
+    SELECT o_custkey, quantile_disc(o_totalprice, 0.5) AS med_price
+    FROM orders GROUP BY 1
+), mad AS (
+    SELECT o.o_custkey,
+           quantile_disc(abs(o.o_totalprice - m.med_price), 0.5) AS mad_price
+    FROM orders o JOIN med m USING (o_custkey) GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CASE WHEN d.mad_price > 0
+            THEN (o.o_totalprice - m.med_price) / d.mad_price END AS robust
+FROM orders o
+JOIN med m USING (o_custkey)
+JOIN mad d USING (o_custkey)
+"""
+
 # --------------------------------------------------------------------------
 # Exact Pearson correlation per group (feature-selection screen)
 # --------------------------------------------------------------------------
@@ -1225,6 +1296,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_winsorize": (q_docs_winsorize, DOCS_WINSORIZE_SQL),
     "join_semi_bloom": (q_join_semi_bloom, JOIN_SEMI_SQL),
     "features_group_median": (q_features_group_median, FEATURES_GROUP_MEDIAN_SQL),
+    "features_robust_scale": (q_features_robust_scale, FEATURES_ROBUST_SCALE_SQL),
     "features_corr": (q_features_corr, FEATURES_CORR_SQL),
     "join_left_outer": (q_join_left_outer, JOIN_LEFT_OUTER_SQL),
     "join_full_outer": (q_join_full_outer, JOIN_FULL_OUTER_SQL),
