@@ -528,13 +528,96 @@ GROUP BY 1, 2
 """
 
 
+PR_ITERS = 3
+PR_SCALE = 1 << 38
+PR_BASE = (15 * PR_SCALE) // 100
+PR_PARTS = 8
+
+
+def q_embedding_pagerank(sf_dir: str):
+    """PageRank over the exact cosine kNN graph (k={K}) — the
+    centrality-based data-selection signal: high-rank vectors sit in
+    dense semantic neighborhoods, low-rank vectors are outliers. Edges
+    come from the oracle-exact block-pair kNN self-join; the iteration is
+    integer-exact scaled arithmetic (stages/graph.py:
+    pagerank_constant_outdegree — two keyed exchanges per round, edge set
+    materialized once, nothing broadcast), so the unrolled-CTE DuckDB
+    twin matches bit-for-bit."""
+    from ..stages.ann import knn_self_join
+    from ..stages.graph import pagerank_constant_outdegree
+
+    pairs = knn_self_join(_emb(sf_dir), k=K, n_blocks=4).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["q_id"].cast(pa.int64()),
+                "dst": t["vec_id"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nodes = _emb(sf_dir).map_batches(
+        lambda t: pa.table({"node": t["vec_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ranks = pagerank_constant_outdegree(
+        pairs, nodes, k_out=K, iters=PR_ITERS, num_parts=PR_PARTS,
+        scale=PR_SCALE,
+    )
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t["node"], "pr_scaled": t["rank"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _pagerank_sql() -> str:
+    chain = [f"r0 AS (SELECT vec_id AS node, CAST({PR_SCALE} AS BIGINT) AS rnk FROM embeddings)"]
+    for t in range(1, PR_ITERS + 1):
+        chain.append(
+            f"""r{t} AS (
+    SELECT n.node,
+           CAST({PR_BASE} AS BIGINT)
+           + (85 * COALESCE(s.m, CAST(0 AS BIGINT))) // 100 AS rnk
+    FROM r{t-1} n LEFT JOIN (
+        SELECT e.dst, CAST(SUM(r{t-1}.rnk // {K}) AS BIGINT) AS m
+        FROM e JOIN r{t-1} ON r{t-1}.node = e.src GROUP BY 1
+    ) s ON s.dst = n.node
+)"""
+        )
+    return f"""
+WITH sims AS (
+    SELECT a.vec_id AS q_id, b.vec_id AS nb,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id <> b.vec_id
+),
+rk AS (
+    SELECT q_id, nb, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, nb) AS rn
+    FROM sims
+),
+e AS (SELECT q_id AS src, nb AS dst FROM rk WHERE rn <= {K}),
+{', '.join(chain)}
+SELECT node AS vec_id, rnk AS pr_scaled FROM r{PR_ITERS}
+"""
+
+
+EMBEDDING_PAGERANK_SQL = _pagerank_sql()
+
 REGISTRY: dict[str, tuple] = {
     "embedding_kmeans_step": (q_embedding_kmeans_step, EMBEDDING_KMEANS_STEP_SQL),
     "embedding_covariance": (q_embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "knn": (q_knn, KNN_SQL),
     "knn_ivf": (q_knn_ivf, KNN_SQL),
+
     "knn_self": (q_knn_self, KNN_SELF_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "embedding_centroids": (q_embedding_centroids, EMBEDDING_CENTROIDS_SQL),
+    "embedding_pagerank": (q_embedding_pagerank, EMBEDDING_PAGERANK_SQL),
 }

@@ -175,3 +175,136 @@ def connected_components(
             num_parts=num_parts,
         ).materialize()
     return labels
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer-exact, constant out-degree)
+# ---------------------------------------------------------------------------
+
+def pagerank_constant_outdegree(
+    edges,
+    nodes,
+    *,
+    k_out: int,
+    iters: int,
+    num_parts: int,
+    scale: int = 1 << 38,
+    damp_num: int = 85,
+    damp_den: int = 100,
+):
+    """Distributed PageRank over a directed graph in which EVERY source
+    node has exactly ``k_out`` out-edges (a kNN similarity graph) —
+    centrality-based data selection: high-rank rows sit in dense
+    semantic neighborhoods, low-rank rows are outliers.
+
+    Integer-exact so an unrolled-CTE SQL twin reproduces it bit-for-bit:
+    ``rank_0 = scale`` and
+
+        rank_{t+1}(v) = ((den-num)*scale)//den
+                        + (num * sum_{(u,v) in E} rank_t(u)//k_out)//den
+
+    with floor division throughout (all values nonnegative, so numpy
+    ``//`` and DuckDB ``//`` agree). No floats anywhere, so there is no
+    summation-order sensitivity to begin with.
+
+    Scale shape: the edge set is materialized ONCE and streamed through
+    each round; per iteration exactly TWO keyed exchanges (contributions
+    routed to their dst partition; per-node sums folded against the
+    vertex set). The rank relation — O(nodes) — is the only thing that
+    rematerializes per round; nothing is ever broadcast.
+
+    ``edges``: Dataset with columns (src, dst); every src must appear in
+    ``nodes`` and have exactly ``k_out`` rows. ``nodes``: Dataset with
+    column (node) — the complete vertex set, and must be non-empty.
+    Returns a Dataset (node, rank) with rank still in scaled-integer
+    form.
+    """
+    base = ((damp_den - damp_num) * scale) // damp_den
+
+    edges = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["src"].cast(pa.int64()),
+                "dst": t["dst"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "rank": pa.array(
+                    np.full(t.num_rows, scale, dtype=np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def emit_contribs(lpart: pa.Table, rpart: pa.Table) -> pa.Table:
+        """lpart: edges of this src-partition; rpart: ranks of the same
+        partition (complete by co-hashing on the src node)."""
+        import pyarrow.compute as pc
+
+        if lpart.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.index_in(
+            lpart["node"].combine_chunks(),
+            value_set=rpart["node"].combine_chunks(),
+        )
+        idx_np = np.asarray(idx.fill_null(-1)).astype(np.int64)
+        if (idx_np < 0).any():
+            raise ValueError("pagerank: edge src missing from vertex set")
+        rk = np.asarray(rpart["rank"].combine_chunks()).astype(np.int64)
+        return pa.table(
+            {
+                "node": lpart["dst"],
+                "c": pa.array(rk[idx_np] // k_out, pa.int64()),
+            }
+        )
+
+    def fold_ranks(lpart: pa.Table, rpart: pa.Table) -> pa.Table:
+        """lpart: current ranks (carries the vertex set); rpart: contribs."""
+        import pyarrow.compute as pc
+
+        if lpart.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        node_arr = lpart["node"].combine_chunks()
+        insum = np.zeros(lpart.num_rows, dtype=np.int64)
+        if rpart.num_rows:
+            g = rpart.group_by("node").aggregate([("c", "sum")])
+            idx = pc.index_in(node_arr, value_set=g["node"].combine_chunks())
+            idx_np = np.asarray(idx.fill_null(-1)).astype(np.int64)
+            sums = np.asarray(g["c_sum"].combine_chunks()).astype(np.int64)
+            hit = idx_np >= 0
+            insum[hit] = sums[idx_np[hit]]
+        rank = base + (damp_num * insum) // damp_den
+        return pa.table(
+            {
+                "node": node_arr,
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        contribs = cogroup_by_key(
+            edges, ranks, "node", emit_contribs, num_parts=num_parts
+        )
+        ranks = cogroup_by_key(
+            ranks, contribs, "node", fold_ranks, num_parts=num_parts
+        ).materialize()
+    return ranks

@@ -105,3 +105,66 @@ def test_cc_long_chain(ray_session):
     ]
     got = _run_cc(ray_session, edges)
     assert got == _cc_oracle(edges)
+
+
+# ---------------------------------------------------------------------------
+# integer-exact PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_cycle_exact(ray_session):
+    """3-cycle with k_out=1: ranks follow the exact integer recurrence."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.graph import (
+        pagerank_constant_outdegree,
+    )
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([0, 1, 2], pa.int64()),
+                  "dst": pa.array([1, 2, 0], pa.int64())})
+    )
+    nodes = rd.from_arrow(pa.table({"node": pa.array([0, 1, 2], pa.int64())}))
+    scale = 1 << 20
+    out = pagerank_constant_outdegree(
+        edges, nodes, k_out=1, iters=3, num_parts=4, scale=scale
+    ).to_pandas().sort_values("node")
+
+    r = {n: scale for n in range(3)}
+    base = (15 * scale) // 100
+    for _ in range(3):
+        r = {v: base + (85 * r[(v - 1) % 3]) // 100 for v in range(3)}
+    assert list(out["rank"]) == [r[0], r[1], r[2]]
+
+
+def test_pagerank_star_concentrates(ray_session):
+    """Star: the hub ends above scale, the leaves below; every rank has
+    at least the teleport floor."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.graph import (
+        pagerank_constant_outdegree,
+    )
+
+    # leaves 1..4 all point at hub 0; hub points at leaf 1 (k_out=1 all)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([1, 2, 3, 4, 0], pa.int64()),
+                  "dst": pa.array([0, 0, 0, 0, 1], pa.int64())})
+    )
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    )
+    scale = 1 << 20
+    out = (
+        pagerank_constant_outdegree(
+            edges, nodes, k_out=1, iters=3, num_parts=4, scale=scale
+        )
+        .to_pandas()
+        .set_index("node")["rank"]
+    )
+    base = (15 * scale) // 100
+    assert out[0] > scale  # hub concentrates mass
+    assert out[2] == out[3] == out[4] == base  # sink leaves: teleport only
+    assert (out >= base).all()
