@@ -238,8 +238,68 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# windowed ingest dedup (at-least-once delivery suppression)
+# ---------------------------------------------------------------------------
+
+DEDUP_WINDOW_US = 3_600_000_000  # 1 h suppression buckets
+
+
+def q_events_dedup_window(sf_dir: str):
+    """Keep the first event per (user, type, 1-hour tumbling bucket) —
+    the suppression step an at-least-once delivery stream (the
+    reference's Kinesis/Firehose landing, S12) needs before feature
+    counts: retries and replays of the same logical action within the
+    window collapse to one row. ONE keyed exchange on user_id; per
+    partition a single lexsort + segmented-first mask (the deterministic
+    keep-first is (ts, event_id) order, mirroring dedup_exact's
+    tie-break policy)."""
+    events = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        user = np.asarray(part["user_id"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(part["event_id"].combine_chunks().cast(pa.int64()))
+        ts_i = np.asarray(
+            part["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        etype = part["event_type"].combine_chunks()
+        codes = np.asarray(pc.dictionary_encode(etype).indices).astype(np.int64)
+        bucket = ts_i // DEDUP_WINDOW_US
+        order = np.lexsort((eid, ts_i, bucket, codes, user))
+        u_s, c_s, b_s = user[order], codes[order], bucket[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = (
+            (u_s[1:] != u_s[:-1])
+            | (c_s[1:] != c_s[:-1])
+            | (b_s[1:] != b_s[:-1])
+        )
+        keep = pa.array(order[first])
+        return part.take(keep)
+
+    return map_partitions_by_key(events, "user_id", partition,
+                                 num_parts=NUM_PARTS)
+
+
+EVENTS_DEDUP_WINDOW_SQL = f"""
+SELECT event_id, user_id, event_type, ts FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type,
+                     epoch_us(ts) // {DEDUP_WINDOW_US}
+        ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_SQL),
     "features_cummax": (q_features_cummax, FEATURES_CUMMAX_SQL),
     "events_holdout_split": (q_events_holdout_split, EVENTS_HOLDOUT_SQL),
+    "events_dedup_window": (q_events_dedup_window, EVENTS_DEDUP_WINDOW_SQL),
 }
