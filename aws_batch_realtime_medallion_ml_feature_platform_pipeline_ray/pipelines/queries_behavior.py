@@ -508,10 +508,139 @@ WINDOW win AS (PARTITION BY user_id ORDER BY wt
 """
 
 
+# --------------------------------------------------------------------------
+# Feature drift: Population Stability Index between two time windows
+# --------------------------------------------------------------------------
+
+# reference window = first half of January, current = the rest; the split
+# is a fixed calendar boundary so both engines bucket identically
+_PSI_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00 in epoch-us
+_PSI_BUCKET_CENTS = 2_500  # 25.00-wide value buckets, in integer cents
+
+
+def q_events_psi_drift(sf_dir: str):
+    """Feature-drift monitor: Population Stability Index of the ``value``
+    distribution between a reference window (before 2024-01-16) and the
+    current window — the standard go/no-go check a feature platform runs
+    before promoting a new feature snapshot (drift > 0.2 = retrain).
+
+    Per bucket b: ``psi_term = (p_ref - p_cur) * ln(p_ref / p_cur)`` with
+    Laplace-smoothed shares ``p = (n_b + 1) / (N + B)`` over the B buckets
+    observed in either window, so empty-on-one-side buckets stay finite.
+    Values are bucketed on integer cents (``rint(value*100) // 2500``) so
+    bucket assignment is integer-exact on both engines; the shares and log
+    are the same double expression both sides, rounded to 6 decimals.
+
+    Scale shape: ONE streamed pass — each batch collapses to O(buckets)
+    (bucket, side) count partials via Arrow group_by, a tiny final groupby
+    sums them, and the PSI arithmetic runs on the O(B) driver-side result.
+    No full-table shuffle, no driver materialization of event rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "p_ref": pa.array([], pa.int64()),
+                "p_cur": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        mask = pc.is_valid(t["value"])
+        t = t.filter(mask) if pc.any(pc.invert(mask)).as_py() else t
+        if t.num_rows == 0:
+            return empty
+        us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        val = np.asarray(t["value"].combine_chunks())
+        cents = np.rint(val * 100.0).astype(np.int64)
+        bucket = cents // _PSI_BUCKET_CENTS
+        is_ref = us < _PSI_SPLIT_US
+        g = (
+            pa.table(
+                {
+                    "bucket": pa.array(bucket, pa.int64()),
+                    "r": pa.array(is_ref.astype(np.int64), pa.int64()),
+                    "c": pa.array((~is_ref).astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by("bucket")
+            .aggregate([("r", "sum"), ("c", "sum")])
+        )
+        return g.rename_columns(["bucket", "p_ref", "p_cur"])
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("p_ref", alias_name="n_ref"), Sum("p_cur", alias_name="n_cur"))
+        .take_all()
+    )  # O(buckets) rows — tiny by construction
+    folded.sort(key=lambda r: r["bucket"])
+    b = np.array([r["bucket"] for r in folded], dtype=np.int64)
+    n_ref = np.array([r["n_ref"] for r in folded], dtype=np.int64)
+    n_cur = np.array([r["n_cur"] for r in folded], dtype=np.int64)
+    nb = len(b)
+    p = (n_ref + 1).astype(np.float64) / float(n_ref.sum() + nb)
+    q = (n_cur + 1).astype(np.float64) / float(n_cur.sum() + nb)
+    psi = (p - q) * np.log(p / q)
+
+    def r6(x: np.ndarray) -> pa.Array:
+        return pc.round(
+            pa.array(x, pa.float64()),
+            ndigits=6,
+            round_mode="half_towards_infinity",
+        )
+
+    return pa.table(
+        {
+            "bucket": pa.array(b, pa.int64()),
+            "n_ref": pa.array(n_ref, pa.int64()),
+            "n_cur": pa.array(n_cur, pa.int64()),
+            "p_ref": r6(p),
+            "p_cur": r6(q),
+            "psi_term": r6(psi),
+        }
+    )
+
+
+EVENTS_PSI_DRIFT_SQL = f"""
+WITH b AS (
+    SELECT CAST(round(value * 100.0) AS BIGINT) // {_PSI_BUCKET_CENTS}
+               AS bucket,
+           (epoch_us(ts) < {_PSI_SPLIT_US}) AS is_ref
+    FROM events WHERE value IS NOT NULL
+),
+c AS (
+    SELECT bucket,
+           sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+           sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+    FROM b GROUP BY bucket
+),
+tot AS (
+    SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur,
+           count(*)::BIGINT AS nb
+    FROM c
+)
+SELECT bucket, n_ref, n_cur,
+       ROUND((n_ref + 1)::DOUBLE / (t_ref + nb), 6) AS p_ref,
+       ROUND((n_cur + 1)::DOUBLE / (t_cur + nb), 6) AS p_cur,
+       ROUND(
+           ((n_ref + 1)::DOUBLE / (t_ref + nb)
+            - (n_cur + 1)::DOUBLE / (t_cur + nb))
+           * ln(((n_ref + 1)::DOUBLE / (t_ref + nb))
+                / ((n_cur + 1)::DOUBLE / (t_cur + nb))), 6
+       ) AS psi_term
+FROM c, tot
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_retention": (q_events_retention, EVENTS_RETENTION_SQL),
     "events_ewma": (q_events_ewma, EVENTS_EWMA_SQL),
     "events_profile": (q_events_profile, EVENTS_PROFILE_SQL),
     "events_time_cyclical": (q_events_time_cyclical, EVENTS_TIME_CYCLICAL_SQL),
     "events_scd2": (q_events_scd2, EVENTS_SCD2_SQL),
+    "events_psi_drift": (q_events_psi_drift, EVENTS_PSI_DRIFT_SQL),
 }
