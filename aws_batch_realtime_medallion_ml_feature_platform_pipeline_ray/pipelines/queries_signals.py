@@ -1,0 +1,455 @@
+"""Behavioral-signal feature operators: event-type co-occurrence (PMI),
+per-user inter-arrival statistics, consecutive-day activity streaks, and
+character-entropy document scoring.
+
+Reference parity: these extend the reference's per-entity gold aggregates
+(/root/reference/spark_jobs/silver_and_gold.py:86-131) with the classic
+behavioral/statistical signals a feature platform derives from the same
+event stream before feature-store ingestion.
+
+Scale shapes (each documented on the operator):
+
+- ``events_cooccurrence``: per-batch DISTINCT (user, type) partials bound
+  shuffle volume by the activity surface; ONE keyed exchange on user_id,
+  then pair expansion is capped at C(|types|, 2) per user (tiny, types is
+  a small domain) and only O(|types|^2) count partials leave each
+  partition. PMI arithmetic is integer-until-the-log.
+- ``events_interarrival``: ONE keyed exchange, segmented diff per
+  partition, integer-second gaps so sums/sums-of-squares are exact int64.
+- ``events_streaks``: gaps-and-islands per user — ONE keyed exchange,
+  the island key (day - rank) is pure integer numpy.
+- ``docs_entropy``: zero shuffles — a streamed map; per-batch byte
+  histogram via one ``np.bincount`` over (row << 8 | byte) fused keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.keyed import map_partitions_by_key
+
+NUM_PARTS = 8
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _events(sf_dir: str, columns):
+    from ..sources.reads import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _r6(x: np.ndarray) -> pa.Array:
+    return pc.round(
+        pa.array(x, pa.float64()), ndigits=6, round_mode="half_towards_infinity"
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-type co-occurrence with pointwise mutual information
+# --------------------------------------------------------------------------
+
+
+def q_events_cooccurrence(sf_dir: str):
+    """For every unordered pair of event types, how many users exhibit
+    BOTH, and the pair's PMI ``ln(n_ab * n_users / (n_a * n_b))`` — the
+    co-occurrence signal behind "users who do A also do B" features.
+
+    All counts stay integer until the single final log; the driver sees
+    only the O(|types|^2) folded table."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        # per-batch DISTINCT (user, type): shuffle volume ~ activity surface
+        return (
+            t.group_by(["user_id", "event_type"])
+            .aggregate([])
+            .select(["user_id", "event_type"])
+        )
+
+    ut = ds.map_batches(
+        distinct_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        # cross-batch dedup within the partition (users are disjoint
+        # across partitions, so partition partials sum exactly)
+        t = t.group_by(["user_id", "event_type"]).aggregate([])
+        uid = np.asarray(t["user_id"].combine_chunks())
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        code = np.asarray(enc.indices).astype(np.int64)
+        dic = np.asarray(enc.dictionary.cast(pa.string())).astype(object)
+        ntype = len(dic)
+        # event-type domains are small by nature; the one-word bitmask
+        # per user assumes <= 63 of them in any single partition
+        if ntype > 63:
+            raise ValueError(
+                f"event_type domain {ntype} > 63: widen the bitmask"
+            )
+        order = np.argsort(uid, kind="stable")
+        uid, code = uid[order], code[order]
+        head = np.concatenate(([True], uid[1:] != uid[:-1]))
+        # per-user type bitmask, then popcount/AND over the tiny domain
+        masks = np.bitwise_or.reduceat(
+            np.left_shift(np.int64(1), code), np.flatnonzero(head)
+        )
+        type_a: list[str] = []
+        type_b: list[str] = []
+        n: list[int] = []
+        for a in range(ntype):
+            has_a = (masks >> a) & 1
+            n_a = int(has_a.sum())
+            if n_a:
+                type_a.append(dic[a])
+                type_b.append("")
+                n.append(n_a)
+            for bb in range(ntype):
+                if dic[a] < dic[bb]:
+                    n_ab = int((has_a & ((masks >> bb) & 1)).sum())
+                    if n_ab:
+                        type_a.append(dic[a])
+                        type_b.append(dic[bb])
+                        n.append(n_ab)
+        # sentinel row carries the partition's distinct-user count
+        type_a.append("")
+        type_b.append("")
+        n.append(len(masks))
+        return pa.table(
+            {
+                "type_a": pa.array(type_a, pa.string()),
+                "type_b": pa.array(type_b, pa.string()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    folded = (
+        map_partitions_by_key(ut, "user_id", part, num_parts=NUM_PARTS)
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # O(|types|^2) rows — tiny by construction
+    singles: dict[str, int] = {}
+    n_users = 0
+    pairs = []
+    for r in folded:
+        if r["type_a"] == "" and r["type_b"] == "":
+            n_users = int(r["n"])
+        elif r["type_b"] == "":
+            singles[r["type_a"]] = int(r["n"])
+        else:
+            pairs.append(r)
+    pairs.sort(key=lambda r: (r["type_a"], r["type_b"]))
+    ta = [r["type_a"] for r in pairs]
+    tb = [r["type_b"] for r in pairs]
+    n_ab = np.array([r["n"] for r in pairs], dtype=np.int64)
+    n_a = np.array([singles[t] for t in ta], dtype=np.int64)
+    n_b = np.array([singles[t] for t in tb], dtype=np.int64)
+    pmi = np.log((n_ab * n_users).astype(np.float64) / (n_a * n_b))
+    return pa.table(
+        {
+            "type_a": pa.array(ta, pa.string()),
+            "type_b": pa.array(tb, pa.string()),
+            "n_ab": pa.array(n_ab, pa.int64()),
+            "pmi": _r6(pmi),
+        }
+    )
+
+
+EVENTS_COOCCURRENCE_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM ut),
+s AS (SELECT event_type, count(*)::BIGINT AS n_t FROM ut GROUP BY 1),
+p AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*)::BIGINT AS n_ab
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab,
+       ROUND(ln((n_ab * nu)::DOUBLE / (sa.n_t * sb.n_t)), 6) AS pmi
+FROM p
+CROSS JOIN n
+JOIN s sa ON sa.event_type = type_a
+JOIN s sb ON sb.event_type = type_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-user inter-arrival statistics
+# --------------------------------------------------------------------------
+
+
+def q_events_interarrival(sf_dir: str):
+    """Per-user inter-arrival gap statistics over the event stream:
+    number of gaps, mean/max gap in whole seconds, and the coefficient of
+    variation (std/mean — burstiness; ~1 for Poisson arrivals, >1 for
+    bursty users). Gaps are integer seconds so sum and sum-of-squares are
+    exact int64; the two final divisions and the sqrt are the same double
+    expression on both engines, rounded to 6 decimals.
+
+    Scale shape: ONE keyed exchange on user_id, then a fused segmented
+    pass (lexsort + shifted diff); output is one row per user."""
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "mean_gap_s": pa.array([], pa.float64()),
+                "max_gap_s": pa.array([], pa.int64()),
+                "cv_gap": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks())
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        same = uid[1:] == uid[:-1]
+        gap_s = (ts[1:] - ts[:-1]) // 1_000_000  # whole seconds, exact
+        gu = uid[1:][same]
+        g = gap_s[same]
+        if len(g) == 0:
+            return empty
+        head = np.concatenate(([True], gu[1:] != gu[:-1]))
+        starts = np.flatnonzero(head)
+        n = np.diff(np.append(starts, len(g)))
+        # int64 reduceat keeps sums exact (no float53 accumulation)
+        ssum = np.add.reduceat(g, starts)
+        ssq = np.add.reduceat(g * g, starts)
+        gmax = np.maximum.reduceat(g, starts)
+        mean = ssum.astype(np.float64) / n
+        var = ssq.astype(np.float64) / n - mean * mean
+        cv = np.sqrt(np.maximum(var, 0.0)) / mean
+        return pa.table(
+            {
+                "user_id": pa.array(gu[head], pa.int64()),
+                "n_gaps": pa.array(n, pa.int64()),
+                "mean_gap_s": _r6(mean),
+                "max_gap_s": pa.array(gmax, pa.int64()),
+                "cv_gap": _r6(cv),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", part, num_parts=NUM_PARTS)
+
+
+EVENTS_INTERARRIVAL_SQL = """
+WITH o AS (
+    SELECT user_id,
+           (epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ))) // 1000000 AS gap_s
+    FROM events
+),
+g AS (SELECT user_id, gap_s FROM o WHERE gap_s IS NOT NULL),
+a AS (
+    SELECT user_id, count(*)::BIGINT AS n_gaps,
+           sum(gap_s)::BIGINT AS ssum,
+           sum(gap_s * gap_s)::BIGINT AS ssq,
+           max(gap_s)::BIGINT AS max_gap_s
+    FROM g GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       ROUND(ssum::DOUBLE / n_gaps, 6) AS mean_gap_s,
+       max_gap_s,
+       ROUND(
+           sqrt(greatest(ssq::DOUBLE / n_gaps
+                         - (ssum::DOUBLE / n_gaps) * (ssum::DOUBLE / n_gaps),
+                         0.0))
+           / (ssum::DOUBLE / n_gaps), 6
+       ) AS cv_gap
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# Consecutive-day activity streaks (gaps and islands)
+# --------------------------------------------------------------------------
+
+
+def q_events_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user (plus total
+    active days) — the gaps-and-islands pattern behind engagement-streak
+    features. Island key = day - rank(day): constant exactly within a run
+    of consecutive days. Pure integer arithmetic end to end.
+
+    Scale shape: per-batch DISTINCT (user, day) partials, ONE keyed
+    exchange on user_id, segmented numpy islands per partition."""
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].combine_chunks())
+        day = np.asarray(t["ts"].combine_chunks().cast(pa.int64())) // _US_PER_DAY
+        uniq = np.unique(np.stack([uid, day]), axis=1)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[0], pa.int64()),
+                "day": pa.array(uniq[1], pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(
+        day_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_active_days": pa.array([], pa.int64()),
+                "max_streak": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        day = np.asarray(t["day"].combine_chunks())
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (day[1:] != day[:-1]))
+        )
+        uid, day = uid[keep], day[keep]
+        head = np.concatenate(([True], uid[1:] != uid[:-1]))
+        idx = np.arange(len(uid), dtype=np.int64)
+        # per-user 0-based rank of the (sorted, distinct) day
+        seg0 = np.where(head, idx, 0)
+        np.maximum.accumulate(seg0, out=seg0)
+        rank = idx - seg0
+        island = head | np.concatenate(([True], (day - rank)[1:] != (day - rank)[:-1]))
+        ilen = np.diff(np.append(np.flatnonzero(island), len(uid)))
+        iuser = uid[island]
+        uhead = np.concatenate(([True], iuser[1:] != iuser[:-1]))
+        max_streak = np.maximum.reduceat(ilen, np.flatnonzero(uhead))
+        n_days = np.add.reduceat(ilen, np.flatnonzero(uhead))
+        return pa.table(
+            {
+                "user_id": pa.array(iuser[uhead], pa.int64()),
+                "n_active_days": pa.array(n_days, pa.int64()),
+                "max_streak": pa.array(max_streak, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(pairs, "user_id", part, num_parts=NUM_PARTS)
+
+
+EVENTS_STREAKS_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+    SELECT user_id,
+           date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+    FROM ud
+),
+i AS (
+    SELECT user_id, island, count(*)::BIGINT AS len
+    FROM r GROUP BY user_id, island
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       max(len)::BIGINT AS max_streak
+FROM i GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Character-entropy document scoring
+# --------------------------------------------------------------------------
+
+
+def q_docs_entropy(sf_dir: str):
+    """Shannon entropy (bits/byte) of each document's UTF-8 bytes — the
+    classic cheap filter for gibberish (low entropy: repeated chars;
+    high entropy: random noise / binary junk). Zero shuffles: a streamed
+    map whose hot loop is ONE ``np.bincount`` over fused
+    ``row_index * 256 + byte`` keys per batch (no per-row Python).
+
+    Both engines compute ``-sum(c/n * log2(c/n))`` with the same double
+    expression, rounded to 6 decimals."""
+    from ..sources.reads import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def entropy(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bytes": pa.array([], pa.int64()),
+                    "entropy_bits": pa.array([], pa.float64()),
+                }
+            )
+        txt = t["text"].combine_chunks().cast(pa.large_binary())
+        # large_binary buffers: [validity, int64 offsets, data]; offsets
+        # index the WHOLE data buffer, so slice data by [offs[0], offs[-1])
+        buf = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+        offs = np.frombuffer(txt.buffers()[1], dtype=np.int64)[
+            txt.offset : txt.offset + len(txt) + 1
+        ]
+        lens = np.diff(offs)
+        n = len(txt)
+        row_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+        byts = buf[offs[0] : offs[-1]]
+        fused = row_of_byte * 256 + byts.astype(np.int64)
+        counts = np.bincount(fused, minlength=n * 256).reshape(n, 256)
+        tot = lens.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = counts / tot[:, None]
+            ent = -np.nansum(np.where(p > 0, p * np.log2(p), 0.0), axis=1)
+        ent = np.where(lens > 0, ent, 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array(lens, pa.int64()),
+                "entropy_bits": _r6(ent),
+            }
+        )
+
+    return ds.map_batches(entropy, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_ENTROPY_SQL = """
+WITH b AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch
+    FROM documents
+),
+c AS (SELECT doc_id, ch, count(*)::DOUBLE AS cnt FROM b GROUP BY doc_id, ch),
+n AS (
+    SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes
+    FROM documents
+)
+SELECT n.doc_id, n.n_bytes,
+       ROUND(COALESCE(
+           -sum((c.cnt / n.n_bytes) * log2(c.cnt / n.n_bytes)), 0.0
+       ), 6) AS entropy_bits
+FROM n LEFT JOIN c ON c.doc_id = n.doc_id
+GROUP BY n.doc_id, n.n_bytes
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "events_cooccurrence": (q_events_cooccurrence, EVENTS_COOCCURRENCE_SQL),
+    "events_interarrival": (q_events_interarrival, EVENTS_INTERARRIVAL_SQL),
+    "events_streaks": (q_events_streaks, EVENTS_STREAKS_SQL),
+    "docs_entropy": (q_docs_entropy, DOCS_ENTROPY_SQL),
+}

@@ -49,4 +49,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_temporal
 
     reg.update(queries_temporal.REGISTRY)
+    from . import queries_signals
+
+    reg.update(queries_signals.REGISTRY)
     return reg
