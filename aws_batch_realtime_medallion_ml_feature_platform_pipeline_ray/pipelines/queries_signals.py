@@ -371,6 +371,115 @@ FROM i GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Last-touch attribution
+# --------------------------------------------------------------------------
+
+_ATTR_HORIZON_US = 7 * _US_PER_DAY  # lookback window for a valid touch
+
+
+def q_events_attribution(sf_dir: str):
+    """Last-touch attribution: for every ``purchase`` event, the most
+    recent preceding NON-purchase event by the same user within a 7-day
+    horizon (the marketing-attribution join every growth team runs).
+    Purchases with no eligible touch keep NULL attribution columns.
+
+    Scale shape: ONE keyed exchange on user_id, then a fused segmented
+    pass — lexsort, a segmented running-max of candidate row indices
+    (offset-ramp trick, overflow-guarded), and one gather; no self-join
+    shuffle, no per-row Python."""
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "purchase_event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "attr_event_id": pa.array([], pa.int64()),
+                "attr_type": pa.array([], pa.string()),
+                "gap_s": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks())
+        etype = t["event_type"].combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        is_p = np.asarray(pc.equal(etype.take(pa.array(order)), "purchase"))
+        n = len(uid)
+        if n * (np.int64(n) + 1) > np.iinfo(np.int64).max // 2:
+            raise OverflowError("partition too large for the offset ramp")
+        head = np.concatenate(([True], uid[1:] != uid[:-1]))
+        seg_id = np.cumsum(head) - 1
+        idx = np.arange(n, dtype=np.int64)
+        # candidate index of THIS row if it is a touch, else -1; shift so
+        # row i sees only rows < i, reset at user boundaries
+        cand = np.where(~is_p, idx, -1)
+        shifted = np.concatenate(([np.int64(-1)], cand[:-1]))
+        shifted[head] = -1
+        run = np.maximum.accumulate(shifted + seg_id * np.int64(n))
+        prev_touch = run - seg_id * np.int64(n)  # >= -1 by the ramp bound
+        p_pos = np.flatnonzero(is_p)
+        a_pos = prev_touch[p_pos]
+        ok = a_pos >= 0
+        gap_us = np.where(ok, ts[p_pos] - ts[np.maximum(a_pos, 0)], 0)
+        ok &= gap_us <= _ATTR_HORIZON_US
+        a_safe = np.maximum(a_pos, 0)
+        typ = np.asarray(
+            etype.take(pa.array(order[a_safe]))
+        ).astype(object)
+        return pa.table(
+            {
+                "purchase_event_id": pa.array(eid[p_pos], pa.int64()),
+                "user_id": pa.array(uid[p_pos], pa.int64()),
+                "attr_event_id": pa.array(
+                    np.where(ok, eid[a_safe], 0), pa.int64(), mask=~ok
+                ),
+                "attr_type": pa.array(
+                    np.where(ok, typ, None), pa.string()
+                ),
+                "gap_s": pa.array(
+                    np.where(ok, gap_us // 1_000_000, 0), pa.int64(), mask=~ok
+                ),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", part, num_parts=NUM_PARTS)
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+),
+a AS (
+    SELECT user_id, ts, event_id, rn,
+           max(CASE WHEN event_type <> 'purchase' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS attr_rn
+    FROM o
+),
+p AS (SELECT * FROM o WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_event_id, p.user_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(t.ts) <= {_ATTR_HORIZON_US}
+            THEN t.event_id END AS attr_event_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(t.ts) <= {_ATTR_HORIZON_US}
+            THEN t.event_type END AS attr_type,
+       CASE WHEN epoch_us(p.ts) - epoch_us(t.ts) <= {_ATTR_HORIZON_US}
+            THEN (epoch_us(p.ts) - epoch_us(t.ts)) // 1000000 END AS gap_s
+FROM p
+LEFT JOIN a ON a.user_id = p.user_id AND a.rn = p.rn
+LEFT JOIN o t ON t.user_id = p.user_id AND t.rn = a.attr_rn
+"""
+
+
+# --------------------------------------------------------------------------
 # Character-entropy document scoring
 # --------------------------------------------------------------------------
 
@@ -451,5 +560,6 @@ REGISTRY: dict[str, tuple] = {
     "events_cooccurrence": (q_events_cooccurrence, EVENTS_COOCCURRENCE_SQL),
     "events_interarrival": (q_events_interarrival, EVENTS_INTERARRIVAL_SQL),
     "events_streaks": (q_events_streaks, EVENTS_STREAKS_SQL),
+    "events_attribution": (q_events_attribution, EVENTS_ATTRIBUTION_SQL),
     "docs_entropy": (q_docs_entropy, DOCS_ENTROPY_SQL),
 }

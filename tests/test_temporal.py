@@ -111,3 +111,42 @@ def test_cummax_monotone_per_customer(ray_session):
     expect = g["o_totalprice"].cummax().to_numpy()
     got = out[out["o_custkey"] == c0]["run_max"].to_numpy()
     assert np.array_equal(got, expect)
+
+
+def test_attribution_invariants(ray_session):
+    """Every attributed touch strictly precedes its purchase, is by the
+    same user, is not itself a purchase, and respects the horizon; the
+    touch is the LATEST eligible one (brute-force check per purchase)."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_signals import (
+        _ATTR_HORIZON_US,
+        q_events_attribution,
+    )
+
+    out = q_events_attribution(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert len(out) == (ev["event_type"] == "purchase").sum()
+    by_id = ev.set_index("event_id")
+    ev_sorted = ev.sort_values(["user_id", "ts", "event_id"])
+    hit = out[out["attr_event_id"].notna()]
+    assert (hit["attr_type"] != "purchase").all()
+    for _, r in hit.sample(n=min(100, len(hit)), random_state=0).iterrows():
+        p = by_id.loc[r["purchase_event_id"]]
+        t = by_id.loc[int(r["attr_event_id"])]
+        assert t["user_id"] == p["user_id"] == r["user_id"]
+        gap_us = (p["ts"] - t["ts"]).value // 1000
+        assert 0 <= gap_us <= _ATTR_HORIZON_US
+        assert int(r["gap_s"]) == gap_us // 1_000_000
+        # latest eligible: no non-purchase event strictly between
+        g = ev_sorted[ev_sorted["user_id"] == p["user_id"]]
+        between = g[
+            (g["event_type"] != "purchase")
+            & (
+                (g["ts"] > t["ts"])
+                | ((g["ts"] == t["ts"]) & (g["event_id"] > t.name))
+            )
+            & (
+                (g["ts"] < p["ts"])
+                | ((g["ts"] == p["ts"]) & (g["event_id"] < p.name))
+            )
+        ]
+        assert len(between) == 0
