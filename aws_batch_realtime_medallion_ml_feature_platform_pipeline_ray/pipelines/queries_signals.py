@@ -556,10 +556,126 @@ GROUP BY n.doc_id, n.n_bytes
 """
 
 
+# --------------------------------------------------------------------------
+# Session conversion features
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1_800_000_000  # 30-minute inactivity closes a session
+
+
+def q_events_session_conversion(sf_dir: str):
+    """Web-analytics session features over the raw event stream: sessions
+    are maximal runs per user with < 30 min between consecutive events;
+    each emits (user_id, session_idx, n_events, entry_type, converted,
+    duration_s) — the table conversion-rate and bounce-rate features are
+    read from.
+
+    Scale shape: ONE keyed exchange on user_id, then one fused segmented
+    pass — lexsort, gap-break detection, and ``reduceat`` over session
+    boundaries for count/first/any/extent. Integer output end to end."""
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "entry_type": pa.array([], pa.string()),
+                "converted": pa.array([], pa.int64()),
+                "duration_s": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks())
+        etype = t["event_type"].combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        is_p = np.asarray(
+            pc.equal(etype.take(pa.array(order)), "purchase")
+        ).astype(np.int64)
+        head = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([np.int64(0)], ts[1:] - ts[:-1]))
+        brk = head | (gap > _SESSION_GAP_US)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(uid)) - 1
+        n_ev = ends - starts + 1
+        # per-user 0-based session index: rank of the start among the
+        # user's session starts
+        su = uid[starts]
+        uhead = np.concatenate(([True], su[1:] != su[:-1]))
+        sidx = np.arange(len(starts), dtype=np.int64)
+        base = np.where(uhead, sidx, 0)
+        np.maximum.accumulate(base, out=base)
+        sess_idx = sidx - base
+        conv = np.maximum.reduceat(is_p, starts)
+        dur = (ts[ends] - ts[starts]) // 1_000_000
+        entry = etype.take(pa.array(order[starts]))
+        return pa.table(
+            {
+                "user_id": pa.array(su, pa.int64()),
+                "session_idx": pa.array(sess_idx, pa.int64()),
+                "n_events": pa.array(n_ev, pa.int64()),
+                "entry_type": entry.cast(pa.string()),
+                "converted": pa.array(conv, pa.int64()),
+                "duration_s": pa.array(dur, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", part, num_parts=NUM_PARTS)
+
+
+EVENTS_SESSION_CONVERSION_SQL = f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, sum(brk) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING
+    ) - 1 AS session_idx
+    FROM o
+),
+f AS (
+    SELECT user_id, session_idx, event_type AS entry_type
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, session_idx ORDER BY ts, event_id
+        ) AS rn FROM s
+    ) WHERE rn = 1
+),
+g AS (
+    SELECT user_id, session_idx,
+           count(*)::BIGINT AS n_events,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS converted,
+           ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT
+               AS duration_s
+    FROM s GROUP BY user_id, session_idx
+)
+SELECT g.user_id, g.session_idx::BIGINT AS session_idx, g.n_events,
+       f.entry_type, g.converted, g.duration_s
+FROM g JOIN f USING (user_id, session_idx)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_cooccurrence": (q_events_cooccurrence, EVENTS_COOCCURRENCE_SQL),
     "events_interarrival": (q_events_interarrival, EVENTS_INTERARRIVAL_SQL),
     "events_streaks": (q_events_streaks, EVENTS_STREAKS_SQL),
     "events_attribution": (q_events_attribution, EVENTS_ATTRIBUTION_SQL),
+    "events_session_conversion": (
+        q_events_session_conversion,
+        EVENTS_SESSION_CONVERSION_SQL,
+    ),
     "docs_entropy": (q_docs_entropy, DOCS_ENTROPY_SQL),
 }
