@@ -674,6 +674,86 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def q_docs_containment_pairs(sf_dir: str):
+    """Asymmetric n-gram containment join: pairs where the SMALLER
+    document's trigram set is >= 70% contained in the other
+    (``|A∩B| / min(|A|,|B|)``) — catches partial copies and
+    quote-expansions that symmetric Jaccard misses (a doc pasted inside
+    a 10x-longer one has Jaccard ~0.1 but containment ~1.0). The 6th
+    dedup family next to exact / MinHash / SimHash / Jaccard / fuzzy.
+
+    Scale shape: identical to docs_ngram_jaccard — the (doc, gram)
+    explode, posting-list pair expansion, and pair-count fold are shared
+    stages; only the final O(pairs) vectorized score differs."""
+    from ..stages.dedup import (
+        ngram_table,
+        partition_pair_counts,
+        sum_pair_partials,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        ngram_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = map_partitions_by_key(
+        grams, "gram", partition_pair_counts, num_parts=NUM_PARTS
+    )
+    counts = map_partitions_by_key(
+        partials, "pair", sum_pair_partials, num_parts=NUM_PARTS
+    )
+
+    def containment(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"].combine_chunks())
+        b = np.asarray(batch["doc_b"].combine_chunks())
+        c = np.asarray(batch["c"].combine_chunks()).astype(np.float64)
+        na = np.asarray(batch["na"].combine_chunks()).astype(np.float64)
+        nb = np.asarray(batch["nb"].combine_chunks()).astype(np.float64)
+        cont = np.round(c / np.minimum(na, nb), 6)
+        keep = cont >= CONTAINMENT_THRESHOLD
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "containment": pa.array(cont[keep], pa.float64()),
+            }
+        )
+
+    return counts.map_batches(
+        containment, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+DOCS_CONTAINMENT_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+tri AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+           )) AS g
+    FROM tok
+    WHERE len(ts) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+    FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       ROUND(c * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE ROUND(c * 1.0 / LEAST(sa.n, sb.n), 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # Near-dup clustering: connected components over verified pairs
 # --------------------------------------------------------------------------
@@ -835,6 +915,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_dedup_keep_best": (q_docs_dedup_keep_best, DOCS_DEDUP_KEEP_BEST_SQL),
     "docs_exact_dedup": (q_docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, DOCS_NGRAM_JACCARD_SQL),
+    "docs_containment_pairs": (q_docs_containment_pairs, DOCS_CONTAINMENT_SQL),
     "docs_quality": (q_docs_quality, DOCS_QUALITY_SQL),
     "docs_gopher_filter": (q_docs_gopher_filter, DOCS_GOPHER_SQL),
     "docs_token_count": (q_docs_token_count, DOCS_TOKEN_COUNT_SQL),
