@@ -574,6 +574,172 @@ def q_embedding_pagerank(sf_dir: str):
     )
 
 
+def q_embedding_triangles(sf_dir: str):
+    """Per-node triangle count over the undirected kNN similarity graph
+    (k={K}) — the local-clustering signal that separates vectors inside
+    tight semantic clusters (many triangles) from bridge/outlier points
+    (none). Third graph operator next to PageRank and connected
+    components.
+
+    Distributed shape (the classic two-round wedge-check):
+
+    1. Canonicalize kNN edges to distinct (a < b) pairs; ONE exchange on
+       the lower endpoint ``a`` groups each node's higher-neighbor list,
+       so every wedge of a triangle (x < y < z) is generated exactly once
+       at its minimum node — segment-vectorized expansion, no per-node
+       Python.
+    2. ONE exchange on the packed candidate pair key co-locates wedges
+       with the edge that would close them; matched wedges emit +1
+       partials for all three corners, folded by a tiny final groupby.
+
+    Wedge volume is sum-over-nodes C(deg⁺, 2) with deg⁺ bounded by the
+    kNN degree — no all-pairs blowup. Only nodes in >= 1 triangle are
+    emitted (the SQL twin does the same)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.ann import knn_self_join
+    from ..stages.dedup import _check_packable, pack_pairs, unpack_pairs
+    from ..stages.keyed import map_partitions_by_key
+
+    edges = knn_self_join(_emb(sf_dir), k=K, n_blocks=4)
+
+    def canon(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["q_id"].combine_chunks().cast(pa.int64()))
+        v = np.asarray(t["vec_id"].combine_chunks().cast(pa.int64()))
+        _check_packable(q)
+        _check_packable(v)
+        u = np.unique(pack_pairs(q, v))
+        a, b = unpack_pairs(u)
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+        )
+
+    und = edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedge_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pair": pa.array([], pa.int64()),
+                "witness": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        a = np.asarray(t["a"].combine_chunks())
+        b = np.asarray(t["b"].combine_chunks())
+        # global dedup: all copies of edge (a, b) share this partition
+        u = np.unique(pack_pairs(a, b))
+        a, b = unpack_pairs(u)  # sorted by (a, b) — neighbors ascending
+        n = len(a)
+        head = np.concatenate(([True], a[1:] != a[:-1]))
+        idx = np.arange(n, dtype=np.int64)
+        seg_first = np.where(head, idx, 0)
+        np.maximum.accumulate(seg_first, out=seg_first)
+        p = idx - seg_first
+        seg_id = np.cumsum(head) - 1
+        cnt = np.bincount(seg_id)[seg_id] - 1 - p
+        total = int(cnt.sum())
+        if total:
+            a_idx = np.repeat(idx, cnt)
+            off = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            b_idx = a_idx + 1 + off
+            wpair = pack_pairs(b[a_idx], b[b_idx])
+            witness = a[a_idx]
+        else:
+            wpair = witness = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "pair": pa.array(np.concatenate((u, wpair)), pa.int64()),
+                "witness": pa.array(
+                    np.concatenate(
+                        (np.full(n, -1, dtype=np.int64), witness)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    pw = map_partitions_by_key(und, "a", wedge_part, num_parts=PR_PARTS)
+
+    def tri_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        pair = np.asarray(t["pair"].combine_chunks())
+        wit = np.asarray(t["witness"].combine_chunks())
+        order = np.lexsort((wit, pair))
+        pair, wit = pair[order], wit[order]
+        head = np.concatenate(([True], pair[1:] != pair[:-1]))
+        seg_id = np.cumsum(head) - 1
+        # edge rows (witness -1) sort first within a pair segment
+        closed = (wit[np.flatnonzero(head)] == -1)[seg_id]
+        hit = closed & (wit != -1)
+        if not hit.any():
+            return empty
+        x, y = unpack_pairs(pair[hit])
+        nodes, cnts = np.unique(
+            np.concatenate((wit[hit], x, y)), return_counts=True
+        )
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    partials = map_partitions_by_key(pw, "pair", tri_part, num_parts=PR_PARTS)
+    out = partials.groupby("node").aggregate(Sum("cnt", alias_name="n_triangles"))
+    return out.map_batches(
+        lambda t: pa.table(
+            {"vec_id": t["node"], "n_triangles": t["n_triangles"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+EMBEDDING_TRIANGLES_SQL = f"""
+WITH sims AS (
+    SELECT a.vec_id AS q_id, b.vec_id AS nb,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id <> b.vec_id
+),
+rk AS (
+    SELECT q_id, nb, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, nb) AS rn
+    FROM sims
+),
+e AS (
+    SELECT DISTINCT LEAST(q_id, nb) AS a, GREATEST(q_id, nb) AS b
+    FROM rk WHERE rn <= {K}
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+n AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT node AS vec_id, count(*)::BIGINT AS n_triangles
+FROM n GROUP BY node
+"""
+
+
 def _pagerank_sql() -> str:
     chain = [f"r0 AS (SELECT vec_id AS node, CAST({PR_SCALE} AS BIGINT) AS rnk FROM embeddings)"]
     for t in range(1, PR_ITERS + 1):
@@ -617,6 +783,7 @@ REGISTRY: dict[str, tuple] = {
     "knn_ivf": (q_knn_ivf, KNN_SQL),
 
     "knn_self": (q_knn_self, KNN_SELF_SQL),
+    "embedding_triangles": (q_embedding_triangles, EMBEDDING_TRIANGLES_SQL),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "embedding_centroids": (q_embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_pagerank": (q_embedding_pagerank, EMBEDDING_PAGERANK_SQL),
