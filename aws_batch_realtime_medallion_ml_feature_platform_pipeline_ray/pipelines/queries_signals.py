@@ -668,6 +668,152 @@ FROM g JOIN f USING (user_id, session_idx)
 """
 
 
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+_RFM_REF_US = 1_706_745_600_000_000  # scoring reference: 2024-02-01T00:00:00
+
+
+def q_events_rfm(sf_dir: str):
+    """RFM customer segmentation: per user, Recency (whole days from the
+    last event to the fixed scoring date), Frequency (purchase count) and
+    Monetary (purchase cents, integer-exact), plus 1-5 quintile scores of
+    each — the canonical marketing feature triple. Quintile =
+    ``(rank-1)*5 // n_users + 1`` over an exact global rank (deterministic
+    user_id tiebreak), identical formula on both engines.
+
+    Scale shape: the event stream collapses to per-batch per-user
+    partials before ONE small groupby (output is O(users), not
+    O(events)); the three quintile ranks run on that per-user table via
+    the engine's global-rank stage (range-partitioned sort + O(#blocks)
+    driver offsets), never on the raw stream."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.globalorder import with_global_rank
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "max_ts": pa.array([], pa.int64()),
+                    "n_purch": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        is_p = np.asarray(pc.equal(t["event_type"].combine_chunks(), "purchase"))
+        cents = np.where(
+            is_p, np.rint(np.asarray(t["value"].combine_chunks()) * 100.0), 0.0
+        ).astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid, ts, cents = uid[order], ts[order], cents[order]
+        is_p = is_p[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1]))
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "max_ts": pa.array(np.maximum.reduceat(ts, starts), pa.int64()),
+                "n_purch": pa.array(
+                    np.add.reduceat(is_p.astype(np.int64), starts), pa.int64()
+                ),
+                "cents": pa.array(np.add.reduceat(cents, starts), pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Max("max_ts", alias_name="max_ts"),
+            Sum("n_purch", alias_name="frequency"),
+            Sum("cents", alias_name="monetary_cents"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "recency_days": pc.divide(
+                        pc.subtract(
+                            pa.scalar(_RFM_REF_US, pa.int64()), t["max_ts"]
+                        ),
+                        pa.scalar(_US_PER_DAY, pa.int64()),
+                    ),
+                    "frequency": t["frequency"],
+                    "monetary_cents": t["monetary_cents"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    r1 = with_global_rank(
+        per_user, ["recency_days", "user_id"],
+        descending=[False, False], rank_col="rr",
+    )
+    r2 = with_global_rank(
+        r1, ["frequency", "user_id"], descending=[True, False], rank_col="rf"
+    )
+    r3 = with_global_rank(
+        r2, ["monetary_cents", "user_id"],
+        descending=[True, False], rank_col="rm",
+    )
+    n_users = r3.count()
+
+    def score(t: pa.Table) -> pa.Table:
+        def q5(col):
+            r = np.asarray(t[col].combine_chunks())
+            return pa.array((r - 1) * 5 // n_users + 1, pa.int64())
+
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "recency_days": t["recency_days"],
+                "frequency": t["frequency"],
+                "monetary_cents": t["monetary_cents"],
+                "r_score": q5("rr"),
+                "f_score": q5("rf"),
+                "m_score": q5("rm"),
+            }
+        )
+
+    return r3.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EVENTS_RFM_SQL = f"""
+WITH u AS (
+    SELECT user_id,
+           (({_RFM_REF_US} - epoch_us(max(ts))) // {_US_PER_DAY})::BIGINT
+               AS recency_days,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS frequency,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100.0) AS BIGINT)
+                    ELSE 0 END)::BIGINT AS monetary_cents
+    FROM events GROUP BY user_id
+),
+n AS (SELECT count(*)::BIGINT AS nu FROM u),
+r AS (
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+           row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+           row_number() OVER (ORDER BY monetary_cents DESC, user_id) AS rm
+    FROM u
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       ((rr - 1) * 5 // nu + 1)::BIGINT AS r_score,
+       ((rf - 1) * 5 // nu + 1)::BIGINT AS f_score,
+       ((rm - 1) * 5 // nu + 1)::BIGINT AS m_score
+FROM r CROSS JOIN n
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_cooccurrence": (q_events_cooccurrence, EVENTS_COOCCURRENCE_SQL),
     "events_interarrival": (q_events_interarrival, EVENTS_INTERARRIVAL_SQL),
@@ -678,4 +824,5 @@ REGISTRY: dict[str, tuple] = {
         EVENTS_SESSION_CONVERSION_SQL,
     ),
     "docs_entropy": (q_docs_entropy, DOCS_ENTROPY_SQL),
+    "events_rfm": (q_events_rfm, EVENTS_RFM_SQL),
 }
