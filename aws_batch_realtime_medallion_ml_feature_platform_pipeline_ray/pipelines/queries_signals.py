@@ -814,6 +814,101 @@ FROM r CROSS JOIN n
 """
 
 
+# --------------------------------------------------------------------------
+# CDC apply / compaction
+# --------------------------------------------------------------------------
+
+
+def q_events_cdc_apply(sf_dir: str):
+    """Change-data-capture compaction: interpret the event stream as CDC
+    ops on a keyed profile table — ``error`` rows are DELETE tombstones,
+    every other type is an UPSERT of ``value`` — and materialize the
+    final state in (ts, event_id) apply order: a user survives iff their
+    latest upsert is later than their latest delete, carrying that
+    upsert's value. The Delta/Hudi-style MERGE the lakehouse runs on
+    every ingest cycle (the history-preserving sibling is
+    ``events_scd2``; the keep-latest online upsert is ``online_latest``).
+
+    Scale shape: ONE keyed exchange on the primary key, then a single
+    segmented pass — per-user last-upsert and last-delete read off
+    segment boundaries of one lexsort; no window shuffle, no join."""
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                "updated_at": pa.array([], pa.timestamp("us")),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks())
+        val = np.asarray(t["value"].combine_chunks())
+        is_del = np.asarray(pc.equal(t["event_type"].combine_chunks(), "error"))
+        # sort upserts/deletes separately per user; last of each segment
+        # is the latest op of that kind
+        def last_per_user(mask):
+            u, s, e, v = uid[mask], ts[mask], eid[mask], val[mask]
+            order = np.lexsort((e, s, u))
+            u, s, e, v = u[order], s[order], e[order], v[order]
+            tail = np.concatenate((u[1:] != u[:-1], [True]))
+            return u[tail], s[tail], e[tail], v[tail]
+
+        uu, us, ue, uv = last_per_user(~is_del)
+        du, ds_, de, _ = last_per_user(is_del)
+        if len(du):
+            # align deletes to upsert users (per-user unique, sorted)
+            pos = np.minimum(np.searchsorted(du, uu), len(du) - 1)
+            has_del = du[pos] == uu
+            alive = (
+                ~has_del
+                | (us > ds_[pos])
+                | ((us == ds_[pos]) & (ue > de[pos]))
+            )
+        else:
+            alive = np.ones(len(uu), dtype=bool)
+        return pa.table(
+            {
+                "user_id": pa.array(uu[alive], pa.int64()),
+                "value": pa.array(uv[alive], pa.float64()),
+                "updated_at": pa.array(
+                    us[alive].view("datetime64[us]"), pa.timestamp("us")
+                ),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", part, num_parts=NUM_PARTS)
+
+
+EVENTS_CDC_APPLY_SQL = """
+WITH u AS (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events WHERE event_type <> 'error'
+),
+lu AS (SELECT user_id, ts, event_id, value FROM u WHERE rn = 1),
+d AS (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events WHERE event_type = 'error'
+),
+ld AS (SELECT user_id, ts, event_id FROM d WHERE rn = 1)
+SELECT lu.user_id, lu.value, lu.ts AS updated_at
+FROM lu LEFT JOIN ld USING (user_id)
+WHERE ld.user_id IS NULL
+   OR lu.ts > ld.ts
+   OR (lu.ts = ld.ts AND lu.event_id > ld.event_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_cooccurrence": (q_events_cooccurrence, EVENTS_COOCCURRENCE_SQL),
     "events_interarrival": (q_events_interarrival, EVENTS_INTERARRIVAL_SQL),
@@ -825,4 +920,5 @@ REGISTRY: dict[str, tuple] = {
     ),
     "docs_entropy": (q_docs_entropy, DOCS_ENTROPY_SQL),
     "events_rfm": (q_events_rfm, EVENTS_RFM_SQL),
+    "events_cdc_apply": (q_events_cdc_apply, EVENTS_CDC_APPLY_SQL),
 }
