@@ -574,30 +574,14 @@ def q_embedding_pagerank(sf_dir: str):
     )
 
 
-def q_embedding_triangles(sf_dir: str):
-    """Per-node triangle count over the undirected kNN similarity graph
-    (k={K}) — the local-clustering signal that separates vectors inside
-    tight semantic clusters (many triangles) from bridge/outlier points
-    (none). Third graph operator next to PageRank and connected
-    components.
-
-    Distributed shape (the classic two-round wedge-check):
-
-    1. Canonicalize kNN edges to distinct (a < b) pairs; ONE exchange on
-       the lower endpoint ``a`` groups each node's higher-neighbor list,
-       so every wedge of a triangle (x < y < z) is generated exactly once
-       at its minimum node — segment-vectorized expansion, no per-node
-       Python.
-    2. ONE exchange on the packed candidate pair key co-locates wedges
-       with the edge that would close them; matched wedges emit +1
-       partials for all three corners, folded by a tiny final groupby.
-
-    Wedge volume is sum-over-nodes C(deg⁺, 2) with deg⁺ bounded by the
-    kNN degree — no all-pairs blowup. Only nodes in >= 1 triangle are
-    emitted (the SQL twin does the same)."""
+def _knn_wedge_pairs(sf_dir: str):
+    """Shared graph front-end for the triangle-family queries: exact kNN
+    self-join → distinct undirected (a < b) edges → ONE exchange on the
+    lower endpoint → per-partition wedge expansion. Returns the
+    (pair, witness) dataset where witness = -1 rows are the (globally
+    deduped) edges and witness >= 0 rows are wedge candidates carrying
+    their generating corner."""
     import numpy as np
-
-    from ray.data.aggregate import Sum
 
     from ..stages.ann import knn_self_join
     from ..stages.dedup import _check_packable, pack_pairs, unpack_pairs
@@ -663,7 +647,39 @@ def q_embedding_triangles(sf_dir: str):
             }
         )
 
-    pw = map_partitions_by_key(und, "a", wedge_part, num_parts=PR_PARTS)
+    return map_partitions_by_key(und, "a", wedge_part, num_parts=PR_PARTS)
+
+
+def q_embedding_triangles(sf_dir: str):
+    """Per-node triangle count over the undirected kNN similarity graph
+    (k={K}) — the local-clustering signal that separates vectors inside
+    tight semantic clusters (many triangles) from bridge/outlier points
+    (none). Third graph operator next to PageRank and connected
+    components.
+
+    Distributed shape (the classic two-round wedge-check; front-end
+    shared with embedding_clustering_coeff via _knn_wedge_pairs):
+
+    1. Canonicalize kNN edges to distinct (a < b) pairs; ONE exchange on
+       the lower endpoint ``a`` groups each node's higher-neighbor list,
+       so every wedge of a triangle (x < y < z) is generated exactly once
+       at its minimum node — segment-vectorized expansion, no per-node
+       Python.
+    2. ONE exchange on the packed candidate pair key co-locates wedges
+       with the edge that would close them; matched wedges emit +1
+       partials for all three corners, folded by a tiny final groupby.
+
+    Wedge volume is sum-over-nodes C(deg⁺, 2) with deg⁺ bounded by the
+    kNN degree — no all-pairs blowup. Only nodes in >= 1 triangle are
+    emitted (the SQL twin does the same)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import unpack_pairs
+    from ..stages.keyed import map_partitions_by_key
+
+    pw = _knn_wedge_pairs(sf_dir)
 
     def tri_part(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -705,6 +721,138 @@ def q_embedding_triangles(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def q_embedding_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node over the undirected kNN
+    graph: ``cc = 2·T / (deg·(deg−1))`` — how close each vector's
+    neighborhood is to a clique (1.0 = dense semantic cluster, 0 =
+    star/bridge point). Every node of the graph is emitted, including
+    triangle-free ones.
+
+    Same two-exchange wedge-check shape as embedding_triangles (shared
+    front-end); the pair-keyed stage additionally reads the per-node
+    degree off the globally-deduped edge rows it already holds, so the
+    degree costs no extra pass over the data."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import unpack_pairs
+    from ..stages.keyed import map_partitions_by_key
+
+    pw = _knn_wedge_pairs(sf_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "tri": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        pair = np.asarray(t["pair"].combine_chunks())
+        wit = np.asarray(t["witness"].combine_chunks())
+        order = np.lexsort((wit, pair))
+        pair, wit = pair[order], wit[order]
+        head = np.concatenate(([True], pair[1:] != pair[:-1]))
+        seg_id = np.cumsum(head) - 1
+        closed = (wit[np.flatnonzero(head)] == -1)[seg_id]
+        hit = closed & (wit != -1)
+        tx, ty = unpack_pairs(pair[hit])
+        tri_nodes = np.concatenate((wit[hit], tx, ty))
+        edge = wit == -1
+        ex, ey = unpack_pairs(pair[edge])
+        deg_nodes = np.concatenate((ex, ey))
+        nodes = np.unique(np.concatenate((tri_nodes, deg_nodes)))
+        tri_n, tri_c = np.unique(tri_nodes, return_counts=True)
+        deg_n, deg_c = np.unique(deg_nodes, return_counts=True)
+        tri_full = np.zeros(len(nodes), dtype=np.int64)
+        tri_full[np.searchsorted(nodes, tri_n)] = tri_c
+        deg_full = np.zeros(len(nodes), dtype=np.int64)
+        deg_full[np.searchsorted(nodes, deg_n)] = deg_c
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "tri": pa.array(tri_full, pa.int64()),
+                "deg": pa.array(deg_full, pa.int64()),
+            }
+        )
+
+    partials = map_partitions_by_key(pw, "pair", part, num_parts=PR_PARTS)
+    folded = partials.groupby("node").aggregate(
+        Sum("tri", alias_name="n_triangles"), Sum("deg", alias_name="degree")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tri = np.asarray(t["n_triangles"].combine_chunks()).astype(np.float64)
+        deg = np.asarray(t["degree"].combine_chunks()).astype(np.float64)
+        cc = np.where(deg >= 2, 2.0 * tri / (deg * np.maximum(deg - 1.0, 1.0)), 0.0)
+        return pa.table(
+            {
+                "vec_id": t["node"],
+                "degree": t["degree"],
+                "n_triangles": t["n_triangles"],
+                "clustering_coeff": pc.round(
+                    pa.array(cc, pa.float64()),
+                    ndigits=6,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return folded.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+EMBEDDING_CLUSTERING_SQL = f"""
+WITH sims AS (
+    SELECT a.vec_id AS q_id, b.vec_id AS nb,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id <> b.vec_id
+),
+rk AS (
+    SELECT q_id, nb, row_number() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, nb) AS rn
+    FROM sims
+),
+e AS (
+    SELECT DISTINCT LEAST(q_id, nb) AS a, GREATEST(q_id, nb) AS b
+    FROM rk WHERE rn <= {K}
+),
+deg AS (
+    SELECT node, count(*)::BIGINT AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+    ) GROUP BY node
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+tcnt AS (
+    SELECT node, count(*)::BIGINT AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY node
+)
+SELECT deg.node AS vec_id, deg.degree,
+       COALESCE(tcnt.n_triangles, 0)::BIGINT AS n_triangles,
+       ROUND(CASE WHEN deg.degree >= 2
+                  THEN 2.0 * COALESCE(tcnt.n_triangles, 0)
+                       / (deg.degree * (deg.degree - 1.0))
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg LEFT JOIN tcnt USING (node)
+"""
 
 
 EMBEDDING_TRIANGLES_SQL = f"""
@@ -784,6 +932,10 @@ REGISTRY: dict[str, tuple] = {
 
     "knn_self": (q_knn_self, KNN_SELF_SQL),
     "embedding_triangles": (q_embedding_triangles, EMBEDDING_TRIANGLES_SQL),
+    "embedding_clustering_coeff": (
+        q_embedding_clustering_coeff,
+        EMBEDDING_CLUSTERING_SQL,
+    ),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "embedding_centroids": (q_embedding_centroids, EMBEDDING_CENTROIDS_SQL),
     "embedding_pagerank": (q_embedding_pagerank, EMBEDDING_PAGERANK_SQL),

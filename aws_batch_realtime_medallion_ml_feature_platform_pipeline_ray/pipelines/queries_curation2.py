@@ -537,6 +537,112 @@ def q_docs_curation_e2e(sf_dir: str):
     return map_partitions_by_key(slim, "text_norm", dedup_part, num_parts=NUM_PARTS)
 
 
+def q_docs_curation_funnel(sf_dir: str):
+    """Curation funnel report: how many documents survive each stage of
+    the e2e chain — total → Gopher quality filter → exact-dedup distinct
+    — the per-run observability table a data-curation team watches to
+    catch a filter suddenly eating the corpus.
+
+    Scale shape: the total rides the Parquet metadata count; quality and
+    distinct come from ONE filtered pass + ONE hash exchange on the
+    normalized text (same shape as the e2e pipeline itself), with each
+    partition emitting two scalar partials — the driver folds O(parts)
+    rows."""
+    import aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.functions.text as T
+    from .queries_text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+    )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    n_total = docs.count()
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = T.normalize_text(t["text"])
+        keep, _, _ = T.gopher_keep(
+            txt,
+            min_tokens=GOPHER_MIN_TOKENS,
+            max_tokens=GOPHER_MAX_TOKENS,
+            min_mean_len=GOPHER_MIN_MEAN_LEN,
+            max_mean_len=GOPHER_MAX_MEAN_LEN,
+            min_stopwords=GOPHER_MIN_STOPWORDS,
+        )
+        return pa.table({"text_norm": txt}).filter(pa.array(keep))
+
+    slim = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "q_n": pa.array([], pa.int64()),
+                    "d_n": pa.array([], pa.int64()),
+                }
+            )
+        uniq = pc.count_distinct(t["text_norm"].combine_chunks()).as_py()
+        return pa.table(
+            {
+                "q_n": pa.array([t.num_rows], pa.int64()),
+                "d_n": pa.array([int(uniq)], pa.int64()),
+            }
+        )
+
+    parts = map_partitions_by_key(
+        slim, "text_norm", count_part, num_parts=NUM_PARTS
+    ).take_all()  # O(partitions) rows
+    n_quality = sum(r["q_n"] for r in parts)
+    n_distinct = sum(r["d_n"] for r in parts)
+    return pa.table(
+        {
+            "stage": pa.array(["total", "quality", "distinct"], pa.string()),
+            "n_docs": pa.array(
+                [n_total, n_quality, n_distinct], pa.int64()
+            ),
+        }
+    )
+
+
+def _curation_funnel_sql() -> str:
+    from .queries_text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        _STOP_IN,
+    )
+
+    return rf"""
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
+    FROM documents
+),
+m AS (
+    SELECT doc_id, text_norm,
+        length(string_split(text_norm, ' '))::BIGINT AS n_tokens,
+        (length(text_norm)
+         - (length(string_split(text_norm, ' ')) - 1))::BIGINT AS alpha_len,
+        len(list_filter(string_split(text_norm, ' '),
+            x -> x IN ({_STOP_IN})))::BIGINT AS stop_cnt
+    FROM n
+),
+f AS (
+    SELECT * FROM m
+    WHERE n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+      AND alpha_len >= {GOPHER_MIN_MEAN_LEN} * n_tokens
+      AND alpha_len <= {GOPHER_MAX_MEAN_LEN} * n_tokens
+      AND stop_cnt >= {GOPHER_MIN_STOPWORDS}
+)
+SELECT 'total' AS stage, (SELECT count(*) FROM documents)::BIGINT AS n_docs
+UNION ALL SELECT 'quality', count(*)::BIGINT FROM f
+UNION ALL SELECT 'distinct', count(DISTINCT text_norm)::BIGINT FROM f
+"""
+
+
 def _curation_e2e_sql() -> str:
     from .queries_text import (
         GOPHER_MAX_MEAN_LEN,
@@ -580,6 +686,7 @@ SELECT doc_id, n_tokens, n_chars_norm FROM d WHERE rn = 1
 
 REGISTRY = {
     "docs_curation_e2e": (q_docs_curation_e2e, _curation_e2e_sql()),
+    "docs_curation_funnel": (q_docs_curation_funnel, _curation_funnel_sql()),
     "docs_mixture_budget": (q_docs_mixture_budget, DOCS_MIXTURE_BUDGET_SQL),
     "docs_repetition": (q_docs_repetition, DOCS_REPETITION_SQL),
     "docs_decontam": (q_docs_decontam, DOCS_DECONTAM_SQL),

@@ -815,6 +815,95 @@ FROM r CROSS JOIN n
 
 
 # --------------------------------------------------------------------------
+# Time-to-next-purchase survival labels
+# --------------------------------------------------------------------------
+
+_TTE_HORIZON_US = 7 * _US_PER_DAY  # censoring horizon
+
+
+def q_events_time_to_purchase(sf_dir: str):
+    """Survival-style label generation: for every NON-purchase event, the
+    time (whole seconds) until the same user's next purchase, censored at
+    a 7-day horizon — the (label, event_observed) pair a churn /
+    time-to-conversion model trains on. ``observed = 0`` rows carry the
+    horizon as the censored duration (standard right-censoring).
+
+    Scale shape: ONE keyed exchange on user_id, then a single backward
+    segmented pass — the next-purchase timestamp is a reversed
+    minimum-accumulate with segment reset; no self-join, no window
+    shuffle."""
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "duration_s": pa.array([], pa.int64()),
+                "observed": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks())
+        is_p = np.asarray(pc.equal(t["event_type"].combine_chunks(), "purchase"))
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, is_p = uid[order], ts[order], eid[order], is_p[order]
+        n = len(uid)
+        # next purchase INDEX at or after each row via a global backward
+        # fill (no per-segment ramp — overflow-free at any partition
+        # size); a fill that crosses into the next user is rejected by
+        # the same-user check, since rows are user-sorted
+        idx = np.arange(n, dtype=np.int64)
+        nxt_idx = np.minimum.accumulate(
+            np.where(is_p, idx, n)[::-1]
+        )[::-1]
+        safe = np.minimum(nxt_idx, n - 1)
+        has = (nxt_idx < n) & (uid[safe] == uid)
+        keep = ~is_p
+        gap = np.where(has, ts[safe] - ts, 0)
+        observed = (has & (gap <= _TTE_HORIZON_US))[keep]
+        dur = np.where(
+            observed, gap[keep] // 1_000_000, _TTE_HORIZON_US // 1_000_000
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep], pa.int64()),
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "duration_s": pa.array(dur, pa.int64()),
+                "observed": pa.array(observed.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", part, num_parts=NUM_PARTS)
+
+
+EVENTS_TIME_TO_PURCHASE_SQL = f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS nxt_us
+    FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN nxt_us IS NOT NULL
+                 AND nxt_us - epoch_us(ts) <= {_TTE_HORIZON_US}
+            THEN (nxt_us - epoch_us(ts)) // 1000000
+            ELSE {_TTE_HORIZON_US // 1_000_000} END::BIGINT AS duration_s,
+       CASE WHEN nxt_us IS NOT NULL
+                 AND nxt_us - epoch_us(ts) <= {_TTE_HORIZON_US}
+            THEN 1 ELSE 0 END::BIGINT AS observed
+FROM o
+WHERE event_type <> 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
 # CDC apply / compaction
 # --------------------------------------------------------------------------
 
@@ -921,4 +1010,8 @@ REGISTRY: dict[str, tuple] = {
     "docs_entropy": (q_docs_entropy, DOCS_ENTROPY_SQL),
     "events_rfm": (q_events_rfm, EVENTS_RFM_SQL),
     "events_cdc_apply": (q_events_cdc_apply, EVENTS_CDC_APPLY_SQL),
+    "events_time_to_purchase": (
+        q_events_time_to_purchase,
+        EVENTS_TIME_TO_PURCHASE_SQL,
+    ),
 }
