@@ -47,6 +47,12 @@ def _r6(x: np.ndarray) -> pa.Array:
     )
 
 
+def _day_strings(days: np.ndarray) -> pa.Array:
+    return pa.array(
+        np.datetime_as_string(days.astype("datetime64[D]"), unit="D")
+    )
+
+
 # --------------------------------------------------------------------------
 # Event-type co-occurrence with pointwise mutual information
 # --------------------------------------------------------------------------
@@ -669,6 +675,249 @@ FROM g JOIN f USING (user_id, session_idx)
 
 
 # --------------------------------------------------------------------------
+# Markov transition matrix over event types
+# --------------------------------------------------------------------------
+
+
+def q_events_markov(sf_dir: str):
+    """First-order Markov transition matrix of event types within each
+    user's stream: (from_type, to_type, n, p) where p is the row-
+    normalized transition probability — the behavioral prior behind
+    next-action prediction features.
+
+    Scale shape: ONE keyed exchange on user_id; per partition a lexsort
+    + shifted compare yields consecutive pairs, Arrow group_by collapses
+    them to O(|types|^2) partials; a tiny final groupby and a driver-side
+    row normalization finish. Counts stay integer until the one
+    division, rounded to 6 on both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "pn": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks())
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        code = np.asarray(enc.indices).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, code = uid[order], code[order]
+        same = uid[1:] == uid[:-1]
+        frm = code[:-1][same]
+        to = code[1:][same]
+        if len(frm) == 0:
+            return empty
+        g = (
+            pa.table(
+                {
+                    "f": pa.array(frm, pa.int64()),
+                    "t": pa.array(to, pa.int64()),
+                    "one": pa.array(np.ones(len(frm), np.int64), pa.int64()),
+                }
+            )
+            .group_by(["f", "t"])
+            .aggregate([("one", "sum")])
+        )
+        dic = enc.dictionary.cast(pa.string())
+        return pa.table(
+            {
+                "from_type": dic.take(g["f"].combine_chunks()),
+                "to_type": dic.take(g["t"].combine_chunks()),
+                "pn": g["one_sum"],
+            }
+        )
+
+    folded = (
+        map_partitions_by_key(ds, "user_id", part, num_parts=NUM_PARTS)
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .take_all()
+    )  # O(|types|^2) rows
+    folded.sort(key=lambda r: (r["from_type"], r["to_type"]))
+    frm = [r["from_type"] for r in folded]
+    to = [r["to_type"] for r in folded]
+    n = np.array([r["n"] for r in folded], dtype=np.int64)
+    row_tot: dict[str, int] = {}
+    for f, c in zip(frm, n):
+        row_tot[f] = row_tot.get(f, 0) + int(c)
+    tot = np.array([row_tot[f] for f in frm], dtype=np.int64)
+    return pa.table(
+        {
+            "from_type": pa.array(frm, pa.string()),
+            "to_type": pa.array(to, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "p": _r6(n.astype(np.float64) / tot),
+        }
+    )
+
+
+EVENTS_MARKOV_SQL = """
+WITH o AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS nxt
+    FROM events
+),
+c AS (
+    SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n
+    FROM o WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       ROUND(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU activity metrics
+# --------------------------------------------------------------------------
+
+
+def q_events_dau_wau(sf_dir: str):
+    """Daily activity metrics: per calendar day, DAU (distinct active
+    users), WAU (distinct users active in the trailing 7 days) and the
+    DAU/WAU stickiness ratio — the engagement dashboard every product
+    team keys on.
+
+    Scale shape: the stream collapses to distinct (user, day) partials
+    per batch, then ONE keyed exchange on user_id. Each partition turns
+    its users' activity days into +1/-1 WAU *interval deltas* (a user
+    covers [d, d+6] per active day; overlapping runs merge via the
+    segmented pass) and DAU deltas — users are disjoint across
+    partitions so the per-day delta partials sum exactly; the driver
+    folds O(days) rows, never user-level data. Same interval-add idea as
+    the engine's exact sliding distinct count (functions/windows.py)."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].combine_chunks())
+        day = np.asarray(t["ts"].combine_chunks().cast(pa.int64())) // _US_PER_DAY
+        uniq = np.unique(np.stack([uid, day]), axis=1)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[0], pa.int64()),
+                "day": pa.array(uniq[1], pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(
+        day_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "dau_d": pa.array([], pa.int64()),
+                "wau_d": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        day = np.asarray(t["day"].combine_chunks())
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.concatenate(
+            ([True], (uid[1:] != uid[:-1]) | (day[1:] != day[:-1]))
+        )
+        uid, day = uid[keep], day[keep]
+        # WAU coverage intervals: a user active on day d is WAU-active on
+        # [d, d+6]; merge overlapping intervals per user (sorted days):
+        # a new interval starts when the gap to the previous active day
+        # exceeds 6
+        head = np.concatenate(([True], uid[1:] != uid[:-1]))
+        new_iv = head | np.concatenate(([False], (day[1:] - day[:-1]) > 6))
+        iv_start = day[new_iv]
+        # interval end = last day of its run + 6
+        iv_last = np.append(day[np.flatnonzero(new_iv)[1:] - 1], day[-1])
+        w_plus = iv_start
+        w_minus = iv_last + 7  # exclusive end
+        # fold all deltas into per-day partials
+        d_days = np.concatenate((day, w_plus, w_minus))
+        d_dau = np.concatenate(
+            (
+                np.ones(len(day), np.int64),
+                np.zeros(len(w_plus) + len(w_minus), np.int64),
+            )
+        )
+        d_wau = np.concatenate(
+            (
+                np.zeros(len(day), np.int64),
+                np.ones(len(w_plus), np.int64),
+                -np.ones(len(w_minus), np.int64),
+            )
+        )
+        gd, inv = np.unique(d_days, return_inverse=True)
+        return pa.table(
+            {
+                "day": pa.array(gd, pa.int64()),
+                "dau_d": pa.array(np.bincount(inv, d_dau).astype(np.int64)),
+                "wau_d": pa.array(np.bincount(inv, d_wau).astype(np.int64)),
+            }
+        )
+
+    folded = (
+        map_partitions_by_key(pairs, "user_id", deltas, num_parts=NUM_PARTS)
+        .groupby("day")
+        .aggregate(Sum("dau_d", alias_name="dau"), Sum("wau_d", alias_name="wau_delta"))
+        .take_all()
+    )  # O(days) rows
+    folded.sort(key=lambda r: r["day"])
+    days = np.array([r["day"] for r in folded], dtype=np.int64)
+    dau = np.array([r["dau"] for r in folded], dtype=np.int64)
+    wd = np.array([r["wau_delta"] for r in folded], dtype=np.int64)
+    # prefix-sum the WAU deltas over the FULL day range (delta days may
+    # include days with no direct activity, e.g. run-out days)
+    full = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+    wau_full = np.zeros(len(full), dtype=np.int64)
+    wau_full[days - days[0]] = wd
+    wau_full = np.cumsum(wau_full)
+    dau_full = np.zeros(len(full), dtype=np.int64)
+    dau_full[days - days[0]] = dau
+    active = dau_full > 0  # report only days with activity (SQL twin too)
+    return pa.table(
+        {
+            "dt": _day_strings(full[active]),
+            "dau": pa.array(dau_full[active], pa.int64()),
+            "wau": pa.array(wau_full[active], pa.int64()),
+            "stickiness": _r6(
+                dau_full[active].astype(np.float64)
+                / wau_full[active].astype(np.float64)
+            ),
+        }
+    )
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+d AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+w AS (
+    SELECT d.day,
+           (SELECT count(DISTINCT u.user_id) FROM ud u
+            WHERE u.day BETWEEN d.day - 6 AND d.day)::BIGINT AS wau
+    FROM d
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS dt, d.dau, w.wau,
+       ROUND(d.dau::DOUBLE / w.wau::DOUBLE, 6) AS stickiness
+FROM d JOIN w USING (day)
+"""
+
+
+# --------------------------------------------------------------------------
 # RFM segmentation
 # --------------------------------------------------------------------------
 
@@ -1014,4 +1263,6 @@ REGISTRY: dict[str, tuple] = {
         q_events_time_to_purchase,
         EVENTS_TIME_TO_PURCHASE_SQL,
     ),
+    "events_markov": (q_events_markov, EVENTS_MARKOV_SQL),
+    "events_dau_wau": (q_events_dau_wau, EVENTS_DAU_WAU_SQL),
 }
