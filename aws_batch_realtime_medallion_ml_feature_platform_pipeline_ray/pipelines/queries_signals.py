@@ -1153,6 +1153,188 @@ WHERE event_type <> 'purchase'
 
 
 # --------------------------------------------------------------------------
+# Market-basket association rules
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_PAIR = 3  # minimum co-purchase support (order count)
+
+
+def q_basket_rules(sf_dir: str):
+    """Market-basket association rules over the order lines: for every
+    part pair co-purchased in >= {min} orders, both directed rules with
+    ``confidence = n_ab / n_antecedent`` and
+    ``lift = n_ab·N / (n_a·n_b)`` — the co-purchase affinity features a
+    recommender bootstraps from.
+
+    Scale shape: per-batch DISTINCT (order, part) partials, ONE keyed
+    exchange on the order key; each partition expands its baskets to
+    packed pair keys with the engine's segment-vectorized posting-list
+    expansion and pre-aggregates pair/single/order-count partials (orders
+    are disjoint across partitions, so partials sum exactly). Pair counts
+    fold in a distributed groupby; only the O(|parts|) item-support table
+    and the O(1) order count reach the driver, broadcast into the final
+    vectorized scoring map."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.reads import read_parquet_sized
+    from ..stages.dedup import _check_packable, _pair_expand, unpack_pairs
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def distinct_kp(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["l_orderkey"].combine_chunks().cast(pa.int64()))
+        p = np.asarray(t["l_partkey"].combine_chunks().cast(pa.int64()))
+        uniq = np.unique(np.stack([k, p]), axis=1)
+        return pa.table(
+            {
+                "k": pa.array(uniq[0], pa.int64()),
+                "p": pa.array(uniq[1], pa.int64()),
+            }
+        )
+
+    basket = ds.map_batches(
+        distinct_kp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int64()),
+                "key": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        k = np.asarray(t["k"].combine_chunks())
+        p = np.asarray(t["p"].combine_chunks())
+        _check_packable(p)
+        order = np.lexsort((p, k))
+        k, p = k[order], p[order]
+        keep = np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (p[1:] != p[:-1]))
+        )
+        k, p = k[keep], p[keep]
+        head = np.concatenate(([True], k[1:] != k[:-1]))
+        seg_id = np.cumsum(head) - 1
+        idx = np.arange(len(k), dtype=np.int64)
+        seg_first = np.where(head, idx, 0)
+        np.maximum.accumulate(seg_first, out=seg_first)
+        cnt = np.bincount(seg_id)[seg_id] - 1 - (idx - seg_first)
+        pairs = _pair_expand(p, cnt)
+        pk, pn = np.unique(pairs, return_counts=True)
+        sk, sn = np.unique(p, return_counts=True)
+        kinds = np.concatenate(
+            (
+                np.zeros(len(pk), np.int64),
+                np.ones(len(sk), np.int64),
+                [np.int64(2)],
+            )
+        )
+        keys = np.concatenate((pk, sk, [np.int64(0)]))
+        ns = np.concatenate((pn, sn, [np.int64(head.sum())]))
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.int64()),
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    # materialized once: consumed by BOTH the small-side collect and the
+    # scoring pass; post-aggregation it is the (distinct pair) count
+    # table — already the reduced relation, object-store-resident and
+    # spillable, never driver-resident
+    folded = (
+        map_partitions_by_key(basket, "k", expand, num_parts=NUM_PARTS)
+        .groupby(["kind", "key"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    small = folded.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # singles + order count: O(|parts|)
+    supp: dict[int, int] = {}
+    n_orders = 0
+    for r in small:
+        if r["kind"] == 1:
+            supp[int(r["key"])] = int(r["n"])
+        else:
+            n_orders = int(r["n"])
+    s_keys = np.array(sorted(supp), dtype=np.int64)
+    s_vals = np.array([supp[int(x)] for x in s_keys], dtype=np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "antecedent": pa.array([], pa.int64()),
+                "consequent": pa.array([], pa.int64()),
+                "n_ab": pa.array([], pa.int64()),
+                "confidence": pa.array([], pa.float64()),
+                "lift": pa.array([], pa.float64()),
+            }
+        )
+        kind = np.asarray(t["kind"].combine_chunks())
+        key = np.asarray(t["key"].combine_chunks())
+        n = np.asarray(t["n"].combine_chunks())
+        m = (kind == 0) & (n >= _BASKET_MIN_PAIR)
+        if not m.any():
+            return empty
+        a, b = unpack_pairs(key[m])
+        n_ab = n[m]
+        n_a = s_vals[np.searchsorted(s_keys, a)]
+        n_b = s_vals[np.searchsorted(s_keys, b)]
+        ante = np.concatenate((a, b))
+        cons = np.concatenate((b, a))
+        nn = np.concatenate((n_ab, n_ab)).astype(np.float64)
+        na = np.concatenate((n_a, n_b)).astype(np.float64)
+        nb = np.concatenate((n_b, n_a)).astype(np.float64)
+        return pa.table(
+            {
+                "antecedent": pa.array(ante, pa.int64()),
+                "consequent": pa.array(cons, pa.int64()),
+                "n_ab": pa.array(
+                    np.concatenate((n_ab, n_ab)), pa.int64()
+                ),
+                "confidence": _r6(nn / na),
+                "lift": _r6(nn * float(n_orders) / (na * nb)),
+            }
+        )
+
+    return folded.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+BASKET_RULES_SQL = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+no AS (SELECT count(DISTINCT k)::BIGINT AS n FROM b),
+s AS (SELECT p, count(*)::BIGINT AS n_p FROM b GROUP BY p),
+pr AS (
+    SELECT a.p AS pa, b2.p AS pb, count(*)::BIGINT AS n_ab
+    FROM b a JOIN b b2 ON a.k = b2.k AND a.p < b2.p
+    GROUP BY 1, 2 HAVING count(*) >= {_BASKET_MIN_PAIR}
+),
+r AS (
+    SELECT pa AS antecedent, pb AS consequent, n_ab,
+           sa.n_p AS n_a, sb.n_p AS n_b
+    FROM pr JOIN s sa ON sa.p = pa JOIN s sb ON sb.p = pb
+    UNION ALL
+    SELECT pb, pa, n_ab, sb.n_p, sa.n_p
+    FROM pr JOIN s sa ON sa.p = pa JOIN s sb ON sb.p = pb
+)
+SELECT antecedent, consequent, n_ab,
+       ROUND(n_ab::DOUBLE / n_a, 6) AS confidence,
+       ROUND(n_ab::DOUBLE * n / (n_a::DOUBLE * n_b), 6) AS lift
+FROM r CROSS JOIN no
+"""
+
+
+# --------------------------------------------------------------------------
 # CDC apply / compaction
 # --------------------------------------------------------------------------
 
@@ -1265,4 +1447,5 @@ REGISTRY: dict[str, tuple] = {
     ),
     "events_markov": (q_events_markov, EVENTS_MARKOV_SQL),
     "events_dau_wau": (q_events_dau_wau, EVENTS_DAU_WAU_SQL),
+    "basket_rules": (q_basket_rules, BASKET_RULES_SQL),
 }
