@@ -1429,6 +1429,198 @@ WHERE ld.user_id IS NULL
 """
 
 
+# --------------------------------------------------------------------------
+# Fused per-user feature snapshot
+# --------------------------------------------------------------------------
+
+
+def q_user_feature_snapshot(sf_dir: str):
+    """The feature-store materialization pass: ONE keyed exchange and ONE
+    fused segmented sweep compute the whole per-user feature vector the
+    online table serves — recency / frequency / monetary (RFM),
+    event count, active days, longest day-streak, inter-arrival mean/max,
+    session count (30-min gap) and session conversion rate. Ten features,
+    one shuffle, one pass — the point of fusion: the standalone operators
+    (events_rfm, events_interarrival, events_streaks,
+    events_session_conversion) each pay the exchange; the snapshot pays
+    it once.
+
+    All sums/counts are integer-exact; the two ratios are the same
+    double expression on both engines, rounded to 6."""
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "recency_days": pa.array([], pa.int64()),
+                "frequency": pa.array([], pa.int64()),
+                "monetary_cents": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_active_days": pa.array([], pa.int64()),
+                "max_streak": pa.array([], pa.int64()),
+                "mean_gap_s": pa.array([], pa.float64()),
+                "max_gap_s": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "conversion_rate": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks())
+        is_p = np.asarray(pc.equal(t["event_type"].combine_chunks(), "purchase"))
+        cents = np.where(
+            is_p, np.rint(np.asarray(t["value"].combine_chunks()) * 100.0), 0.0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, is_p, cents = uid[order], ts[order], is_p[order], cents[order]
+        head = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(head)
+        n_ev = np.diff(np.append(starts, len(uid)))
+        users = uid[starts]
+        # RFM
+        recency = (_RFM_REF_US - np.maximum.reduceat(ts, starts)) // _US_PER_DAY
+        freq = np.add.reduceat(is_p.astype(np.int64), starts)
+        money = np.add.reduceat(cents, starts)
+        # inter-arrival gaps (whole seconds)
+        gap_s = (ts[1:] - ts[:-1]) // 1_000_000
+        same = uid[1:] == uid[:-1]
+        gsum = np.add.reduceat(
+            np.concatenate((np.where(same, gap_s, 0), [np.int64(0)])), starts
+        )
+        gmax = np.maximum.reduceat(
+            np.concatenate((np.where(same, gap_s, 0), [np.int64(0)])), starts
+        )
+        n_gaps = n_ev - 1
+        mean_gap = np.where(
+            n_gaps > 0, gsum / np.maximum(n_gaps, 1), 0.0
+        )
+        # sessions: 30-min inactivity breaks; conversion per session
+        gap_us = np.concatenate(([np.int64(0)], ts[1:] - ts[:-1]))
+        brk = head | (gap_us > _SESSION_GAP_US)
+        sess_starts = np.flatnonzero(brk)
+        # per-user session count: reduceat over the break indicator
+        n_sess = np.add.reduceat(brk.astype(np.int64), starts)
+        # converted sessions: any purchase inside — max.reduceat per
+        # session, then sum per user over session rows
+        sess_conv = np.maximum.reduceat(is_p.astype(np.int64), sess_starts)
+        sess_uid = uid[sess_starts]
+        su_head = np.concatenate(([True], sess_uid[1:] != sess_uid[:-1]))
+        conv_per_user = np.add.reduceat(sess_conv, np.flatnonzero(su_head))
+        conv_rate = conv_per_user / n_sess
+        # day streaks over distinct active days
+        day = ts // _US_PER_DAY
+        dkeep = head | np.concatenate(([False], day[1:] != day[:-1]))
+        duid, dday = uid[dkeep], day[dkeep]
+        dhead = np.concatenate(([True], duid[1:] != duid[:-1]))
+        didx = np.arange(len(duid), dtype=np.int64)
+        dfirst = np.where(dhead, didx, 0)
+        np.maximum.accumulate(dfirst, out=dfirst)
+        rank = didx - dfirst
+        island = dhead | np.concatenate(
+            ([True], (dday - rank)[1:] != (dday - rank)[:-1])
+        )
+        ilen = np.diff(np.append(np.flatnonzero(island), len(duid)))
+        iuser = duid[island]
+        iuhead = np.concatenate(([True], iuser[1:] != iuser[:-1]))
+        max_streak = np.maximum.reduceat(ilen, np.flatnonzero(iuhead))
+        n_days = np.add.reduceat(ilen, np.flatnonzero(iuhead))
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "recency_days": pa.array(recency, pa.int64()),
+                "frequency": pa.array(freq, pa.int64()),
+                "monetary_cents": pa.array(money, pa.int64()),
+                "n_events": pa.array(n_ev, pa.int64()),
+                "n_active_days": pa.array(n_days, pa.int64()),
+                "max_streak": pa.array(max_streak, pa.int64()),
+                "mean_gap_s": _r6(mean_gap),
+                "max_gap_s": pa.array(gmax, pa.int64()),
+                "n_sessions": pa.array(n_sess, pa.int64()),
+                "conversion_rate": _r6(conv_rate),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", part, num_parts=NUM_PARTS)
+
+
+USER_FEATURE_SNAPSHOT_SQL = f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS brk,
+           CASE WHEN lag(ts) OVER w IS NULL THEN NULL
+                ELSE (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000
+           END AS gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT *, sum(brk) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS sess
+    FROM o
+),
+sess_conv AS (
+    SELECT user_id, sess,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM s GROUP BY user_id, sess
+),
+per_sess AS (
+    SELECT user_id, count(*)::BIGINT AS n_sessions,
+           sum(conv)::BIGINT AS n_conv
+    FROM sess_conv GROUP BY user_id
+),
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+isl AS (
+    SELECT user_id,
+           date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+    FROM ud
+),
+runs AS (
+    SELECT user_id, island, count(*)::BIGINT AS len
+    FROM isl GROUP BY user_id, island
+),
+streaks AS (
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           max(len)::BIGINT AS max_streak
+    FROM runs GROUP BY user_id
+),
+base AS (
+    SELECT user_id,
+           (({_RFM_REF_US} - epoch_us(max(ts))) // {_US_PER_DAY})::BIGINT
+               AS recency_days,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS frequency,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100.0) AS BIGINT)
+                    ELSE 0 END)::BIGINT AS monetary_cents,
+           count(*)::BIGINT AS n_events,
+           COALESCE(sum(gap_s), 0)::BIGINT AS gap_sum,
+           COALESCE(max(gap_s), 0)::BIGINT AS max_gap_s,
+           (count(*) - 1)::BIGINT AS n_gaps
+    FROM o GROUP BY user_id
+)
+SELECT b.user_id, b.recency_days, b.frequency, b.monetary_cents,
+       b.n_events, st.n_active_days, st.max_streak,
+       ROUND(CASE WHEN b.n_gaps > 0
+                  THEN b.gap_sum::DOUBLE / b.n_gaps ELSE 0.0 END, 6)
+           AS mean_gap_s,
+       b.max_gap_s,
+       ps.n_sessions,
+       ROUND(ps.n_conv::DOUBLE / ps.n_sessions, 6) AS conversion_rate
+FROM base b
+JOIN streaks st USING (user_id)
+JOIN per_sess ps USING (user_id)
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_cooccurrence": (q_events_cooccurrence, EVENTS_COOCCURRENCE_SQL),
     "events_interarrival": (q_events_interarrival, EVENTS_INTERARRIVAL_SQL),
@@ -1448,4 +1640,8 @@ REGISTRY: dict[str, tuple] = {
     "events_markov": (q_events_markov, EVENTS_MARKOV_SQL),
     "events_dau_wau": (q_events_dau_wau, EVENTS_DAU_WAU_SQL),
     "basket_rules": (q_basket_rules, BASKET_RULES_SQL),
+    "user_feature_snapshot": (
+        q_user_feature_snapshot,
+        USER_FEATURE_SNAPSHOT_SQL,
+    ),
 }

@@ -150,3 +150,22 @@ def test_attribution_invariants(ray_session):
             )
         ]
         assert len(between) == 0
+
+
+def test_snapshot_consistent_with_standalone_ops(ray_session):
+    """user_feature_snapshot's fused pass must agree column-for-column
+    with the standalone operators that compute the same features."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_signals import (
+        q_events_rfm,
+        q_events_streaks,
+        q_user_feature_snapshot,
+    )
+
+    snap = q_user_feature_snapshot(SF).to_pandas().set_index("user_id").sort_index()
+    rfm = q_events_rfm(SF).to_pandas().set_index("user_id").sort_index()
+    stk = q_events_streaks(SF).to_pandas().set_index("user_id").sort_index()
+    assert snap["recency_days"].equals(rfm["recency_days"])
+    assert snap["frequency"].equals(rfm["frequency"])
+    assert snap["monetary_cents"].equals(rfm["monetary_cents"])
+    assert snap["max_streak"].equals(stk["max_streak"])
+    assert snap["n_active_days"].equals(stk["n_active_days"])
