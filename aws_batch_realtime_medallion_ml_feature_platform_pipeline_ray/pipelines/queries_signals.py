@@ -1430,6 +1430,176 @@ WHERE ld.user_id IS NULL
 
 
 # --------------------------------------------------------------------------
+# Time-decayed event counts
+# --------------------------------------------------------------------------
+
+_DECAY_REF_US = 1_706_745_600_000_000  # decay reference: 2024-02-01
+_DECAY_HALF_LIFE_DAYS = 7.0
+
+
+def q_events_decayed_counts(sf_dir: str):
+    """Exponentially time-decayed event counts per type: each event
+    contributes ``0.5 ** (age_days / half_life)`` — the recency-weighted
+    popularity signal that replaces raw counts wherever drift matters.
+
+    Decay weights are computed from INTEGER whole-second ages with the
+    identical double expression on both engines (one pow, one divide),
+    partial-summed per batch so only O(|types| x batches) scalars
+    shuffle; ROUND(,6) absorbs the associativity ULP of the partial-sum
+    order (weights are positive, so Kahan-style drift is bounded and the
+    6-decimal round is stable)."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "w": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        age_s = (_DECAY_REF_US - ts) // 1_000_000  # integer whole seconds
+        w = np.power(
+            0.5, age_s.astype(np.float64) / (86400.0 * _DECAY_HALF_LIFE_DAYS)
+        )
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        code = np.asarray(enc.indices).astype(np.int64)
+        nt = len(enc.dictionary)
+        return pa.table(
+            {
+                "event_type": enc.dictionary.cast(pa.string()),
+                "w": pa.array(np.bincount(code, w, minlength=nt), pa.float64()),
+                "n": pa.array(np.bincount(code, minlength=nt).astype(np.int64)),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("w", alias_name="w"), Sum("n", alias_name="n_events"))
+        .take_all()
+    )  # O(|types|)
+    folded.sort(key=lambda r: r["event_type"])
+    return pa.table(
+        {
+            "event_type": pa.array(
+                [r["event_type"] for r in folded], pa.string()
+            ),
+            "n_events": pa.array(
+                [r["n_events"] for r in folded], pa.int64()
+            ),
+            "decayed_count": _r6(
+                np.array([r["w"] for r in folded], dtype=np.float64)
+            ),
+        }
+    )
+
+
+EVENTS_DECAYED_COUNTS_SQL = f"""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       ROUND(sum(power(0.5,
+           (({_DECAY_REF_US} - epoch_us(ts)) // 1000000)::DOUBLE
+           / (86400.0 * {_DECAY_HALF_LIFE_DAYS}))), 6) AS decayed_count
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test: document lang x source
+# --------------------------------------------------------------------------
+
+
+def q_docs_lang_source_chi2(sf_dir: str):
+    """Pearson chi-square test of independence between the ``lang`` and
+    ``source`` columns of the documents table — the dataset-balance check
+    a curation team runs before mixing sources (a large statistic means
+    some source skews toward a language). Emits the contingency table
+    with expected counts and per-cell chi2 contributions.
+
+    Scale shape: ONE streamed pass of per-batch (lang, source) count
+    partials (O(cells) per batch via Arrow group_by), a tiny cell-keyed
+    groupby, then O(cells) driver arithmetic — counts stay integer until
+    the expected-count division."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.reads import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            t.group_by(["lang", "source"])
+            .aggregate([("lang", "count")])
+        )
+        return g.rename_columns(["lang", "source", "pn"])
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .take_all()
+    )  # O(cells)
+    folded.sort(key=lambda r: (r["lang"], r["source"]))
+    langs = [r["lang"] for r in folded]
+    srcs = [r["source"] for r in folded]
+    n = np.array([r["n"] for r in folded], dtype=np.int64)
+    row_tot: dict[str, int] = {}
+    col_tot: dict[str, int] = {}
+    for la, s, c in zip(langs, srcs, n):
+        row_tot[la] = row_tot.get(la, 0) + int(c)
+        col_tot[s] = col_tot.get(s, 0) + int(c)
+    total = int(n.sum())
+    rt = np.array([row_tot[la] for la in langs], dtype=np.int64)
+    ct = np.array([col_tot[s] for s in srcs], dtype=np.int64)
+    expected = (rt * ct).astype(np.float64) / float(total)
+    chi2 = (n.astype(np.float64) - expected) ** 2 / expected
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "expected": _r6(expected),
+            "chi2_term": _r6(chi2),
+        }
+    )
+
+
+DOCS_LANG_SOURCE_CHI2_SQL = """
+WITH c AS (
+    SELECT lang, source, count(*)::BIGINT AS n
+    FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, sum(n)::BIGINT AS r FROM c GROUP BY lang),
+ct AS (SELECT source, sum(n)::BIGINT AS cl FROM c GROUP BY source),
+tt AS (SELECT sum(n)::BIGINT AS t FROM c)
+SELECT c.lang, c.source, c.n,
+       ROUND((rt.r * ct.cl)::DOUBLE / t, 6) AS expected,
+       ROUND(power(c.n::DOUBLE - (rt.r * ct.cl)::DOUBLE / t, 2)
+             / ((rt.r * ct.cl)::DOUBLE / t), 6) AS chi2_term
+FROM c
+JOIN rt USING (lang)
+JOIN ct USING (source)
+CROSS JOIN tt
+"""
+
+
+# --------------------------------------------------------------------------
 # Fused per-user feature snapshot
 # --------------------------------------------------------------------------
 
@@ -1643,5 +1813,13 @@ REGISTRY: dict[str, tuple] = {
     "user_feature_snapshot": (
         q_user_feature_snapshot,
         USER_FEATURE_SNAPSHOT_SQL,
+    ),
+    "events_decayed_counts": (
+        q_events_decayed_counts,
+        EVENTS_DECAYED_COUNTS_SQL,
+    ),
+    "docs_lang_source_chi2": (
+        q_docs_lang_source_chi2,
+        DOCS_LANG_SOURCE_CHI2_SQL,
     ),
 }
