@@ -1600,6 +1600,96 @@ CROSS JOIN tt
 
 
 # --------------------------------------------------------------------------
+# Histogram-interpolated percentiles (mergeable single-pass quantiles)
+# --------------------------------------------------------------------------
+
+_PCTL_BUCKET_CENTS = 100  # $1-wide buckets on integer cents
+_PCTL_PS = (0.5, 0.95, 0.99)
+
+
+def q_events_value_pctl_hist(sf_dir: str):
+    """Histogram-interpolated percentiles of ``value``: a fixed-width
+    integer-cent histogram (trivially mergeable — the single-pass scale
+    path where the exact rank-targeting of ``events_value_quantiles``
+    needs a second targeted pass), with linear interpolation inside the
+    crossing bucket. Deterministic by construction, so unlike t-digest
+    the approximation itself has an exact SQL twin.
+
+    Scale shape: per-batch bincount partials → one tiny bucket groupby →
+    O(buckets) driver interpolation."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "pn": pa.array([], pa.int64()),
+                }
+            )
+        cents = np.rint(
+            np.asarray(t["value"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        bucket = cents // _PCTL_BUCKET_CENTS
+        ub, cn = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "b": pa.array(ub, pa.int64()),
+                "pn": pa.array(cn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .aggregate(Sum("pn", alias_name="n"))
+        .take_all()
+    )  # O(buckets)
+    folded.sort(key=lambda r: r["b"])
+    b = np.array([r["b"] for r in folded], dtype=np.int64)
+    n = np.array([r["n"] for r in folded], dtype=np.int64)
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    ps, vals = [], []
+    for p in _PCTL_PS:
+        target = p * total  # double, same expression as the SQL twin
+        i = int(np.searchsorted(cum, target, side="left"))
+        before = int(cum[i] - n[i])
+        v = (
+            b[i] * _PCTL_BUCKET_CENTS
+            + _PCTL_BUCKET_CENTS * (target - before) / n[i]
+        ) / 100.0
+        ps.append(p)
+        vals.append(v)
+    return pa.table(
+        {
+            "p": pa.array(ps, pa.float64()),
+            "approx_value": _r6(np.array(vals, dtype=np.float64)),
+        }
+    )
+
+
+EVENTS_VALUE_PCTL_HIST_SQL = f"""
+WITH h AS (
+    SELECT CAST(round(value * 100.0) AS BIGINT) // {_PCTL_BUCKET_CENTS} AS b,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS nn FROM h),
+c AS (SELECT b, n, sum(n) OVER (ORDER BY b) AS cum FROM h),
+p(p) AS (VALUES (0.5), (0.95), (0.99))
+SELECT p.p,
+       ROUND((c.b * {_PCTL_BUCKET_CENTS}
+              + {_PCTL_BUCKET_CENTS} * (p.p * t.nn - (c.cum - c.n)) / c.n)
+             / 100.0, 6) AS approx_value
+FROM p, c, tot t
+WHERE c.cum >= p.p * t.nn AND (c.cum - c.n) < p.p * t.nn
+"""
+
+
+# --------------------------------------------------------------------------
 # Fused per-user feature snapshot
 # --------------------------------------------------------------------------
 
@@ -1821,5 +1911,9 @@ REGISTRY: dict[str, tuple] = {
     "docs_lang_source_chi2": (
         q_docs_lang_source_chi2,
         DOCS_LANG_SOURCE_CHI2_SQL,
+    ),
+    "events_value_pctl_hist": (
+        q_events_value_pctl_hist,
+        EVENTS_VALUE_PCTL_HIST_SQL,
     ),
 }
