@@ -308,6 +308,103 @@ FROM read_csv('{d}/*.csv', header=true)
 """
 
 
+_LATE_EDGES_S = (60, 3600, 86400)  # <1m, <1h, <1d, >=1d
+
+
+def q_bronze_lateness_profile(sf_dir: str):
+    """Landing-zone lateness observability (reference Firehose semantics,
+    S12): per event-time calendar day, how many bronze rows arrived
+    within 1 minute / 1 hour / 1 day / later than a day of their event
+    timestamp — the profile that sizes the backfill window and the
+    incremental job's carried-state horizon.
+
+    Scale shape: zero exchanges before the final O(days x 4) fold —
+    per-batch integer bucketing (searchsorted over three edges) collapses
+    each batch to day-bucket count partials."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..sources.reads import read_parquet_sized
+
+    bronze = bronze_fixture_dir(sf_dir)
+    files = sorted(glob.glob(os.path.join(bronze, "*.parquet")))
+    ds = read_parquet_sized(files, columns=["ts", "ingest_ts"])
+
+    us_day = 86_400_000_000
+    edges = np.array([e * 1_000_000 for e in _LATE_EDGES_S], dtype=np.int64)
+    labels = ["lt_1m", "lt_1h", "lt_1d", "ge_1d"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dt_day": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.string()),
+                "pn": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        mask = pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["ingest_ts"]))
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        ing = np.asarray(t["ingest_ts"].combine_chunks().cast(pa.int64()))
+        late = ing - ts
+        # side='left': first edge >= late, so bucket 0 <=> late <= 1m —
+        # exactly the SQL twin's `late <= edge` CASE ladder
+        b = np.searchsorted(edges, late, side="left")
+        day = ts // us_day
+        key = day * 4 + b
+        uk, cn = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "dt_day": pa.array(uk // 4, pa.int64()),
+                "bucket": pa.array([labels[int(x)] for x in uk % 4], pa.string()),
+                "pn": pa.array(cn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dt_day", "bucket"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .take_all()
+    )  # O(days x 4)
+    folded.sort(key=lambda r: (r["dt_day"], r["bucket"]))
+    days = np.array([r["dt_day"] for r in folded], dtype=np.int64)
+    return pa.table(
+        {
+            "dt": pa.array(
+                np.datetime_as_string(days.astype("datetime64[D]"), unit="D")
+            ),
+            "bucket": pa.array([r["bucket"] for r in folded], pa.string()),
+            "n": pa.array([r["n"] for r in folded], pa.int64()),
+        }
+    )
+
+
+def lateness_oracle_sql(sf_dir: str = "") -> str:
+    bronze = bronze_fixture_dir()
+    e1, e2, e3 = (e * 1_000_000 for e in _LATE_EDGES_S)
+    return f"""
+WITH b AS (
+    SELECT CAST(ts AS DATE) AS day,
+           epoch_us(ingest_ts) - epoch_us(ts) AS late
+    FROM read_parquet('{bronze}/*.parquet')
+    WHERE ts IS NOT NULL AND ingest_ts IS NOT NULL
+)
+SELECT strftime(day, '%Y-%m-%d') AS dt,
+       CASE WHEN late <= {e1} THEN 'lt_1m'
+            WHEN late <= {e2} THEN 'lt_1h'
+            WHEN late <= {e3} THEN 'lt_1d'
+            ELSE 'ge_1d' END AS bucket,
+       count(*)::BIGINT AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 def build_registry() -> dict[str, tuple]:
     """Fixture content is a pure function of the seeds, so generating it
     at registry-build time is safe and idempotent."""
@@ -317,4 +414,8 @@ def build_registry() -> dict[str, tuple]:
         "ndjson_ingest": (q_ndjson_ingest, ndjson_oracle_sql()),
         "csv_ingest": (q_csv_ingest, csv_oracle_sql()),
         "schema_evolution_read": (q_schema_evolution_read, schema_evolution_oracle_sql()),
+        "bronze_lateness_profile": (
+            q_bronze_lateness_profile,
+            lateness_oracle_sql(),
+        ),
     }
