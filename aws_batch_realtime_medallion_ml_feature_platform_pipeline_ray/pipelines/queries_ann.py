@@ -888,6 +888,78 @@ FROM n GROUP BY node
 """
 
 
+# Johnson-Lindenstrauss sign matrix: a module-level constant (seeded),
+# so the SQL twin is GENERATED from the very same +-1 literals
+import numpy as _np  # noqa: E402  (local convention: np inside functions)
+
+_JL_K = 8
+_JL_DIM = 64
+_JL_SIGNS = _np.random.default_rng(7).integers(0, 2, (_JL_DIM, _JL_K)) * 2 - 1
+_JL_SCALE = 0.3535533905932738  # 1/sqrt(8), shared literal on both sides
+
+
+def q_embedding_random_projection(sf_dir: str):
+    """Johnson-Lindenstrauss random projection of the {d}-dim embeddings
+    to {k} dims with a seeded +-1 sign matrix (Achlioptas) — the
+    dimensionality-reduction sketch that runs BEFORE expensive ANN /
+    clustering at corpus scale, preserving pairwise distances within
+    (1 +- eps).
+
+    Zero shuffles — a pure streamed map. The per-batch kernel accumulates
+    ``sum_i emb[i]·sign[i][j]`` column-by-column in the SAME
+    left-to-right order as the generated SQL's literal chain, so the
+    doubles agree bit-for-bit before the shared ROUND(,6)."""
+    import numpy as np
+
+    ds = _emb(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"vec_id": t["vec_id"].combine_chunks().cast(pa.int64())}
+        if n == 0:
+            for j in range(_JL_K):
+                cols[f"proj_{j}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        emb = t["embedding"].combine_chunks()
+        flat = np.asarray(emb.values, dtype=np.float64)
+        d = len(flat) // n
+        assert d == _JL_DIM, f"expected dim {_JL_DIM}, got {d}"
+        m = flat.reshape(n, d)
+        # left-to-right accumulation matches the SQL twin's chain order
+        acc = np.zeros((n, _JL_K), dtype=np.float64)
+        for i in range(d):
+            acc += m[:, i : i + 1] * _JL_SIGNS[i]
+        acc *= _JL_SCALE
+        for j in range(_JL_K):
+            cols[f"proj_{j}"] = pc.round(
+                pa.array(acc[:, j], pa.float64()),
+                ndigits=6,
+                round_mode="half_towards_infinity",
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _jl_sql() -> str:
+    outs = []
+    for j in range(_JL_K):
+        terms = " + ".join(
+            f"e[{i + 1}] * {int(_JL_SIGNS[i, j])}" for i in range(_JL_DIM)
+        )
+        outs.append(f"ROUND(({terms}) * {_JL_SCALE!r}, 6) AS proj_{j}")
+    return f"""
+WITH c AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT vec_id, {', '.join(outs)}
+FROM c
+"""
+
+
+EMBEDDING_RANDOM_PROJECTION_SQL = _jl_sql()
+
+
 def _pagerank_sql() -> str:
     chain = [f"r0 AS (SELECT vec_id AS node, CAST({PR_SCALE} AS BIGINT) AS rnk FROM embeddings)"]
     for t in range(1, PR_ITERS + 1):
@@ -935,6 +1007,10 @@ REGISTRY: dict[str, tuple] = {
     "embedding_clustering_coeff": (
         q_embedding_clustering_coeff,
         EMBEDDING_CLUSTERING_SQL,
+    ),
+    "embedding_random_projection": (
+        q_embedding_random_projection,
+        EMBEDDING_RANDOM_PROJECTION_SQL,
     ),
     "embedding_neardup": (q_embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "embedding_centroids": (q_embedding_centroids, EMBEDDING_CENTROIDS_SQL),
