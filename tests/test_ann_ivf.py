@@ -137,3 +137,35 @@ def test_neardup_ivf_prunes_bucket_pairs(ray_session, tmp_path):
     i, j = np.triu_indices(n_lists)
     ok = cang[i, j] <= theta + radius[i] + radius[j]
     assert ok.sum() <= len(i) / 2, (ok.sum(), len(i))
+
+
+def test_jl_projection_preserves_distances(ray_session):
+    """Property: the seeded JL sign projection approximately preserves
+    pairwise squared distances (Achlioptas bound) — median relative
+    distortion over sampled pairs stays well under 1."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_ann import (
+        _JL_K,
+        q_embedding_random_projection,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    proj = q_embedding_random_projection(sf).to_pandas().sort_values("vec_id")
+    p = proj[[f"proj_{j}" for j in range(_JL_K)]].to_numpy()
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    order = np.argsort(np.asarray(t["vec_id"]))
+    x = np.asarray(t["embedding"].combine_chunks().values, np.float64).reshape(
+        len(order), -1
+    )[order]
+    rng = np.random.default_rng(0)
+    i = rng.integers(0, len(x), 300)
+    j = rng.integers(0, len(x), 300)
+    keep = i != j
+    i, j = i[keep], j[keep]
+    d_orig = ((x[i] - x[j]) ** 2).sum(axis=1)
+    d_proj = ((p[i] - p[j]) ** 2).sum(axis=1)
+    rel = np.abs(d_proj - d_orig) / d_orig
+    assert np.median(rel) < 0.5
+    assert (rel < 1.0).mean() > 0.9
