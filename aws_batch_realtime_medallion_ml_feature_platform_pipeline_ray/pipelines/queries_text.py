@@ -674,6 +674,231 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
+def q_docs_minhash_calibration(sf_dir: str):
+    """MinHash estimator calibration: for every verified near-dup pair,
+    the exact shingle Jaccard NEXT TO the MinHash signature estimate
+    (fraction of the 64 components that agree) — the evaluation table
+    that tells a curation team how much to trust the sketch before
+    dropping the exact verify at full scale.
+
+    Scale shape: reuses the distributed pair pipeline, then TWO doc/pair
+    cogroups — (pairs x signatures) by doc_id, agreement fold by pair —
+    both vectorized searchsorted gathers; the verified pair set is
+    materialized once (it is the reduced output relation, bounded by the
+    true near-dup count) because it feeds both the refs and the final
+    jaccard merge."""
+    from ..stages.dedup import (
+        N_PERMS,
+        minhash_signatures,
+        pack_pairs,
+        shingle_hashes_md5,
+        unpack_pairs,
+    )
+    from ..stages.keyed import cogroup_by_key
+
+    pairs = q_docs_minhash_pairs(sf_dir).materialize()
+
+    def to_refs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"].combine_chunks())
+        b = np.asarray(t["doc_b"].combine_chunks())
+        pr = pack_pairs(a, b)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "pair": pa.array(np.concatenate([pr, pr]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    refs = pairs.map_batches(
+        to_refs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        sh, offsets = shingle_hashes_md5(t["text"])
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        sig = minhash_signatures(sh, offsets)  # (n, 64) uint64
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, N_PERMS), pa.int64()),
+                "perm": pa.array(
+                    np.tile(np.arange(N_PERMS, dtype=np.int64), len(ids)),
+                    pa.int64(),
+                ),
+                "mh": pa.array(sig.reshape(-1).view(np.int64), pa.int64()),
+            }
+        )
+
+    sigs = ds.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    _REFS_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("pair", pa.int64()), ("side", pa.int8())]
+    )
+    _SIGS_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("perm", pa.int64()), ("mh", pa.int64())]
+    )
+
+    def attach(r: pa.Table, s: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pair": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int8()),
+                "perm": pa.array([], pa.int64()),
+                "mh": pa.array([], pa.int64()),
+            }
+        )
+        if r.num_rows == 0 or s.num_rows == 0:
+            return empty
+        rdoc = np.asarray(r["doc_id"].combine_chunks())
+        rpair = np.asarray(r["pair"].combine_chunks())
+        rside = np.asarray(r["side"].combine_chunks())
+        sdoc = np.asarray(s["doc_id"].combine_chunks())
+        sperm = np.asarray(s["perm"].combine_chunks())
+        smh = np.asarray(s["mh"].combine_chunks())
+        order = np.argsort(sdoc, kind="stable")
+        sdoc, sperm, smh = sdoc[order], sperm[order], smh[order]
+        lo = np.searchsorted(sdoc, rdoc, side="left")
+        hi = np.searchsorted(sdoc, rdoc, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        row_start = np.cumsum(cnt) - cnt
+        idx = np.repeat(lo, cnt) + (
+            np.arange(total, dtype=np.int64) - np.repeat(row_start, cnt)
+        )
+        return pa.table(
+            {
+                "pair": pa.array(np.repeat(rpair, cnt), pa.int64()),
+                "side": pa.array(np.repeat(rside, cnt), pa.int8()),
+                "perm": pa.array(sperm[idx], pa.int64()),
+                "mh": pa.array(smh[idx], pa.int64()),
+            }
+        )
+
+    joined = cogroup_by_key(
+        refs,
+        sigs,
+        "doc_id",
+        attach,
+        num_parts=NUM_PARTS,
+        left_schema=_REFS_SCHEMA,
+        right_schema=_SIGS_SCHEMA,
+    )
+
+    def est_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pair": pa.array([], pa.int64()),
+                "eq": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        pair = np.asarray(t["pair"].combine_chunks())
+        side = np.asarray(t["side"].combine_chunks())
+        perm = np.asarray(t["perm"].combine_chunks())
+        mh = np.asarray(t["mh"].combine_chunks())
+        order = np.lexsort((side, perm, pair))
+        pair, side, mh = pair[order], side[order], mh[order]
+        # exactly two rows (side 0, side 1) per (pair, perm): docs in a
+        # verified pair always carry all 64 signature components
+        assert len(pair) % 2 == 0 and (side[::2] == 0).all()
+        eq = (mh[::2] == mh[1::2]).astype(np.int64)
+        p2 = pair[::2]
+        head = np.concatenate(([True], p2[1:] != p2[:-1]))
+        return pa.table(
+            {
+                "pair": pa.array(p2[head], pa.int64()),
+                "eq": pa.array(
+                    np.add.reduceat(eq, np.flatnonzero(head)), pa.int64()
+                ),
+            }
+        )
+
+    est = map_partitions_by_key(joined, "pair", est_part, num_parts=NUM_PARTS)
+
+    def pj(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"].combine_chunks())
+        b = np.asarray(t["doc_b"].combine_chunks())
+        return pa.table(
+            {
+                "pair": pa.array(pack_pairs(a, b), pa.int64()),
+                "jaccard": t["jaccard"].combine_chunks(),
+            }
+        )
+
+    pair_jac = pairs.map_batches(pj, batch_format="pyarrow", zero_copy_batch=True)
+
+    _EST_SCHEMA = pa.schema([("pair", pa.int64()), ("eq", pa.int64())])
+    _PJ_SCHEMA = pa.schema([("pair", pa.int64()), ("jaccard", pa.float64())])
+
+    def merge(e: pa.Table, p: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+                "minhash_est": pa.array([], pa.float64()),
+            }
+        )
+        if e.num_rows == 0 or p.num_rows == 0:
+            return empty
+        ep = np.asarray(e["pair"].combine_chunks())
+        eq = np.asarray(e["eq"].combine_chunks())
+        pp = np.asarray(p["pair"].combine_chunks())
+        jac = np.asarray(p["jaccard"].combine_chunks())
+        order = np.argsort(pp, kind="stable")
+        pp, jac = pp[order], jac[order]
+        pos = np.searchsorted(pp, ep)
+        a, b = unpack_pairs(ep)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(jac[pos], pa.float64()),
+                "minhash_est": pc.round(
+                    pa.array(eq / 64.0, pa.float64()),
+                    ndigits=6,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return cogroup_by_key(
+        est,
+        pair_jac,
+        "pair",
+        merge,
+        num_parts=NUM_PARTS,
+        left_schema=_EST_SCHEMA,
+        right_schema=_PJ_SCHEMA,
+    )
+
+
+def _minhash_calibration_sql() -> str:
+    return f"""
+WITH {_minhash_cte_chain()},
+agree AS (
+    SELECT np.doc_a, np.doc_b, np.jaccard,
+           sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::BIGINT AS eq
+    FROM nearpairs np
+    JOIN mins a ON a.doc_id = np.doc_a
+    JOIN mins b ON b.doc_id = np.doc_b AND b.perm = a.perm
+    GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, jaccard, ROUND(eq / 64.0, 6) AS minhash_est
+FROM agree
+"""
+
+
 CONTAINMENT_THRESHOLD = 0.7
 
 
@@ -923,6 +1148,10 @@ REGISTRY: dict[str, tuple] = {
     "docs_langid": (q_docs_langid, DOCS_LANGID_SQL),
     "docs_fingerprint": (q_docs_fingerprint, DOCS_FINGERPRINT_SQL),
     "docs_minhash_pairs": (q_docs_minhash_pairs, DOCS_MINHASH_SQL),
+    "docs_minhash_calibration": (
+        q_docs_minhash_calibration,
+        _minhash_calibration_sql(),
+    ),
     "docs_simhash": (q_docs_simhash, DOCS_SIMHASH_SQL),
     "docs_simhash_pairs": (q_docs_simhash_pairs, DOCS_SIMHASH_PAIRS_SQL),
 }
