@@ -151,7 +151,7 @@ def q_embedding_centroids(sf_dir: str):
     import pandas as pd
 
     from ..sources.reads import read_parquet_sized
-    from ..stages.keyed import map_partitions_by_key
+    from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
 
     ds = read_parquet_sized(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
@@ -310,7 +310,7 @@ def q_embedding_covariance(sf_dir: str):
     import numpy as np
 
     from ..sources.reads import read_parquet_sized
-    from ..stages.keyed import map_partitions_by_key
+    from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
 
     ds = read_parquet_sized(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
@@ -423,7 +423,7 @@ def q_embedding_kmeans_step(sf_dir: str):
     import pyarrow.parquet as pq
 
     from ..sources.reads import read_parquet_sized
-    from ..stages.keyed import map_partitions_by_key
+    from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
 
     seed_tbl = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
@@ -585,7 +585,7 @@ def _knn_wedge_pairs(sf_dir: str):
 
     from ..stages.ann import knn_self_join
     from ..stages.dedup import _check_packable, pack_pairs, unpack_pairs
-    from ..stages.keyed import map_partitions_by_key
+    from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
 
     edges = knn_self_join(_emb(sf_dir), k=K, n_blocks=4)
 
@@ -677,7 +677,7 @@ def q_embedding_triangles(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from ..stages.dedup import unpack_pairs
-    from ..stages.keyed import map_partitions_by_key
+    from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
 
     pw = _knn_wedge_pairs(sf_dir)
 
@@ -713,10 +713,12 @@ def q_embedding_triangles(sf_dir: str):
         )
 
     partials = map_partitions_by_key(pw, "pair", tri_part, num_parts=PR_PARTS)
-    out = partials.groupby("node").aggregate(Sum("cnt", alias_name="n_triangles"))
+    # node-keyed fold scales with corpus size -> keyed-exchange fold, not
+    # Dataset.groupby().aggregate() (high-cardinality pathology, keyed.py)
+    out = fold_sum_by_keys(partials, ["node"], ["cnt"], num_parts=PR_PARTS)
     return out.map_batches(
         lambda t: pa.table(
-            {"vec_id": t["node"], "n_triangles": t["n_triangles"]}
+            {"vec_id": t["node"], "n_triangles": t["cnt"]}
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -739,7 +741,7 @@ def q_embedding_clustering_coeff(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from ..stages.dedup import unpack_pairs
-    from ..stages.keyed import map_partitions_by_key
+    from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
 
     pw = _knn_wedge_pairs(sf_dir)
 
@@ -782,8 +784,13 @@ def q_embedding_clustering_coeff(sf_dir: str):
         )
 
     partials = map_partitions_by_key(pw, "pair", part, num_parts=PR_PARTS)
-    folded = partials.groupby("node").aggregate(
-        Sum("tri", alias_name="n_triangles"), Sum("deg", alias_name="degree")
+    # same high-cardinality rationale as q_embedding_triangles
+    folded = fold_sum_by_keys(
+        partials, ["node"], ["tri", "deg"], num_parts=PR_PARTS
+    ).map_batches(
+        lambda t: t.rename_columns(["node", "n_triangles", "degree"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -431,9 +431,10 @@ def q_range_join(sf_dir: str):
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     from ..sources.reads import read_parquet_sized
+    from ..stages.keyed import fold_by_keys
 
     ev = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
@@ -443,10 +444,24 @@ def q_range_join(sf_dir: str):
         g = t.group_by("user_id").aggregate([("value", "sum"), ("ts", "min")])
         return g.rename_columns(["user_id", "p_val", "p_ts"])
 
+    # per-user fold scales with the user population -> keyed-exchange
+    # fold (high-cardinality groupby pathology, keyed.py); the collect
+    # after it is O(users) per-user rows feeding a driver top-k only
     per_user = (
-        ev.map_batches(per_user_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(Sum("p_val", alias_name="tot"), Min("p_ts", alias_name="first_ts"))
+        fold_by_keys(
+            ev.map_batches(
+                per_user_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["user_id"],
+            sums=("p_val",),
+            mins=("p_ts",),
+            num_parts=8,
+        )
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "tot", "first_ts"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .to_pandas()
     )
     per_user["tot_r"] = np.round(per_user["tot"].to_numpy(), 0).astype(np.int64)
@@ -691,9 +706,16 @@ def q_docs_commonness(sf_dir: str):
             }
         )
 
+    from ..stages.keyed import fold_by_keys
+
+    # per-doc fold scales with the corpus -> keyed-exchange fold
     partials = map_partitions_by_key(tf_rows, "term", weigh, num_parts=NUM_PARTS)
-    out = partials.groupby("doc_id").aggregate(
-        Sum("p_wsum", alias_name="sum_tok_freq"), Sum("p_ntok", alias_name="n_toks")
+    out = fold_by_keys(
+        partials, ["doc_id"], sums=("p_wsum", "p_ntok"), num_parts=NUM_PARTS
+    ).map_batches(
+        lambda t: t.rename_columns(["doc_id", "sum_tok_freq", "n_toks"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return out.map_batches(
         lambda t: pa.table(

@@ -937,8 +937,6 @@ def q_events_rfm(sf_dir: str):
     O(events)); the three quintile ranks run on that per-user table via
     the engine's global-rank stage (range-partitioned sort + O(#blocks)
     driver offsets), never on the raw stream."""
-    from ray.data.aggregate import Max, Sum
-
     from ..stages.globalorder import with_global_rank
 
     ds = _events(sf_dir, columns=["user_id", "ts", "event_type", "value"])
@@ -976,13 +974,25 @@ def q_events_rfm(sf_dir: str):
             }
         )
 
+    from ..stages.keyed import fold_by_keys
+
+    # per-user fold scales with the user population -> keyed-exchange
+    # fold, not Dataset.groupby().aggregate() (high-cardinality
+    # pathology, keyed.py)
     per_user = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .aggregate(
-            Max("max_ts", alias_name="max_ts"),
-            Sum("n_purch", alias_name="frequency"),
-            Sum("cents", alias_name="monetary_cents"),
+        fold_by_keys(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["user_id"],
+            sums=("n_purch", "cents"),
+            maxs=("max_ts",),
+            num_parts=NUM_PARTS,
+        )
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["user_id", "frequency", "monetary_cents", "max_ts"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
         .map_batches(
             lambda t: pa.table(
@@ -1174,8 +1184,6 @@ def q_basket_rules(sf_dir: str):
     fold in a distributed groupby; only the O(|parts|) item-support table
     and the O(1) order count reach the driver, broadcast into the final
     vectorized scoring map."""
-    from ray.data.aggregate import Sum
-
     from ..sources.reads import read_parquet_sized
     from ..stages.dedup import _check_packable, _pair_expand, unpack_pairs
 
@@ -1246,13 +1254,19 @@ def q_basket_rules(sf_dir: str):
     # materialized once: consumed by BOTH the small-side collect and the
     # scoring pass; post-aggregation it is the (distinct pair) count
     # table — already the reduced relation, object-store-resident and
-    # spillable, never driver-resident
-    folded = (
-        map_partitions_by_key(basket, "k", expand, num_parts=NUM_PARTS)
-        .groupby(["kind", "key"])
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()
-    )
+    # spillable, never driver-resident. The fold routes through
+    # fold_sum_by_keys (keyed exchange + reduceat): pair keys are
+    # ~all-unique, the regime where Dataset.groupby().aggregate()
+    # degrades (measured 65 s -> 0.8 s at sf0.1, see keyed.py).
+    from ..stages.keyed import fold_sum_by_keys
+
+    folded = fold_sum_by_keys(
+        map_partitions_by_key(basket, "k", expand, num_parts=NUM_PARTS),
+        ["kind", "key"],
+        ["n"],
+        num_parts=NUM_PARTS,
+        part_key="key",
+    ).materialize()
     small = folded.map_batches(
         lambda t: t.filter(pc.not_equal(t["kind"], 0)),
         batch_format="pyarrow",

@@ -102,6 +102,98 @@ def map_partitions_by_key(
     return tagged.groupby(PART_COL).map_groups(run, batch_format="pyarrow")
 
 
+def fold_by_keys(
+    ds,
+    keys: list[str],
+    *,
+    sums: tuple[str, ...] | list[str] = (),
+    mins: tuple[str, ...] | list[str] = (),
+    maxs: tuple[str, ...] | list[str] = (),
+    num_parts: int,
+    part_key: str | None = None,
+):
+    """Exact distributed fold (sum/min/max) for HIGH-cardinality keys.
+
+    ``Dataset.groupby(keys).aggregate(...)`` is the right tool for
+    low-cardinality folds of pre-aggregated partials (tens..thousands of
+    groups — fixed vocabularies like lang/day/brand), but its sort-based
+    group-boundary handling degrades when most keys are unique: measured
+    65-78 s (either shuffle strategy) vs 0.8 s for this fold on a
+    1.36 M-row / 1.2 M-group table at sf0.1 / 32 CPUs (basket_rules pair
+    fold). Any fold whose group count scales with the DATA (per-user,
+    per-doc, per-node, per-pair partials) belongs here.
+
+    Routes through the engine's keyed exchange: one hash partition on
+    ``part_key`` (default ``keys[0]``; any single key column is correct
+    because equal composite keys agree on every component), then a
+    segmented ``lexsort`` + ``ufunc.reduceat`` per whole partition —
+    O(rows log rows) vectorized work, no per-group Python.
+
+    Key columns must be integer-typed. Value columns must be null-free
+    (pre-aggregated partials always are; raises otherwise). Integer sums
+    widen to int64, float sums to float64 (matching ray.data Sum); min/
+    max preserve the input type (timestamps stay timestamps).
+    """
+    part_key = part_key or keys[0]
+    specs: list[tuple[str, str]] = (
+        [(c, "sum") for c in sums]
+        + [(c, "min") for c in mins]
+        + [(c, "max") for c in maxs]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {c: pa.array([], pa.int64()) for c in keys}
+            for c, op in specs:
+                typ = t.schema.field(c).type
+                if op == "sum":
+                    typ = pa.float64() if pa.types.is_floating(typ) else pa.int64()
+                cols[c] = pa.array([], typ)
+            return pa.table(cols)
+        karrs = [
+            np.asarray(t[c].combine_chunks().cast(pa.int64())) for c in keys
+        ]
+        order = np.lexsort(karrs[::-1])  # primary = keys[0]
+        karrs = [a[order] for a in karrs]
+        head = np.zeros(len(order), dtype=bool)
+        head[0] = True
+        for a in karrs:
+            head[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(head)
+        out = {c: pa.array(a[starts], pa.int64()) for c, a in zip(keys, karrs)}
+        for c, op in specs:
+            arr = t[c].combine_chunks()
+            if arr.null_count:
+                raise ValueError(f"fold_by_keys: nulls in value column {c!r}")
+            orig = arr.type
+            if op == "sum":
+                v = np.asarray(
+                    arr.cast(pa.float64() if pa.types.is_floating(orig) else pa.int64())
+                )[order]
+                out[c] = pa.array(np.add.reduceat(v, starts))
+            else:
+                v = np.asarray(arr)[order]  # datetime64 supported by min/max
+                red = np.minimum if op == "min" else np.maximum
+                out[c] = pa.array(red.reduceat(v, starts)).cast(orig)
+        return pa.table(out)
+
+    return map_partitions_by_key(ds, part_key, fold, num_parts=num_parts)
+
+
+def fold_sum_by_keys(
+    ds,
+    keys: list[str],
+    value_cols: list[str],
+    *,
+    num_parts: int,
+    part_key: str | None = None,
+):
+    """Sum-only convenience wrapper over :func:`fold_by_keys`."""
+    return fold_by_keys(
+        ds, keys, sums=tuple(value_cols), num_parts=num_parts, part_key=part_key
+    )
+
+
 SIDE_COL = "__side"
 
 

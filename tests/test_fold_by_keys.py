@@ -1,0 +1,91 @@
+"""fold_by_keys: the high-cardinality exact fold (keyed exchange +
+segmented reduceat) must agree with a pandas groupby reference on
+composite integer keys, mixed reducers, and type-widening rules.
+
+Replaces ``Dataset.groupby().aggregate()`` where group count scales with
+the data (per-user/doc/node/pair partials) — that operator degraded to
+65+ s on a 1.2 M-group fold at sf0.1 (see stages/keyed.py docstring).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.keyed import (
+    fold_by_keys,
+    fold_sum_by_keys,
+)
+
+
+def _ds(table: pa.Table, blocks: int = 4):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(blocks)
+
+
+def test_fold_sums_mins_maxs_match_pandas(ray_session):
+    rng = np.random.default_rng(7)
+    n = 5_000
+    t = pa.table(
+        {
+            "k1": pa.array(rng.integers(0, 400, n), pa.int64()),
+            "k2": pa.array(rng.integers(0, 5, n), pa.int64()),
+            "si": pa.array(rng.integers(-50, 50, n), pa.int64()),
+            "sf": pa.array(rng.normal(size=n).round(3), pa.float64()),
+            "mn": pa.array(rng.integers(0, 10**6, n), pa.int64()),
+            "mx": pa.array(
+                rng.integers(0, 10**15, n).astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = (
+        fold_by_keys(
+            _ds(t),
+            ["k1", "k2"],
+            sums=("si", "sf"),
+            mins=("mn",),
+            maxs=("mx",),
+            num_parts=3,
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"], ignore_index=True)
+    )
+    ref = (
+        t.to_pandas()
+        .groupby(["k1", "k2"], as_index=False)
+        .agg(si=("si", "sum"), sf=("sf", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+        .sort_values(["k1", "k2"], ignore_index=True)
+    )
+    assert out["si"].dtype == np.int64 and out["mn"].dtype == np.int64
+    assert str(out["mx"].dtype) == "datetime64[us]"
+    pd.testing.assert_frame_equal(
+        out[["k1", "k2", "si", "mn", "mx"]], ref[["k1", "k2", "si", "mn", "mx"]]
+    )
+    # float sums: order-dependent at 1e-15; compare with tight tolerance
+    np.testing.assert_allclose(out["sf"], ref["sf"], rtol=0, atol=1e-9)
+
+
+def test_fold_sum_widens_int32_and_unique_keys(ray_session):
+    # every key unique (the pathological regime for Dataset.groupby)
+    n = 2_000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(np.full(n, 2**30, np.int32), pa.int32()),
+        }
+    )
+    two = pa.concat_tables([t, t])  # duplicate -> each key sums 2*2^30 > int32
+    out = fold_sum_by_keys(_ds(two), ["k"], ["v"], num_parts=4).to_pandas()
+    assert len(out) == n
+    assert out["v"].dtype == np.int64
+    assert (out["v"] == 2**31).all()
+
+
+def test_fold_rejects_null_values(ray_session):
+    t = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "v": pa.array([1, None], pa.int64())}
+    )
+    with pytest.raises(Exception, match="nulls"):
+        fold_by_keys(_ds(t, blocks=1), ["k"], sums=("v",), num_parts=1).count()
