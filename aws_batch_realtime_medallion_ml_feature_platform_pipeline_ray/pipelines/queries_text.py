@@ -274,6 +274,55 @@ def q_docs_minhash_pairs(sf_dir: str):
     )
 
 
+NEW_DOC_MOD = 10  # synthetic daily increment: doc_id % 10 == 0 is "new"
+
+
+def q_docs_incremental_neardup(sf_dir: str):
+    """Incremental near-dup: verify ONLY candidate pairs that touch a NEW
+    document (synthesized deterministically as ``doc_id % 10 == 0`` — the
+    daily increment arriving against the historical corpus). The LSH
+    bucket stage uses the new-first expansion kernel
+    (stages/dedup.lsh_partition_pairs_incremental), so per-bucket work is
+    O(n_new x bucket) instead of O(bucket^2) — at a 100 TB corpus with a
+    ~1% daily increment this is the difference between re-verifying the
+    whole lake's pair set and touching only increment-adjacent pairs.
+    Signatures for old docs are recomputed here only because the oracle
+    needs a closed form; a production run persists the (bkey, doc_id)
+    band index as Parquet and unions the increment's bands against it
+    (same downstream stages)."""
+    from ..stages.dedup import lsh_partition_pairs_incremental
+
+    def flag_new(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks())
+        return t.append_column(
+            "is_new", pa.array((ids % NEW_DOC_MOD == 0).astype(np.int8))
+        )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    bands = ds.map_batches(
+        minhash_band_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+    flagged = bands.map_batches(
+        flag_new, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = map_partitions_by_key(
+        flagged, "bkey", lsh_partition_pairs_incremental, num_parts=NUM_PARTS
+    )
+    refs = cand.map_batches(pair_refs, batch_format="pyarrow", zero_copy_batch=True)
+    shingles = ds.map_batches(
+        shingle_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = cogroup_by_key(
+        refs, shingles, "doc_id", attach_shingles, num_parts=NUM_PARTS
+    )
+    return map_partitions_by_key(
+        joined,
+        "pair",
+        lambda t: pair_jaccard(t, JACCARD_THRESHOLD),
+        num_parts=NUM_PARTS,
+    )
+
+
 def _sm_cte(prev: str, in_expr: str, out: str, tag: str) -> tuple[str, str]:
     """CTE chain computing ``out = splitmix64(in_expr mod 2^64)`` from
     relation ``prev`` — linear (6 CTEs), no expression blow-up, exact
@@ -401,6 +450,37 @@ def _minhash_cte_chain() -> str:
 
 
 DOCS_MINHASH_SQL = _minhash_sql()
+
+_BT_CAND_FULL = """bt AS (SELECT bkey, doc_id,
+              row_number() OVER (PARTITION BY bkey ORDER BY doc_id) AS rn
+       FROM bd),
+cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM bt a JOIN bt b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    WHERE a.rn <= 64 AND b.rn <= 64
+)"""
+
+_BT_CAND_INCR = f"""bt AS (SELECT bkey, doc_id, (doc_id % {NEW_DOC_MOD} = 0) AS is_new,
+              row_number() OVER (PARTITION BY bkey
+                  ORDER BY (doc_id % {NEW_DOC_MOD} = 0) DESC, doc_id) AS rn
+       FROM bd),
+cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM bt a JOIN bt b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    WHERE a.rn <= 64 AND b.rn <= 64 AND (a.is_new OR b.is_new)
+)"""
+
+
+def _minhash_incremental_sql() -> str:
+    """Twin of q_docs_incremental_neardup: the full generated MinHash
+    chain with the bucket-truncation/candidate block swapped for the
+    new-first ordering + at-least-one-new filter."""
+    sql = _minhash_sql()
+    assert _BT_CAND_FULL in sql, "minhash SQL generator drifted"
+    return sql.replace(_BT_CAND_FULL, _BT_CAND_INCR)
+
+
+DOCS_INCREMENTAL_NEARDUP_SQL = _minhash_incremental_sql()
 
 
 def q_docs_simhash(sf_dir: str):
@@ -1148,6 +1228,10 @@ REGISTRY: dict[str, tuple] = {
     "docs_langid": (q_docs_langid, DOCS_LANGID_SQL),
     "docs_fingerprint": (q_docs_fingerprint, DOCS_FINGERPRINT_SQL),
     "docs_minhash_pairs": (q_docs_minhash_pairs, DOCS_MINHASH_SQL),
+    "docs_incremental_neardup": (
+        q_docs_incremental_neardup,
+        DOCS_INCREMENTAL_NEARDUP_SQL,
+    ),
     "docs_minhash_calibration": (
         q_docs_minhash_calibration,
         _minhash_calibration_sql(),

@@ -155,6 +155,54 @@ def lsh_partition_pairs(part: pa.Table, max_bucket: int = 64) -> pa.Table:
     return pa.table({"pair": pa.array(np.unique(pairs), pa.int64())})
 
 
+def lsh_partition_pairs_incremental(
+    part: pa.Table, max_bucket: int = 64
+) -> pa.Table:
+    """Incremental-dedup variant of :func:`lsh_partition_pairs`: emit only
+    candidate pairs where AT LEAST ONE side is a NEW document (``is_new``
+    int8 column on the (bkey, doc_id) rows) — the daily-increment case
+    where n_new << n_old and full O(bucket^2) expansion is waste.
+
+    New-first ordering trick: within each bucket, sort NEW docs before
+    old (then by doc_id); give each new row the full remaining-rows pair
+    count and every old row zero. The earlier-positioned member of any
+    qualifying pair is then always a new doc, so the segment-vectorized
+    forward expansion emits exactly the (new x all) pair set, each pair
+    once, with no filtering pass. Hot-bucket truncation keeps the FIRST
+    ``max_bucket`` rows of the same ordering, preferring new docs — the
+    side the increment must not drop; the SQL twin mirrors the ordering
+    with ``row_number() OVER (ORDER BY is_new DESC, doc_id)``.
+    Per-pair cost is O(n_new x bucket), not O(bucket^2)."""
+    empty = pa.table({"pair": pa.array([], pa.int64())})
+    if part.num_rows == 0:
+        return empty
+    bk = np.asarray(part["bkey"].combine_chunks())
+    d = np.asarray(part["doc_id"].combine_chunks())
+    f = np.asarray(part["is_new"].combine_chunks()).astype(bool)
+    order = np.lexsort((d, (~f).view(np.int8), bk))
+    bk, d, f = bk[order], d[order], f[order]
+    keep = np.empty(len(bk), dtype=bool)
+    keep[0] = True
+    keep[1:] = (bk[1:] != bk[:-1]) | (d[1:] != d[:-1])
+    bk, d, f = bk[keep], d[keep], f[keep]
+    n = len(bk)
+    seg_start = np.empty(n, dtype=bool)
+    seg_start[0] = True
+    np.not_equal(bk[1:], bk[:-1], out=seg_start[1:])
+    seg_id = np.cumsum(seg_start) - 1
+    arange = np.arange(n, dtype=np.int64)
+    seg_first = np.maximum.accumulate(np.where(seg_start, arange, 0))
+    p = arange - seg_first
+    trunc = p < max_bucket
+    d, seg_id, p, f = d[trunc], seg_id[trunc], p[trunc], f[trunc]
+    m = np.minimum(np.bincount(seg_id)[seg_id], max_bucket)
+    cnt = np.where(f, m - 1 - p, 0)
+    pairs = _pair_expand(d, cnt)
+    if len(pairs) == 0:
+        return empty
+    return pa.table({"pair": pa.array(np.unique(pairs), pa.int64())})
+
+
 def pair_refs(part: pa.Table) -> pa.Table:
     """Candidate pairs → (doc_id, pair, side) reference rows, two per
     pair, ready for the doc_id cogroup with shingle sets. The side tag

@@ -154,6 +154,43 @@ def test_lsh_partition_pairs_matches_bruteforce(rows, max_bucket):
     assert (a < b2).all()
 
 
+@given(bucket_rows(), st.integers(2, 6))
+@settings(max_examples=60, deadline=None)
+def test_lsh_incremental_pairs_matches_bruteforce(rows, max_bucket):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.dedup import (
+        lsh_partition_pairs_incremental,
+        unpack_pairs,
+    )
+
+    bk, d = rows
+    is_new = (d % 3 == 0).astype(np.int8)  # arbitrary new-doc rule
+    part = pa.table(
+        {
+            "bkey": pa.array(bk),
+            "doc_id": pa.array(d),
+            "is_new": pa.array(is_new),
+        }
+    )
+    got = np.asarray(
+        lsh_partition_pairs_incremental(part, max_bucket=max_bucket)["pair"]
+    )
+    # brute force: per bucket, unique docs ordered NEW-first then by id,
+    # truncated to max_bucket, all (a, b) combos with >=1 new, distinct
+    exp = set()
+    for b in np.unique(bk):
+        ids = sorted(set(d[bk == b].tolist()))
+        ids = sorted(ids, key=lambda x: (x % 3 != 0, x))[:max_bucket]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] % 3 == 0 or ids[j] % 3 == 0:
+                    lo, hi = min(ids[i], ids[j]), max(ids[i], ids[j])
+                    exp.add((lo << 32) | hi)
+    assert sorted(got.tolist()) == sorted(exp)
+    if len(got):
+        a, b2 = unpack_pairs(got)
+        assert (a < b2).all()
+
+
 @st.composite
 def pair_shingle_rows(draw):
     n_docs = draw(st.integers(2, 10))
