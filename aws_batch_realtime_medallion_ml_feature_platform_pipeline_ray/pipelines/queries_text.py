@@ -238,6 +238,118 @@ SELECT doc_id, md5(lower(text)) AS fp FROM documents
 """
 
 
+NOVELTY_BATCH = 50  # synthetic arrival order: ingest batch = doc_id // 50
+
+
+def q_docs_novelty_by_batch(sf_dir: str):
+    """Per-ingest-batch corpus novelty rate: for each arrival batch
+    (synthesized deterministically as ``doc_id // 50``), the count and
+    fraction of documents whose CONTENT fingerprint was never seen in any
+    earlier batch — the dedup-rate-over-time signal an ingest pipeline
+    monitors to detect crawler loops and saturating sources.
+
+    Scale shape: per-block distinct (fp, batch, count) partials (the
+    fingerprint is pandas' stable 64-bit siphash of the text — only its
+    EQUALITY structure matters, which is text equality, matching the SQL
+    twin's md5), ONE keyed exchange on the fingerprint, per-partition
+    first-batch flagging off segment boundaries, then a per-batch sum
+    fold through fold_sum_by_keys (batch count scales with the corpus).
+    The raw text is read once and never leaves the first map."""
+    import pandas as pd
+
+    from ..stages.keyed import fold_sum_by_keys
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks())
+        txt = t["text"].combine_chunks().to_pandas().to_numpy(dtype=object)
+        fp = pd.util.hash_array(txt, categorize=True).view(np.int64)
+        batch = (ids // NOVELTY_BATCH).astype(np.int64)
+        u, cnt = np.unique(np.stack([fp, batch]), axis=1, return_counts=True)
+        return pa.table(
+            {
+                "fp": pa.array(u[0], pa.int64()),
+                "batch": pa.array(u[1], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_fp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "batch": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                }
+            )
+        fp = np.asarray(t["fp"].combine_chunks())
+        batch = np.asarray(t["batch"].combine_chunks())
+        cnt = np.asarray(t["cnt"].combine_chunks())
+        order = np.lexsort((batch, fp))
+        fp, batch, cnt = fp[order], batch[order], cnt[order]
+        # fold duplicate (fp, batch) rows from different input blocks
+        head = np.concatenate(
+            ([True], (fp[1:] != fp[:-1]) | (batch[1:] != batch[:-1]))
+        )
+        starts = np.flatnonzero(head)
+        fp, batch = fp[starts], batch[starts]
+        cnt = np.add.reduceat(cnt, starts)
+        # first batch per fp = segment head (batch ascending within fp)
+        fp_head = np.concatenate(([True], fp[1:] != fp[:-1]))
+        first_batch = batch[np.maximum.accumulate(
+            np.where(fp_head, np.arange(len(fp)), 0)
+        )]
+        novel = np.where(batch == first_batch, cnt, 0)
+        # pre-fold by batch within the partition (small output)
+        b_u, inv = np.unique(batch, return_inverse=True)
+        return pa.table(
+            {
+                "batch": pa.array(b_u, pa.int64()),
+                "n_docs": pa.array(np.bincount(inv, weights=cnt).astype(np.int64), pa.int64()),
+                "n_novel": pa.array(np.bincount(inv, weights=novel).astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_batch = fold_sum_by_keys(
+        map_partitions_by_key(partials, "fp", per_fp, num_parts=NUM_PARTS),
+        ["batch"],
+        ["n_docs", "n_novel"],
+        num_parts=NUM_PARTS,
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        nd = np.asarray(t["n_docs"].combine_chunks()).astype(np.float64)
+        nn = np.asarray(t["n_novel"].combine_chunks()).astype(np.float64)
+        return t.append_column(
+            "novelty_rate",
+            pa.array(np.round(nn / nd, 6), pa.float64()),
+        )
+
+    return per_batch.map_batches(rate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_NOVELTY_SQL = f"""
+WITH f AS (
+    SELECT doc_id, doc_id // {NOVELTY_BATCH} AS batch, md5(text) AS fp
+    FROM documents
+),
+fb AS (SELECT fp, min(batch) AS first_batch FROM f GROUP BY fp)
+SELECT f.batch AS batch,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN f.batch = fb.first_batch THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel,
+       ROUND(sum(CASE WHEN f.batch = fb.first_batch THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS novelty_rate
+FROM f JOIN fb USING (fp)
+GROUP BY 1
+"""
+
+
 JACCARD_THRESHOLD = 0.5
 
 
@@ -1227,6 +1339,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_token_count_bpe": (q_docs_token_count_bpe, DOCS_TOKEN_COUNT_BPE_SQL),
     "docs_langid": (q_docs_langid, DOCS_LANGID_SQL),
     "docs_fingerprint": (q_docs_fingerprint, DOCS_FINGERPRINT_SQL),
+    "docs_novelty_by_batch": (q_docs_novelty_by_batch, DOCS_NOVELTY_SQL),
     "docs_minhash_pairs": (q_docs_minhash_pairs, DOCS_MINHASH_SQL),
     "docs_incremental_neardup": (
         q_docs_incremental_neardup,
