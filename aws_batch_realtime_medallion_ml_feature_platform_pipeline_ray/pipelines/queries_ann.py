@@ -60,6 +60,59 @@ SELECT q_id, vec_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= {K}
 """
 
 
+HN_SKIP = 3   # ranks 1..3 = positives / near-dup zone, excluded
+HN_TAKE = 5   # ranks 4..8 -> hard negatives
+
+
+def q_embedding_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the {m} nearest neighbors AFTER skipping the top-{k}
+    (the near-dup / positive zone) — semantically close non-duplicates,
+    the negatives that actually teach a bi-encoder. Exact path: one
+    broadcast of the anchor matrix, per-batch local top-(k+m) partials,
+    tiny per-anchor merge (identical machinery to q_knn with a deeper k
+    and a rank-window filter — no extra shuffle)."""
+    from ..stages.ann import knn_bruteforce
+
+    deep = knn_bruteforce(
+        _emb(sf_dir), _query_tbl(sf_dir), k=HN_SKIP + HN_TAKE
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rank = np.asarray(t["rank"].combine_chunks())
+        keep = rank > HN_SKIP
+        out = t.filter(pa.array(keep))
+        neg_rank = np.asarray(out["rank"].combine_chunks()) - HN_SKIP
+        out = out.drop_columns(["rank"])
+        return out.append_column("neg_rank", pa.array(neg_rank, pa.int64()))
+
+    return deep.map_batches(window, batch_format="pyarrow", zero_copy_batch=True)
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+sims AS (
+    SELECT q.q_id, e.vec_id,
+           list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+    FROM q, embeddings e
+    WHERE e.vec_id <> q.q_id
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY sim DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT q_id, vec_id, ROUND(sim, 6) AS sim,
+       (rank - {HN_SKIP})::BIGINT AS neg_rank
+FROM r WHERE rank > {HN_SKIP} AND rank <= {HN_SKIP + HN_TAKE}
+"""
+
+
 def q_knn_self(sf_dir: str):
     """Exact cosine kNN SELF-join — every vector's top-{K} neighbors —
     via block-pair buckets (stages/ann.knn_self_join): each unordered
@@ -1007,6 +1060,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_covariance": (q_embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "knn": (q_knn, KNN_SQL),
+    "embedding_hard_negatives": (q_embedding_hard_negatives, HARD_NEGATIVES_SQL),
     "knn_ivf": (q_knn_ivf, KNN_SQL),
 
     "knn_self": (q_knn_self, KNN_SELF_SQL),
