@@ -60,6 +60,149 @@ SELECT q_id, vec_id, ROUND(sim, 6) AS sim, rank FROM r WHERE rank <= {K}
 """
 
 
+def q_docs_dedup_semantic_audit(sf_dir: str):
+    """Cross-modal dedup audit: for every VERIFIED MinHash near-dup text
+    pair, the embedding cosine of the two documents — the disagreement
+    report (text-duplicate but embedding-far, or vice versa) that
+    catches broken embeddings or boilerplate-driven false dups before a
+    training run trusts either signal.
+
+    Scale shape: the verified pair set streams into per-side
+    (doc_id, pair, jaccard) refs; ONE cogroup against the embeddings
+    table attaches each side's unit vector (vectors travel ONLY for docs
+    that appear in a verified pair); ONE pair-keyed exchange reduces each
+    pair's two rows to a dot product. Pairs missing either embedding are
+    dropped (inner-join semantics, mirroring the SQL twin)."""
+    import numpy as np
+
+    from ..stages.dedup import pack_pairs, unpack_pairs
+    from ..stages.keyed import cogroup_by_key, map_partitions_by_key
+    from .queries_text import NUM_PARTS as TEXT_PARTS
+    from .queries_text import q_docs_minhash_pairs
+
+    pairs = q_docs_minhash_pairs(sf_dir)
+
+    def refs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"].combine_chunks()).astype(np.int64)
+        b = np.asarray(t["doc_b"].combine_chunks()).astype(np.int64)
+        j = np.asarray(t["jaccard"].combine_chunks())
+        pr = pack_pairs(a, b)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "pair": pa.array(np.concatenate([pr, pr]), pa.int64()),
+                "jaccard": pa.array(np.concatenate([j, j]), pa.float64()),
+            }
+        )
+
+    refs_ds = pairs.map_batches(refs, batch_format="pyarrow", zero_copy_batch=True)
+    emb = _emb(sf_dir).map_batches(
+        lambda t: t.rename_columns(["doc_id", "embedding"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def attach(l: pa.Table, r: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..stages.ann import _matrix, _normalize
+
+        if l.num_rows == 0 or r.num_rows == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        idx = pc.index_in(
+            l["doc_id"].combine_chunks(), value_set=r["doc_id"].combine_chunks()
+        )
+        idxn = np.asarray(idx.fill_null(-1)).astype(np.int64)
+        keep = idxn >= 0
+        lk = l.filter(pa.array(keep))
+        m = _normalize(_matrix(r, "embedding"))
+        vecs = m[idxn[keep]]
+        vec_arr = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, (len(vecs) + 1) * vecs.shape[1], vecs.shape[1])
+                if len(vecs)
+                else np.array([0], np.int64),
+                pa.int32(),
+            ),
+            pa.array(vecs.reshape(-1), pa.float64()),
+        )
+        return pa.table(
+            {
+                "pair": lk["pair"],
+                "jaccard": lk["jaccard"],
+                "vec": vec_arr,
+            }
+        )
+
+    joined = cogroup_by_key(refs_ds, emb, "doc_id", attach, num_parts=TEXT_PARTS)
+
+    def fold_pairs(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        pr = np.asarray(t["pair"].combine_chunks())
+        j = np.asarray(t["jaccard"].combine_chunks())
+        vl = t["vec"].combine_chunks()
+        dim = len(vl[0])
+        m = np.asarray(vl.flatten(), dtype=np.float64).reshape(len(pr), dim)
+        order = np.argsort(pr, kind="stable")
+        pr, j, m = pr[order], j[order], m[order]
+        head = np.concatenate(([True], pr[1:] != pr[:-1]))
+        seg_id = np.cumsum(head) - 1
+        sizes = np.bincount(seg_id)
+        two = sizes[seg_id] == 2
+        pr, j, m, head = pr[two], j[two], m[two], head[two]
+        if len(pr) == 0:
+            return empty
+        starts = np.flatnonzero(np.concatenate(([True], pr[1:] != pr[:-1])))
+        cos = np.einsum("ij,ij->i", m[starts], m[starts + 1])
+        a, b = unpack_pairs(pr[starts])
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(j[starts], pa.float64()),
+                "cos_sim": pa.array(np.round(cos, 6), pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(joined, "pair", fold_pairs, num_parts=TEXT_PARTS)
+
+
+def _semantic_audit_sql() -> str:
+    from .queries_text import _minhash_cte_chain
+
+    return (
+        "WITH "
+        + _minhash_cte_chain()
+        + """
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 6)
+           AS cos_sim
+FROM nearpairs p
+JOIN embeddings ea ON ea.vec_id = p.doc_a
+JOIN embeddings eb ON eb.vec_id = p.doc_b
+"""
+    )
+
+
 HN_SKIP = 3   # ranks 1..3 = positives / near-dup zone, excluded
 HN_TAKE = 5   # ranks 4..8 -> hard negatives
 
@@ -1061,6 +1204,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_quantize": (q_embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "knn": (q_knn, KNN_SQL),
     "embedding_hard_negatives": (q_embedding_hard_negatives, HARD_NEGATIVES_SQL),
+    "docs_dedup_semantic_audit": (q_docs_dedup_semantic_audit, _semantic_audit_sql()),
     "knn_ivf": (q_knn_ivf, KNN_SQL),
 
     "knn_self": (q_knn_self, KNN_SELF_SQL),
