@@ -84,6 +84,12 @@ def cmd_reconcile(args) -> dict:
     return reconcile_lake(args.out, run_id=args.run_id)
 
 
+def cmd_compact(args) -> dict:
+    from .pipelines.medallion import compact_silver
+
+    return compact_silver(args.out, run_id=args.run_id, min_files=args.min_files)
+
+
 def cmd_lookup(args) -> dict:
     from .pipelines.medallion import lookup_online
 
@@ -141,6 +147,12 @@ def main(argv=None) -> int:
     ex.add_argument("--out", required=True)
     ex.add_argument("--keep-from-dt", required=True, help="YYYY-MM-DD; fragments with dt < this are deleted")
     ex.set_defaults(fn=cmd_expire)
+
+    cp = sub.add_parser("compact", help="coalesce silver run files per partition (crash-safe)")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--run-id", default=None)
+    cp.add_argument("--min-files", type=int, default=2)
+    cp.set_defaults(fn=cmd_compact)
 
     lk = sub.add_parser("lookup", help="point/batch online feature lookup")
     lk.add_argument("--out", required=True)

@@ -385,6 +385,95 @@ def expire_gold_partitions(out_root: str, *, keep_from_dt: str) -> dict:
     }
 
 
+def compact_silver(
+    out_root: str, *, run_id: str | None = None, min_files: int = 2
+) -> dict:
+    """Small-file compaction for silver partitions: each incremental /
+    streaming run appends one ``run-{id}.parquet`` per hash partition, so
+    a long-lived lake accumulates thousands of small files per partition
+    and every gold recompute / late-conv backfill pays open-and-footer
+    cost per file. Coalesce each partition's run files into ONE
+    ``run-compact-{id}.parquet`` (the name still matches the readers'
+    ``run-*.parquet`` glob) holding the deduped union, then delete the
+    sources.
+
+    CRASH-SAFE WITHOUT TOMBSTONES: every silver consumer (gold full
+    recompute, medallion.py:201-206; incremental late-conv backfill,
+    incremental.py:198-207) already folds its read through
+    ``dedup_first(["conv_id","turn_idx"], ["ts","ingest_ts"])``, so if a
+    crash lands between the atomic compact-file rename and the source
+    deletes, the temporarily duplicated rows collapse to the identical
+    result, and re-running compaction converges. Compaction itself
+    applies the same dedup rule, so the operation is idempotent.
+
+    One Ray task per partition directory (filesystem-level work the
+    Dataset API can't express); only O(partitions) summary rows return
+    to the driver."""
+    import ray
+
+    import pyarrow.parquet as _pq
+
+    silver_root = os.path.join(out_root, "silver")
+    rid = run_id or uuid_hex()
+    part_dirs = sorted(glob.glob(os.path.join(silver_root, "part=*")))
+
+    @ray.remote
+    def compact_one(part_dir: str) -> dict:
+        import pyarrow.parquet as pq2
+
+        key = os.path.basename(part_dir)[5:]
+        files = sorted(glob.glob(os.path.join(part_dir, "run-*.parquet")))
+        if len(files) < min_files:
+            return {"part": key, "files_in": len(files), "skipped": True}
+        tbl = pa.concat_tables(
+            [pq2.read_table(f) for f in files], promote_options="default"
+        )
+        rows_in = tbl.num_rows
+        tbl = dedup_first(tbl, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
+        out = os.path.join(part_dir, f"run-compact-{rid}.parquet")
+        M.atomic_write_table(tbl, out)
+        for f in files:
+            if f != out:
+                os.remove(f)
+        return {
+            "part": key,
+            "files_in": len(files),
+            "rows_in": rows_in,
+            "rows_out": tbl.num_rows,
+            "file": out,
+            "skipped": False,
+        }
+
+    results = ray.get([compact_one.remote(d) for d in part_dirs])
+    done = [r for r in results if not r.get("skipped")]
+    summary = {
+        "run_id": rid,
+        "partitions": len(part_dirs),
+        "compacted": len(done),
+        "files_removed": sum(r["files_in"] - 1 for r in done),
+        "rows_out": sum(r["rows_out"] for r in done),
+    }
+    if done:
+        M.write_manifest(
+            out_root,
+            M.PartitionManifest(
+                stage="silver_compact",
+                partition_key="all",
+                run_id=rid,
+                rows_out=summary["rows_out"],
+                files=[r["file"] for r in done],
+                extra=summary,
+            ),
+        )
+    return summary
+
+
+def uuid_hex() -> str:
+    import uuid
+
+    return uuid.uuid4().hex[:12]
+
+
 def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
     """Lineage-integrity reconciliation: verify that every silver/gold
     partition manifest's file list exists on disk with the manifested
