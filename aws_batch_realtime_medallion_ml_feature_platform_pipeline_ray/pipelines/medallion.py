@@ -419,8 +419,11 @@ def compact_silver(
 
     @ray.remote
     def compact_one(part_dir: str) -> dict:
+        import time as _time
+
         import pyarrow.parquet as pq2
 
+        t0 = _time.perf_counter()
         key = os.path.basename(part_dir)[5:]
         files = sorted(glob.glob(os.path.join(part_dir, "run-*.parquet")))
         if len(files) < min_files:
@@ -432,6 +435,28 @@ def compact_silver(
         tbl = dedup_first(tbl, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
         out = os.path.join(part_dir, f"run-compact-{rid}.parquet")
         M.atomic_write_table(tbl, out)
+        # manifest BEFORE the source deletes: from the instant a source can
+        # be missing, a newer silver_compact manifest already supersedes the
+        # per-run silver manifests that claimed it, so reconcile_lake stays
+        # green through the crash window (and re-running compaction converges)
+        ts_arr = tbl["ts"].combine_chunks() if tbl.num_rows else None
+        ing = tbl["ingest_ts"].combine_chunks() if tbl.num_rows else None
+        M.write_manifest(
+            silver_root,
+            M.PartitionManifest(
+                stage="silver_compact",
+                partition_key=key,
+                run_id=rid,
+                rows_in=rows_in,
+                rows_out=tbl.num_rows,
+                min_ts=str(pc.min(ts_arr).as_py()) if ts_arr is not None else None,
+                max_ts=str(pc.max(ts_arr).as_py()) if ts_arr is not None else None,
+                max_ingest_ts=str(pc.max(ing).as_py()) if ing is not None else None,
+                wall_s=_time.perf_counter() - t0,
+                files=[out],
+                extra={"files_in": len(files)},
+            ),
+        )
         for f in files:
             if f != out:
                 os.remove(f)
@@ -453,18 +478,6 @@ def compact_silver(
         "files_removed": sum(r["files_in"] - 1 for r in done),
         "rows_out": sum(r["rows_out"] for r in done),
     }
-    if done:
-        M.write_manifest(
-            out_root,
-            M.PartitionManifest(
-                stage="silver_compact",
-                partition_key="all",
-                run_id=rid,
-                rows_out=summary["rows_out"],
-                files=[r["file"] for r in done],
-                extra=summary,
-            ),
-        )
     return summary
 
 
@@ -485,11 +498,16 @@ def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
     lineage requirement implies.
 
     Multi-run semantics: silver is append-per-run, so every silver
-    manifest stays live; gold is overwrite-per-partition, so only the
-    NEWEST gold manifest per partition (by manifest mtime) describes the
-    current bytes — older ones are superseded and skipped for parity.
-    ``run_id`` narrows missing/row checks to one run's manifests; the
-    orphan scan always considers every manifest's claims."""
+    manifest stays live — UNLESS a later ``compact_silver`` absorbed the
+    partition's run files, in which case the newest ``silver_compact``
+    manifest describes the current bytes and older silver / compact
+    manifests for that partition are superseded (skipped for parity;
+    their still-existing files remain claimed so a compaction crash
+    window never reports orphans). Gold is overwrite-per-partition, so
+    only the NEWEST gold manifest per partition (by manifest mtime)
+    describes the current bytes. ``run_id`` narrows missing/row checks
+    to one run's manifests; the orphan scan always considers every
+    manifest's claims."""
     import pyarrow.parquet as _pq
 
     missing: list[dict] = []
@@ -515,8 +533,12 @@ def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
     # contribute file claims (so older runs' silver appends are never
     # "orphans"), but only live ones are parity-checked
     all_manifests: list[tuple] = []
-    for stage in ("silver", "gold"):
-        root = os.path.join(out_root, stage)
+    silver_root = os.path.join(out_root, "silver")
+    for stage, root in (
+        ("silver", silver_root),
+        ("silver_compact", silver_root),
+        ("gold", os.path.join(out_root, "gold")),
+    ):
         for m in M.load_manifests(root, stage):
             mtime = os.path.getmtime(
                 M.manifest_path(root, m.stage, m.partition_key, m.run_id)
@@ -525,18 +547,33 @@ def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
             for f in m.files:
                 if os.path.exists(f):
                     claimed.add(os.path.realpath(f))
-    # gold overwrites per partition: keep only the newest manifest per key
+    # gold overwrites per partition: keep only the newest manifest per key;
+    # compaction rewrites silver per partition: silver/compact manifests
+    # older than the newest silver_compact manifest are superseded
     latest_gold: dict[str, float] = {}
+    latest_compact: dict[str, float] = {}
     for m, mtime in all_manifests:
         if m.stage == "gold":
             latest_gold[m.partition_key] = max(
                 latest_gold.get(m.partition_key, 0.0), mtime
             )
+        elif m.stage == "silver_compact":
+            latest_compact[m.partition_key] = max(
+                latest_compact.get(m.partition_key, 0.0), mtime
+            )
+
+    def _live(m: M.PartitionManifest, mtime: float) -> bool:
+        if m.stage == "gold":
+            return mtime >= latest_gold[m.partition_key]
+        if m.stage == "silver_compact":
+            return mtime >= latest_compact[m.partition_key]
+        # silver append: live unless absorbed by a later compaction
+        return latest_compact.get(m.partition_key, -1.0) < mtime
+
     manifests = [
         m
         for m, mtime in all_manifests
-        if (run_id is None or m.run_id == run_id)
-        and (m.stage != "gold" or mtime >= latest_gold[m.partition_key])
+        if (run_id is None or m.run_id == run_id) and _live(m, mtime)
     ]
     for m in manifests:
         rows_found = 0

@@ -28,6 +28,7 @@ from ..sources.transcripts import (
 from ..stages.featurize import GoldConfig, gold_features_partition, dedup_first
 from ..stages.keyed import map_partitions_by_key
 from ..functions import windows as W
+from ..functions.numeric import round6
 
 NUM_PARTS = 16  # hash partitions for sf-scale correctness runs
 
@@ -150,11 +151,11 @@ def q_rolling_windows(sf_dir: str):
                 "ts": tbl["ts"],
                 "cnt_1h": pa.array(W.windowed_count(l1, r1)),
                 "sum_value_1h": pa.array(
-                    np.round(W.windowed_sum(val, l1, r1), 6)
+                    round6(W.windowed_sum(val, l1, r1))
                 ),
                 "types_24h": pa.array(W.windowed_distinct(codes, valid, l24, r24)),
                 "avg_value_7d": pa.array(
-                    np.round(W.windowed_sum(val, l7, r7) / cnt7, 6)
+                    round6(W.windowed_sum(val, l7, r7) / cnt7)
                 ),
             }
         )

@@ -7,6 +7,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.ann import embedding_near_dup_ivf, knn_bruteforce
+from ..functions.numeric import round6
 
 K = 3
 N_QUERIES = 5
@@ -178,7 +179,7 @@ def q_docs_dedup_semantic_audit(sf_dir: str):
                 "doc_a": pa.array(a, pa.int64()),
                 "doc_b": pa.array(b, pa.int64()),
                 "jaccard": pa.array(j[starts], pa.float64()),
-                "cos_sim": pa.array(np.round(cos, 6), pa.float64()),
+                "cos_sim": pa.array(round6(cos), pa.float64()),
             }
         )
 
@@ -347,7 +348,7 @@ def q_embedding_centroids(sf_dir: str):
     import pandas as pd
 
     from ..sources.reads import read_parquet_sized
-    from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
+    from ..stages.keyed import map_partitions_by_key
 
     ds = read_parquet_sized(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
@@ -506,7 +507,7 @@ def q_embedding_covariance(sf_dir: str):
     import numpy as np
 
     from ..sources.reads import read_parquet_sized
-    from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
+    from ..stages.keyed import map_partitions_by_key
 
     ds = read_parquet_sized(
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
@@ -619,7 +620,7 @@ def q_embedding_kmeans_step(sf_dir: str):
     import pyarrow.parquet as pq
 
     from ..sources.reads import read_parquet_sized
-    from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
+    from ..stages.keyed import map_partitions_by_key
 
     seed_tbl = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
@@ -781,7 +782,7 @@ def _knn_wedge_pairs(sf_dir: str):
 
     from ..stages.ann import knn_self_join
     from ..stages.dedup import _check_packable, pack_pairs, unpack_pairs
-    from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
+    from ..stages.keyed import map_partitions_by_key
 
     edges = knn_self_join(_emb(sf_dir), k=K, n_blocks=4)
 
@@ -870,7 +871,6 @@ def q_embedding_triangles(sf_dir: str):
     emitted (the SQL twin does the same)."""
     import numpy as np
 
-    from ray.data.aggregate import Sum
 
     from ..stages.dedup import unpack_pairs
     from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key
@@ -934,7 +934,6 @@ def q_embedding_clustering_coeff(sf_dir: str):
     degree costs no extra pass over the data."""
     import numpy as np
 
-    from ray.data.aggregate import Sum
 
     from ..stages.dedup import unpack_pairs
     from ..stages.keyed import fold_sum_by_keys, map_partitions_by_key

@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.keyed import map_partitions_by_key
+from ..functions.numeric import div_trunc, round6, round_half_away
 
 NUM_PARTS = 8
 
@@ -155,10 +156,10 @@ GROUP BY 1, 2
 
 # lookup tables rounded to 6 decimals; the SQL twin is generated from
 # THESE literals, so both engines hold the identical IEEE doubles
-_HOUR_SIN = np.round(np.sin(2 * np.pi * np.arange(24) / 24.0), 6)
-_HOUR_COS = np.round(np.cos(2 * np.pi * np.arange(24) / 24.0), 6)
-_DOW_SIN = np.round(np.sin(2 * np.pi * np.arange(7) / 7.0), 6)
-_DOW_COS = np.round(np.cos(2 * np.pi * np.arange(7) / 7.0), 6)
+_HOUR_SIN = round6(np.sin(2 * np.pi * np.arange(24) / 24.0))
+_HOUR_COS = round6(np.cos(2 * np.pi * np.arange(24) / 24.0))
+_DOW_SIN = round6(np.sin(2 * np.pi * np.arange(7) / 7.0))
+_DOW_COS = round6(np.cos(2 * np.pi * np.arange(7) / 7.0))
 
 
 def q_events_time_cyclical(sf_dir: str):
@@ -555,8 +556,8 @@ def q_events_psi_drift(sf_dir: str):
             return empty
         us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
         val = np.asarray(t["value"].combine_chunks())
-        cents = np.rint(val * 100.0).astype(np.int64)
-        bucket = cents // _PSI_BUCKET_CENTS
+        cents = round_half_away(val * 100.0).astype(np.int64)
+        bucket = div_trunc(cents, _PSI_BUCKET_CENTS)
         is_ref = us < _PSI_SPLIT_US
         g = (
             pa.table(

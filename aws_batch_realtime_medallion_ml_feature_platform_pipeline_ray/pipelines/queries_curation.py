@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 
 from ..stages.keyed import map_partitions_by_key
 from .queries_extra import NUM_PARTS, _docs
+from ..functions.numeric import round6
 
 # --------------------------------------------------------------------------
 # Token-window chunking
@@ -380,7 +381,7 @@ def q_docs_blocklist_filter(sf_dir: str):
         toks = tokens_list(t["text"])
         n = token_count(t["text"]).astype(np.int64)
         blocked = member_count(toks, BLOCKLIST).astype(np.int64)
-        frac = np.round(blocked / np.maximum(n, 1), 6)
+        frac = round6(blocked / np.maximum(n, 1))
         return pa.table(
             {
                 "doc_id": ids,

@@ -37,6 +37,7 @@ from ..functions.text import _flat_tokens, tokens_list
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import map_partitions_by_key
 from .queries_extra import NUM_PARTS, _docs
+from ..functions.numeric import round6
 
 # --------------------------------------------------------------------------
 # Shared vectorized n-gram builder
@@ -115,14 +116,14 @@ def q_docs_repetition(sf_dir: str):
         n = np.asarray(s["g_count_sum"]).astype(np.int64)
         nd = np.asarray(s["g_count_count"]).astype(np.int64)
         top = np.asarray(s["g_count_max"]).astype(np.int64)
-        dup = np.round((n - nd) / n, 6)
+        dup = round6((n - nd) / n)
         return pa.table(
             {
                 "doc_id": ids.take(s["d"]),
                 "n_grams": pa.array(n, pa.int64()),
                 "n_distinct": pa.array(nd, pa.int64()),
                 "dup_gram_frac": pa.array(dup, pa.float64()),
-                "top_gram_frac": pa.array(np.round(top / n, 6), pa.float64()),
+                "top_gram_frac": pa.array(round6(top / n), pa.float64()),
                 "keep": pa.array(dup <= REP_MAX_DUP),
             }
         )
@@ -227,7 +228,7 @@ def q_docs_decontam(sf_dir: str):
                 "doc_id": pa.array(np.asarray(ids)[keepers], pa.int64()),
                 "n_grams": pa.array(n, pa.int64()),
                 "n_hit": pa.array(h, pa.int64()),
-                "hit_frac": pa.array(np.round(h / n, 6), pa.float64()),
+                "hit_frac": pa.array(round6(h / n), pa.float64()),
                 "contaminated": pa.array(h > 0),
             }
         )
@@ -301,7 +302,7 @@ def q_events_json_extract(sf_dir: str):
                 "n": pa.array(n, pa.int64()),
                 "sum_k": pa.array(s, pa.int64()),
                 "max_k": g["k_max_max"].cast(pa.int64()),
-                "avg_k": pa.array(np.round(s / n, 6), pa.float64()),
+                "avg_k": pa.array(round6(s / n), pa.float64()),
             }
         )
 

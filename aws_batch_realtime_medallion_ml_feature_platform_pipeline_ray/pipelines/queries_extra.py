@@ -20,6 +20,7 @@ from ..functions.text import token_count
 from ..stages.keyed import map_partitions_by_key
 from .queries_relational import splitmix64_bucket_sql
 from .queries_text import DOCS_NGRAM_JACCARD_SQL
+from ..functions.numeric import round6, round_half_away
 
 NUM_PARTS = 8
 
@@ -381,7 +382,7 @@ def q_events_pivot(sf_dir: str):
                 inv, weights=np.asarray(part[f"v_{ty}"].combine_chunks()),
                 minlength=len(users),
             )
-            cols[f"v_{ty}"] = pa.array(np.round(s, 6), pa.float64())
+            cols[f"v_{ty}"] = pa.array(round6(s), pa.float64())
         cols["n_events"] = pa.array(
             np.bincount(
                 inv, weights=np.asarray(part["n_events"].combine_chunks()),
@@ -464,7 +465,7 @@ def q_range_join(sf_dir: str):
         )
         .to_pandas()
     )
-    per_user["tot_r"] = np.round(per_user["tot"].to_numpy(), 0).astype(np.int64)
+    per_user["tot_r"] = round_half_away(per_user["tot"].to_numpy()).astype(np.int64)
     top = per_user.sort_values(
         ["tot_r", "user_id"], ascending=[False, True], ignore_index=True
     ).head(N_WINDOWS)
@@ -608,7 +609,7 @@ def q_docs_tfidf_top_terms(sf_dir: str):
     def topk(part: pa.Table) -> pa.Table:
         tf = np.asarray(part["tf"].combine_chunks()).astype(np.float64)
         df = np.asarray(part["df"].combine_chunks()).astype(np.float64)
-        tfidf = np.round(tf * np.log(n_docs / df), 6)
+        tfidf = round6(tf * np.log(n_docs / df))
         doc = np.asarray(part["doc_id"].combine_chunks())
         term = np.asarray(part["term"].combine_chunks().cast(pa.large_string()))
         order = np.lexsort((term, -tfidf, doc))

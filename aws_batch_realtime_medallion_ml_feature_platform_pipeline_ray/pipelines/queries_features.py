@@ -53,6 +53,7 @@ import pyarrow.compute as pc
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import cogroup_by_key, map_partitions_by_key
 from .queries_extra import NUM_PARTS, _docs
+from ..functions.numeric import round_half_away
 
 # --------------------------------------------------------------------------
 # Per-group z-score standardization (documents.n_chars by lang)
@@ -686,7 +687,7 @@ def q_features_cumsum(sf_dir: str):
         starts = np.flatnonzero(np.diff(cs)) + 1
         # exact integer-cent prefix sums, restarted per customer via the
         # (exact, integer) subtract-segment-prefix trick
-        cents = np.round(ps * 100.0).astype(np.int64)
+        cents = round_half_away(ps * 100.0).astype(np.int64)
         csum = np.cumsum(cents)
         seg_start = np.concatenate(([0], starts))
         lens = np.diff(np.concatenate((seg_start, [n])))
@@ -859,10 +860,10 @@ def q_features_corr(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        x = np.round(
+        x = round_half_away(
             np.asarray(t["l_quantity"].combine_chunks()) * 100.0
         ).astype(np.int64)
-        y = np.round(
+        y = round_half_away(
             np.asarray(t["l_extendedprice"].combine_chunks()) * 100.0
         ).astype(np.int64)
         g = pa.table(
@@ -1076,7 +1077,7 @@ def q_features_hashed(sf_dir: str):
             h = int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
             bk[i] = h % HASH_BUCKETS
         bucket = bk[np.asarray(enc.indices).astype(np.int64)]
-        cents = np.round(
+        cents = round_half_away(
             np.asarray(t["o_totalprice"].combine_chunks()) * 100.0
         ).astype(np.int64)
         g = pa.table(

@@ -11,6 +11,7 @@ import pyarrow.compute as pc
 from ..stages.asof import asof_join_broadcast, asof_join_partitioned
 from ..stages.keyed import map_partitions_by_key
 from ..sources.reads import read_parquet_sized
+from ..functions.numeric import round_half_away
 
 NUM_PARTS = 16
 
@@ -850,8 +851,8 @@ def q_join_multiway(sf_dir: str):
             return empty
         price = np.asarray(lpart["l_extendedprice"].combine_chunks())[keep]
         disc = np.asarray(lpart["l_discount"].combine_chunks())[keep]
-        cents = np.round(price * 100).astype(np.int64)
-        dpct = np.round(disc * 100).astype(np.int64)
+        cents = round_half_away(price * 100).astype(np.int64)
+        dpct = round_half_away(disc * 100).astype(np.int64)
         rev = cents * (100 - dpct)
         inv, uniq = pd.factorize(c_nat[keep])
         n = np.bincount(inv).astype(np.int64)
@@ -968,8 +969,8 @@ def q_brand_revenue(sf_dir: str):
         keep_np = np.asarray(keep)
         price = np.asarray(lpart["l_extendedprice"].combine_chunks())[keep_np]
         disc = np.asarray(lpart["l_discount"].combine_chunks())[keep_np]
-        rev = np.round(price * 100).astype(np.int64) * (
-            100 - np.round(disc * 100).astype(np.int64)
+        rev = round_half_away(price * 100).astype(np.int64) * (
+            100 - round_half_away(disc * 100).astype(np.int64)
         )
         inv, uniq = pd.factorize(
             np.asarray(brand.filter(keep).cast(pa.large_string()))

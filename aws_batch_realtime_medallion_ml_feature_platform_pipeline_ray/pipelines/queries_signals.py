@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.keyed import map_partitions_by_key
+from ..functions.numeric import div_trunc, round_half_away
 
 NUM_PARTS = 8
 
@@ -955,7 +956,7 @@ def q_events_rfm(sf_dir: str):
         ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
         is_p = np.asarray(pc.equal(t["event_type"].combine_chunks(), "purchase"))
         cents = np.where(
-            is_p, np.rint(np.asarray(t["value"].combine_chunks()) * 100.0), 0.0
+            is_p, round_half_away(np.asarray(t["value"].combine_chunks()) * 100.0), 0.0
         ).astype(np.int64)
         order = np.argsort(uid, kind="stable")
         uid, ts, cents = uid[order], ts[order], cents[order]
@@ -1476,7 +1477,7 @@ def q_events_decayed_counts(sf_dir: str):
                 }
             )
         ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
-        age_s = (_DECAY_REF_US - ts) // 1_000_000  # integer whole seconds
+        age_s = div_trunc(_DECAY_REF_US - ts, 1_000_000)  # whole seconds, DuckDB `//` parity
         w = np.power(
             0.5, age_s.astype(np.float64) / (86400.0 * _DECAY_HALF_LIFE_DAYS)
         )
@@ -1643,10 +1644,10 @@ def q_events_value_pctl_hist(sf_dir: str):
                     "pn": pa.array([], pa.int64()),
                 }
             )
-        cents = np.rint(
+        cents = round_half_away(
             np.asarray(t["value"].combine_chunks()) * 100.0
         ).astype(np.int64)
-        bucket = cents // _PCTL_BUCKET_CENTS
+        bucket = div_trunc(cents, _PCTL_BUCKET_CENTS)
         ub, cn = np.unique(bucket, return_counts=True)
         return pa.table(
             {
@@ -1746,7 +1747,7 @@ def q_user_feature_snapshot(sf_dir: str):
         eid = np.asarray(t["event_id"].combine_chunks())
         is_p = np.asarray(pc.equal(t["event_type"].combine_chunks(), "purchase"))
         cents = np.where(
-            is_p, np.rint(np.asarray(t["value"].combine_chunks()) * 100.0), 0.0
+            is_p, round_half_away(np.asarray(t["value"].combine_chunks()) * 100.0), 0.0
         ).astype(np.int64)
         order = np.lexsort((eid, ts, uid))
         uid, ts, is_p, cents = uid[order], ts[order], is_p[order], cents[order]
@@ -1755,7 +1756,7 @@ def q_user_feature_snapshot(sf_dir: str):
         n_ev = np.diff(np.append(starts, len(uid)))
         users = uid[starts]
         # RFM
-        recency = (_RFM_REF_US - np.maximum.reduceat(ts, starts)) // _US_PER_DAY
+        recency = div_trunc(_RFM_REF_US - np.maximum.reduceat(ts, starts), _US_PER_DAY)
         freq = np.add.reduceat(is_p.astype(np.int64), starts)
         money = np.add.reduceat(cents, starts)
         # inter-arrival gaps (whole seconds)

@@ -22,6 +22,7 @@ from ..stages.dedup import (
 )
 from ..stages.featurize import dedup_first
 from ..stages.keyed import cogroup_by_key, map_partitions_by_key
+from ..functions.numeric import round6
 
 NUM_PARTS = 8
 
@@ -327,7 +328,7 @@ def q_docs_novelty_by_batch(sf_dir: str):
         nn = np.asarray(t["n_novel"].combine_chunks()).astype(np.float64)
         return t.append_column(
             "novelty_rate",
-            pa.array(np.round(nn / nd, 6), pa.float64()),
+            pa.array(round6(nn / nd), pa.float64()),
         )
 
     return per_batch.map_batches(rate, batch_format="pyarrow", zero_copy_batch=True)
@@ -825,7 +826,7 @@ def q_docs_ngram_jaccard(sf_dir: str):
         c = np.asarray(batch["c"].combine_chunks()).astype(np.float64)
         na = np.asarray(batch["na"].combine_chunks()).astype(np.float64)
         nb = np.asarray(batch["nb"].combine_chunks()).astype(np.float64)
-        jac = np.round(c / (na + nb - c), 6)
+        jac = round6(c / (na + nb - c))
         keep = jac >= JACCARD_THRESHOLD
         return pa.table(
             {
@@ -1128,7 +1129,7 @@ def q_docs_containment_pairs(sf_dir: str):
         c = np.asarray(batch["c"].combine_chunks()).astype(np.float64)
         na = np.asarray(batch["na"].combine_chunks()).astype(np.float64)
         nb = np.asarray(batch["nb"].combine_chunks()).astype(np.float64)
-        cont = np.round(c / np.minimum(na, nb), 6)
+        cont = round6(c / np.minimum(na, nb))
         keep = cont >= CONTAINMENT_THRESHOLD
         return pa.table(
             {

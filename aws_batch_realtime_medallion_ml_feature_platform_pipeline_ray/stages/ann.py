@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from ..functions.numeric import round6
 
 
 def _matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -83,7 +84,7 @@ def knn_bruteforce(ds, query_tbl: pa.Table, k: int = 3, concurrency=2):
         out = g.take(pa.array(order))
         rank = pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
         out = out.append_column("rank", rank)
-        sims_r = np.round(np.asarray(out["sim"].combine_chunks()), 6)
+        sims_r = round6(np.asarray(out["sim"].combine_chunks()))
         return out.set_column(
             out.schema.get_field_index("sim"), "sim", pa.array(sims_r)
         )
@@ -196,7 +197,7 @@ def _pair_bucket_kernel(part: pa.Table, threshold: float) -> pa.Table:
         {
             "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
             "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
-            "cos_sim": pa.array(np.round(np.concatenate(out_s), 6), pa.float64()),
+            "cos_sim": pa.array(round6(np.concatenate(out_s)), pa.float64()),
         }
     )
 
@@ -401,7 +402,7 @@ def knn_self_join(ds, k: int = 3, *, n_blocks: int = 4, num_parts: int = 8):
         out = out.append_column(
             "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
         )
-        sims_r = np.round(np.asarray(out["sim"].combine_chunks()), 6)
+        sims_r = round6(np.asarray(out["sim"].combine_chunks()))
         return out.set_column(
             out.schema.get_field_index("sim"), "sim", pa.array(sims_r)
         )
@@ -523,7 +524,7 @@ def knn_ivf(
         out = out.append_column(
             "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
         )
-        sims_r = np.round(np.asarray(out["sim"].combine_chunks()), 6)
+        sims_r = round6(np.asarray(out["sim"].combine_chunks()))
         return out.set_column(
             out.schema.get_field_index("sim"), "sim", pa.array(sims_r)
         )

@@ -24,6 +24,7 @@ import pyarrow as pa
 
 from ..functions.text import shingle_hashes_md5
 from .keyed import splitmix64
+from ..functions.numeric import round6
 
 N_PERMS = 64
 N_BANDS = 16
@@ -314,7 +315,7 @@ def pair_jaccard(part: pa.Table, threshold: float = 0.5) -> pa.Table:
     total = np.bincount(pid[side_start], minlength=n_pairs)   # |A| + |B|
     union = np.bincount(pid[sh_start], minlength=n_pairs)     # |A ∪ B|
     inter = total - union
-    jac = np.round(inter / union, 6)
+    jac = round6(inter / union)
     keep = jac >= threshold
     pr = p[pair_start][keep]
     a, b = unpack_pairs(pr)

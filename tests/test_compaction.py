@@ -19,6 +19,7 @@ import pytest
 
 from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
     compact_silver,
+    reconcile_lake,
     run_stream,
 )
 from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.sources.transcripts import (
@@ -80,11 +81,19 @@ def test_compaction_preserves_gold_and_shrinks_files(
     assert len(before_files) > 4  # two run files in most partitions
     gold_before = _gold(out)
 
+    assert reconcile_lake(out)["ok"]
+
     res = compact_silver(out, run_id="c1")
     assert res["compacted"] > 0 and res["files_removed"] > 0
     after_files = _silver_files(out)
     assert len(after_files) < len(before_files)
     assert all("run-compact-c1" in f for f in after_files if "compact" in f)
+
+    # lineage audit stays green: the silver_compact manifests supersede
+    # the per-run silver manifests whose files compaction removed, and
+    # claim the compact files it wrote
+    rec = reconcile_lake(out)
+    assert rec["ok"], rec
 
     # idempotence: each partition now holds a single file (below
     # min_files), so an immediate second compaction is a no-op
@@ -102,6 +111,10 @@ def test_compaction_preserves_gold_and_shrinks_files(
     assert res3["compacted"] > 0
     run_stream(bronze2, out, run_id="w4", processed_at=PROCESSED_AT, num_parts=4)
     pd.testing.assert_frame_equal(_gold(out), gold_before)
+
+    # repeated compact/append cycles keep the lineage audit green
+    rec = reconcile_lake(out)
+    assert rec["ok"], rec
 
 
 def test_compaction_crash_window_reads_identically(ray_session, bronze2, tmp_path):
@@ -124,6 +137,12 @@ def test_compaction_crash_window_reads_identically(ray_session, bronze2, tmp_pat
     compact_silver(out, run_id="c1")
     for orig, dst in saved.items():
         shutil.copy(dst, orig)  # sources resurrected beside compact file
+
+    # crash-window lake still reconciles: resurrected sources are claimed
+    # by the (superseded) per-run silver manifests, so they are not
+    # orphans, and the compact manifests' parity holds
+    rec = reconcile_lake(out)
+    assert rec["ok"], rec
 
     run_stream(bronze2, out, run_id="w3", processed_at=PROCESSED_AT, num_parts=4)
     pd.testing.assert_frame_equal(_gold(out), gold_before)
