@@ -603,6 +603,81 @@ GROUP BY 1, 2
 """
 
 
+def q_conv_role_runs(sf_dir: str):
+    """Same-role run structure per conversation (monologue detection /
+    turn-taking QA over transcripts): total turns, number of maximal
+    consecutive same-role runs, and the longest run. ONE keyed exchange;
+    per sorted partition the run boundaries are a single vectorized
+    compare (role change OR conversation start), run lengths a diff of
+    boundary indices, and the per-conv max a ``np.maximum.reduceat`` at
+    conversation starts in run space — no second aggregation pass (convs
+    are partition-local)."""
+    ds = read_events_as_transcripts(sf_dir)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "n_turns": pa.array([], pa.int64()),
+                 "n_runs": pa.array([], pa.int64()),
+                 "max_run": pa.array([], pa.int64())}
+            )
+        order, k, _ts, seg_start = _conv_order(tbl)
+        roles = np.asarray(
+            pc.dictionary_encode(
+                tbl["role"].combine_chunks().take(pa.array(order))
+            ).indices
+        ).astype(np.int64)
+        n = len(roles)
+        run_start = seg_start.copy()
+        run_start[1:] |= roles[1:] != roles[:-1]
+        run_idx = np.flatnonzero(run_start)
+        run_len = np.diff(np.append(run_idx, n)).astype(np.int64)
+        # conversation segmentation projected into run space: a conv's
+        # first run is exactly where the underlying row starts a segment
+        conv_first_run = np.flatnonzero(seg_start[run_idx])
+        n_runs = np.diff(np.append(conv_first_run, len(run_idx))).astype(np.int64)
+        n_turns = np.add.reduceat(run_len, conv_first_run)
+        max_run = np.maximum.reduceat(run_len, conv_first_run)
+        conv_ids = (
+            tbl["conv_id"].combine_chunks()
+            .take(pa.array(order[run_idx[conv_first_run]]))
+        )
+        return pa.table(
+            {
+                "conv_id": conv_ids,
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "n_runs": pa.array(n_runs, pa.int64()),
+                "max_run": pa.array(max_run, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "conv_id", fn, num_parts=NUM_PARTS)
+
+
+# gaps-and-islands: turn_idx minus the per-(conv, role) row_number is
+# constant exactly along a maximal same-role run
+CONV_ROLE_RUNS_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE},
+r AS (
+    SELECT conv_id, role, turn_idx,
+        turn_idx - CAST(row_number() OVER (
+            PARTITION BY conv_id, role ORDER BY ts, event_id
+        ) AS INTEGER) AS isl
+    FROM transcripts
+),
+runs AS (
+    SELECT conv_id, role, isl, CAST(count(*) AS BIGINT) AS run_len
+    FROM r GROUP BY 1, 2, 3
+)
+SELECT conv_id,
+       CAST(sum(run_len) AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_len) AS BIGINT) AS max_run
+FROM runs GROUP BY 1
+"""
+
+
 def q_gold_features_salted(sf_dir: str):
     """B14: same gold pass with hot conversations split into time-bucket
     shards (overlap-prefix windows + stitch) — output must be bit-identical
@@ -741,6 +816,7 @@ REGISTRY: dict[str, tuple] = {
     "session_stats": (q_session_stats, SESSION_STATS_SQL),
     "conv_flatten": (q_conv_flatten, CONV_FLATTEN_SQL),
     "conv_role_transitions": (q_conv_role_transitions, CONV_ROLE_TRANSITIONS_SQL),
+    "conv_role_runs": (q_conv_role_runs, CONV_ROLE_RUNS_SQL),
     "conv_dedup_turns": (q_conv_dedup_turns, CONV_DEDUP_TURNS_SQL),
     "conv_context_window": (q_conv_context_window, CONV_CONTEXT_SQL),
     "rolling_rows_window": (q_rolling_rows_window, ROLLING_ROWS_SQL),

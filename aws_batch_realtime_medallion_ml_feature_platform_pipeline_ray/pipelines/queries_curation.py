@@ -120,6 +120,151 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# Chunk-level cross-corpus dedup (C4/RefinedWeb paragraph-dedup analog)
+# --------------------------------------------------------------------------
+
+CHUNKD_W = 16  # non-overlapping dedup unit, in tokens
+
+
+def q_docs_chunk_dedup(sf_dir: str):
+    """Sub-document dedup audit at fixed ``CHUNKD_W``-token chunk
+    granularity — the C4-style "paragraph" dedup signal (our documents
+    carry no newline structure, so the unit is a fixed token window):
+    per document, how many of its distinct chunks also appear in at
+    least one OTHER document, and the shared fraction.
+
+    Scale shape: chunking is a streamed per-batch map (no shuffle);
+    (doc_id, chunk) pairs are distinct by construction within a doc, so
+    exchange 1 (hash by chunk string) sees each pair once and counts
+    distinct docs per chunk segment-vectorized; per-doc partials then
+    collapse in exchange 2 via the keyed sum fold (doc-cardinality
+    groups — the high-cardinality fold path). No stage holds more than
+    one partition of pairs."""
+    from ..functions.text import _flat_tokens, tokens_list
+    from ..stages.keyed import fold_sum_by_keys
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def chunk_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "chunk": pa.array([], pa.string())}
+        )
+        if t.num_rows == 0:
+            return empty
+        flat, offsets = _flat_tokens(tokens_list(t["text"]))
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        n_chunks = (lens + CHUNKD_W - 1) // CHUNKD_W
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        doc_of_chunk = np.repeat(np.arange(len(ids), dtype=np.int64), n_chunks)
+        clen = np.minimum(
+            CHUNKD_W,
+            lens[doc_of_chunk]
+            - (np.arange(total, dtype=np.int64)
+               - np.repeat(np.concatenate(([0], np.cumsum(n_chunks)))[:-1], n_chunks)
+               ) * CHUNKD_W,
+        )
+        # token gather: contiguous within each doc, so the flat index is
+        # just a segmented arange over the doc's token span
+        lst = pa.ListArray.from_arrays(
+            pa.array(
+                np.concatenate(([0], np.cumsum(clen))), pa.int32()
+            ),
+            flat,
+        )
+        pairs = pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of_chunk], pa.int64()),
+                "chunk": pc.binary_join(lst, " "),
+            }
+        )
+        # distinct within the doc == distinct globally (a doc lives in
+        # exactly one input row)
+        return pairs.group_by(["doc_id", "chunk"]).aggregate([])
+
+    pairs = ds.map_batches(chunk_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_chunk(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "p_n": pa.array([], pa.int64()),
+             "p_shared": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        ch = part["chunk"].combine_chunks()
+        codes = np.asarray(pc.dictionary_encode(ch).indices).astype(np.int64)
+        d = np.asarray(part["doc_id"].combine_chunks())
+        order = np.argsort(codes, kind="stable")
+        codes_s, d_s = codes[order], d[order]
+        seg = np.empty(len(codes_s), dtype=bool)
+        seg[0] = True
+        np.not_equal(codes_s[1:], codes_s[:-1], out=seg[1:])
+        starts = np.flatnonzero(seg)
+        nd = np.diff(np.append(starts, len(codes_s)))
+        shared = (np.repeat(nd, nd) > 1).astype(np.int64)
+        g = pa.table(
+            {"doc_id": pa.array(d_s, pa.int64()),
+             "one": pa.array(np.ones(len(d_s), np.int64)),
+             "sh": pa.array(shared)}
+        ).group_by("doc_id").aggregate([("one", "sum"), ("sh", "sum")])
+        return g.rename_columns(["doc_id", "p_n", "p_shared"])
+
+    partials = map_partitions_by_key(pairs, "chunk", per_chunk,
+                                     num_parts=NUM_PARTS)
+    folded = fold_sum_by_keys(partials, ["doc_id"], ["p_n", "p_shared"],
+                              num_parts=NUM_PARTS)
+    return folded.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chunks": t["p_n"].cast(pa.int64()),
+                "n_shared": t["p_shared"].cast(pa.int64()),
+                "shared_frac": pa.array(
+                    round6(
+                        np.asarray(t["p_shared"].combine_chunks()).astype(np.float64)
+                        / np.asarray(t["p_n"].combine_chunks())
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+DOCS_CHUNK_DEDUP_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+c AS (
+    SELECT doc_id,
+           array_to_string(ts[s + 1 : LEAST(s + {CHUNKD_W}, n)], ' ') AS chunk
+    FROM (
+        SELECT doc_id, len(ts) AS n, ts,
+               unnest(range(0, len(ts), {CHUNKD_W})) AS s
+        FROM tok
+    )
+),
+p AS (SELECT DISTINCT doc_id, chunk FROM c),
+d AS (SELECT chunk, count(*) AS ndocs FROM p GROUP BY 1)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared,
+       ROUND(sum(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS shared_frac
+FROM p JOIN d USING (chunk)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Boilerplate detection: corpus-level repeated n-grams
 # --------------------------------------------------------------------------
 
@@ -416,6 +561,7 @@ FROM s
 
 REGISTRY: dict[str, tuple] = {
     "docs_chunk": (q_docs_chunk, DOCS_CHUNK_SQL),
+    "docs_chunk_dedup": (q_docs_chunk_dedup, DOCS_CHUNK_DEDUP_SQL),
     "docs_boilerplate_ngrams": (q_docs_boilerplate_ngrams, DOCS_BOILERPLATE_SQL),
     "docs_pack_bins": (q_docs_pack_bins, DOCS_PACK_BINS_SQL),
     "docs_blocklist_filter": (q_docs_blocklist_filter, DOCS_BLOCKLIST_SQL),

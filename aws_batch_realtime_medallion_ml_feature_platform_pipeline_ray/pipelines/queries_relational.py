@@ -289,6 +289,44 @@ FROM __s5
 """
 
 
+N_FOLDS = 5  # 100 % 5 == 0, so bucket % N_FOLDS stays exactly uniform
+
+
+def q_train_kfold(sf_dir: str):
+    """GROUPED k-fold assignment: the fold is a function of ``user_id``
+    (not the row), so every event of a user lands in the same fold —
+    the leak-free cross-validation split for per-entity features (a user
+    straddling folds would leak its own history into validation). Same
+    stable splitmix64 bucketing as ``train_split`` (deterministic under
+    any partitioning); a streamed map, zero shuffles."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        label = pc.cast(pc.greater(t["value"], 100.0), pa.int32())
+        bucket = split_bucket(np.asarray(t["user_id"].combine_chunks()))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "is_high": label,
+                "fold": pa.array(bucket % N_FOLDS, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TRAIN_KFOLD_SQL = f"""
+WITH {splitmix64_bucket_sql('user_id', 'events')}
+SELECT event_id, user_id,
+    CAST(value > 100.0 AS INTEGER) AS is_high,
+    (__bucket % {N_FOLDS})::BIGINT AS fold
+FROM __s5
+"""
+
+
 def q_agg_pushdown(sf_dir: str):
     """Partial (combiner-style) aggregation: per-batch pyarrow group_by
     inside map_batches emits tiny partials, then a small final groupby —
@@ -1112,6 +1150,7 @@ REGISTRY: dict[str, tuple] = {
     "asof_join_tolerance": (q_asof_join_tolerance, ASOF_TOLERANCE_SQL),
     "online_latest": (q_online_latest, ONLINE_LATEST_SQL),
     "train_split": (q_train_split, TRAIN_SPLIT_SQL),
+    "train_kfold": (q_train_kfold, TRAIN_KFOLD_SQL),
     "agg_pushdown": (q_agg_pushdown, AGG_PUSHDOWN_SQL),
     "broadcast_join": (q_broadcast_join, BROADCAST_JOIN_SQL),
     "topk": (q_topk, TOPK_SQL),

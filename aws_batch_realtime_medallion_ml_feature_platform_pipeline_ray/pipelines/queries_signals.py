@@ -486,6 +486,99 @@ LEFT JOIN o t ON t.user_id = p.user_id AND t.rn = a.attr_rn
 """
 
 
+def q_events_first_touch(sf_dir: str):
+    """First-touch attribution (the companion of the last-touch join
+    above): for every ``purchase``, the EARLIEST non-purchase event by
+    the same user within the 7-day window ``[ts - horizon, ts]``.
+
+    Plan: no bespoke kernel — the earliest touch at-or-after
+    ``ts - horizon`` is exactly a FORWARD as-of probe at the shifted
+    timestamp, and the horizon bound is the probe's ``tolerance_us``
+    (earliest eligible ⇒ an out-of-window match proves no in-window row
+    exists). Right side is the per-(user, ts) touch summary — bounded,
+    pre-aggregated distributed — broadcast once per actor; zero
+    shuffles on the purchase stream."""
+    import pyarrow.dataset as pads
+
+    from ..stages.asof import asof_join_broadcast
+
+    touches = _events(sf_dir, columns=["user_id", "ts", "event_type"])
+    # keep the non-purchase stream only (same eligible set as last-touch)
+    touches = touches.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["event_type"], "purchase"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def agg_partition(part: pa.Table) -> pa.Table:
+        g = part.group_by(["user_id", "ts"]).aggregate([("event_type", "min")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "first_ts": g["ts"].cast(pa.timestamp("us")),
+                "first_type": g["event_type_min"],
+            }
+        )
+
+    right = pa.Table.from_pandas(
+        map_partitions_by_key(
+            touches, "user_id", agg_partition, num_parts=NUM_PARTS
+        ).to_pandas(),
+        preserve_index=False,
+    )
+
+    from ..sources.reads import read_parquet_sized
+
+    purchases = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(
+        lambda t: t.append_column(
+            "probe_ts",
+            pc.cast(
+                pc.subtract(
+                    t["ts"].combine_chunks().cast(pa.int64()),
+                    pa.scalar(_ATTR_HORIZON_US, pa.int64()),
+                ),
+                pa.timestamp("us"),
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = asof_join_broadcast(
+        purchases,
+        right,
+        key="user_id",
+        ts="first_ts",
+        attach_cols=["first_ts", "first_type"],
+        left_ts="probe_ts",
+        concurrency=2,
+        direction="forward",
+        tolerance_us=_ATTR_HORIZON_US,
+    )
+    return out.drop_columns(["probe_ts"])
+
+
+EVENTS_FIRST_TOUCH_SQL = f"""
+WITH t AS (
+    SELECT user_id, ts AS f_ts, min(event_type) AS f_type
+    FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+),
+p AS (
+    SELECT event_id, ts, user_id, value,
+           ts - INTERVAL 7 DAY AS probe_ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.ts, p.user_id, p.value,
+       CASE WHEN t.f_ts <= p.ts THEN t.f_ts END AS first_ts,
+       CASE WHEN t.f_ts <= p.ts THEN t.f_type END AS first_type
+FROM p
+ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.probe_ts <= t.f_ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Character-entropy document scoring
 # --------------------------------------------------------------------------
@@ -1901,6 +1994,7 @@ REGISTRY: dict[str, tuple] = {
     "events_interarrival": (q_events_interarrival, EVENTS_INTERARRIVAL_SQL),
     "events_streaks": (q_events_streaks, EVENTS_STREAKS_SQL),
     "events_attribution": (q_events_attribution, EVENTS_ATTRIBUTION_SQL),
+    "events_first_touch": (q_events_first_touch, EVENTS_FIRST_TOUCH_SQL),
     "events_session_conversion": (
         q_events_session_conversion,
         EVENTS_SESSION_CONVERSION_SQL,

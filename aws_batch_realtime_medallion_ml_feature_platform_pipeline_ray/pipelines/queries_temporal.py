@@ -103,6 +103,74 @@ ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.next_ts
 
 
 # ---------------------------------------------------------------------------
+# nearest as-of: closest-in-time state alignment
+# ---------------------------------------------------------------------------
+
+def q_asof_join_nearest(sf_dir: str):
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``,
+    sensor/clock alignment semantics): for every event, the user's
+    purchase state row minimizing ``|ts' - ts|``; an exact tie picks the
+    EARLIER (backward) row — deterministic and leakage-conservative. Same
+    broadcast plan; the probe is the backward + forward searchsorted pair
+    with a vectorized distance pick (stages/asof.py,
+    direction="nearest") — still O(log n) per left row, no extra pass."""
+    right = pa.Table.from_pandas(
+        _purchases_by_user_ts(sf_dir).to_pandas(), preserve_index=False
+    ).rename_columns(["user_id", "near_ts", "n_near", "near_value"])
+    return asof_join_broadcast(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        ),
+        right,
+        key="user_id",
+        ts="near_ts",
+        attach_cols=["near_ts", "n_near", "near_value"],
+        left_ts="ts",
+        concurrency=2,
+        direction="nearest",
+    )
+
+
+# DuckDB has no nearest ASOF: take the backward and forward matches and
+# pick the closer (tie -> backward), exactly the engine's rule.
+ASOF_NEAREST_SQL = """
+WITH p AS (
+    SELECT user_id, ts AS m_ts,
+           CAST(count(*) AS BIGINT) AS m_n,
+           max(value) AS m_v
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+b AS (
+    SELECT e.event_id, p.m_ts, p.m_n, p.m_v
+    FROM events e
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.m_ts
+),
+f AS (
+    SELECT e.event_id, p.m_ts, p.m_n, p.m_v
+    FROM events e
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.m_ts
+),
+j AS (
+    SELECT e.event_id, e.ts, e.user_id, e.value,
+           b.m_ts AS b_ts, b.m_n AS b_n, b.m_v AS b_v,
+           f.m_ts AS f_ts, f.m_n AS f_n, f.m_v AS f_v,
+           (f.m_ts IS NULL OR (b.m_ts IS NOT NULL
+                AND epoch_us(e.ts) - epoch_us(b.m_ts)
+                    <= epoch_us(f.m_ts) - epoch_us(e.ts))) AS pickb
+    FROM events e
+    LEFT JOIN b ON e.event_id = b.event_id
+    LEFT JOIN f ON e.event_id = f.event_id
+)
+SELECT event_id, ts, user_id, value,
+       CASE WHEN pickb THEN b_ts ELSE f_ts END AS near_ts,
+       CASE WHEN pickb THEN b_n  ELSE f_n  END AS n_near,
+       CASE WHEN pickb THEN b_v  ELSE f_v  END AS near_value
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-entity running max (cumulative window aggregate)
 # ---------------------------------------------------------------------------
 
@@ -299,6 +367,7 @@ SELECT event_id, user_id, event_type, ts FROM (
 
 REGISTRY: dict[str, tuple] = {
     "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_SQL),
+    "asof_join_nearest": (q_asof_join_nearest, ASOF_NEAREST_SQL),
     "features_cummax": (q_features_cummax, FEATURES_CUMMAX_SQL),
     "events_holdout_split": (q_events_holdout_split, EVENTS_HOLDOUT_SQL),
     "events_dedup_window": (q_events_dedup_window, EVENTS_DEDUP_WINDOW_SQL),

@@ -67,14 +67,28 @@ class _SortedRight:
         ``direction="forward"`` (label generation: next purchase / next
         failure) matches the EARLIEST right row with ``ts' >= ts``.
 
+        ``direction="nearest"`` (sensor-alignment semantics, pandas
+        ``merge_asof(direction='nearest')``) matches the right row
+        minimizing ``|ts' - ts|``; on an exact tie the BACKWARD (earlier)
+        row wins — deterministic and leakage-conservative.
+
         ``tolerance_us`` bounds staleness: the matched right row must also
         satisfy ``ts' >= ts - tolerance_us`` (backward) or
-        ``ts' <= ts + tolerance_us`` (forward — a label horizon). Because
-        the as-of match is the nearest eligible right row in the probe
-        direction, an out-of-window match implies no in-window row exists —
-        a post-mask is exact, no re-probe needed."""
+        ``ts' <= ts + tolerance_us`` (forward — a label horizon; both
+        bounds for nearest). Because the as-of match is the nearest
+        eligible right row in the probe direction, an out-of-window match
+        implies no in-window row exists — a post-mask is exact, no
+        re-probe needed."""
         if self.table.num_rows == 0:
             return np.full(len(left_ts_i), -1, dtype=np.int64)
+        if direction == "nearest":
+            # two probes + a vectorized distance pick; tie -> backward
+            pb = self.probe(left_keys, left_ts_i, tolerance_us, "backward")
+            pf = self.probe(left_keys, left_ts_i, tolerance_us, "forward")
+            all_ts = self.ts_adj - self.codes * self.span + self.t0
+            db = np.where(pb >= 0, left_ts_i - all_ts[pb.clip(min=0)], np.int64(1 << 62))
+            df = np.where(pf >= 0, all_ts[pf.clip(min=0)] - left_ts_i, np.int64(1 << 62))
+            return np.where(db <= df, pb, pf)
         codes = self.left_codes(left_keys)
         if direction == "backward":
             # clip the relative query into [-1, span-1]: below-range probes
