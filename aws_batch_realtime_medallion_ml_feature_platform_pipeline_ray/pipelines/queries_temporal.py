@@ -114,9 +114,15 @@ def q_asof_join_nearest(sf_dir: str):
     broadcast plan; the probe is the backward + forward searchsorted pair
     with a vectorized distance pick (stages/asof.py,
     direction="nearest") — still O(log n) per left row, no extra pass."""
-    right = pa.Table.from_pandas(
-        _purchases_by_user_ts(sf_dir).to_pandas(), preserve_index=False
-    ).rename_columns(["user_id", "near_ts", "n_near", "near_value"])
+    right = (
+        pa.Table.from_pandas(
+            _purchases_by_user_ts(sf_dir).to_pandas(), preserve_index=False
+        )
+        # select by NAME first so the rename cannot silently mis-bind if the
+        # shared helper ever reorders/extends its output columns
+        .select(["user_id", "next_ts", "n_nx", "next_value"])
+        .rename_columns(["user_id", "near_ts", "n_near", "near_value"])
+    )
     return asof_join_broadcast(
         read_parquet_sized(
             f"{sf_dir}/events.parquet",

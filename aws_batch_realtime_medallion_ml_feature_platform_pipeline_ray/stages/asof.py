@@ -46,6 +46,7 @@ class _SortedRight:
         rel = ts_i - t0
         self.span = int(rel.max()) + 2 if len(ts_i) else 1
         self.ts_adj = rel + self.codes * self.span
+        self.ts_sorted = ts_i  # plain sorted right ts, for nearest's distance pick
 
     def left_codes(self, left_keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
         idx = pc.index_in(left_keys, value_set=self.key_dict)
@@ -81,15 +82,27 @@ class _SortedRight:
         re-probe needed."""
         if self.table.num_rows == 0:
             return np.full(len(left_ts_i), -1, dtype=np.int64)
+        codes = self.left_codes(left_keys)
         if direction == "nearest":
             # two probes + a vectorized distance pick; tie -> backward
-            pb = self.probe(left_keys, left_ts_i, tolerance_us, "backward")
-            pf = self.probe(left_keys, left_ts_i, tolerance_us, "forward")
-            all_ts = self.ts_adj - self.codes * self.span + self.t0
-            db = np.where(pb >= 0, left_ts_i - all_ts[pb.clip(min=0)], np.int64(1 << 62))
-            df = np.where(pf >= 0, all_ts[pf.clip(min=0)] - left_ts_i, np.int64(1 << 62))
+            pb = self._probe_dir(codes, left_ts_i, tolerance_us, "backward")
+            pf = self._probe_dir(codes, left_ts_i, tolerance_us, "forward")
+            ts_s = self.ts_sorted
+            db = np.where(pb >= 0, left_ts_i - ts_s[pb.clip(min=0)], np.int64(1 << 62))
+            df = np.where(pf >= 0, ts_s[pf.clip(min=0)] - left_ts_i, np.int64(1 << 62))
             return np.where(db <= df, pb, pf)
-        codes = self.left_codes(left_keys)
+        return self._probe_dir(codes, left_ts_i, tolerance_us, direction)
+
+    def _probe_dir(
+        self,
+        codes: np.ndarray,
+        left_ts_i: np.ndarray,
+        tolerance_us: int | None,
+        direction: str,
+    ) -> np.ndarray:
+        """Directional (backward/forward) probe over precomputed left-key
+        codes — shared by the public probe and nearest's two sub-probes so
+        the per-batch key dictionary lookup happens exactly once."""
         if direction == "backward":
             # clip the relative query into [-1, span-1]: below-range probes
             # land just before the segment (-> miss), above-range probes land
