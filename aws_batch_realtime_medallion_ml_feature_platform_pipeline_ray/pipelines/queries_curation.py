@@ -559,10 +559,191 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Duplicated-span coverage (suffix-array-dedup-style per-doc score)
+# --------------------------------------------------------------------------
+
+SPAN_K = 5  # span granularity: word-K-grams
+
+
+def span_gram_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (gram, doc_id, pos, n_tokens) explode for word-``SPAN_K``-
+    grams — one row per token position ``0..len-K``. ``n_tokens`` rides
+    along (constant per doc) so the doc-keyed coverage pass needs no
+    second join. Exact because documents never span batches."""
+    from ..functions.text import _flat_tokens, tokens_list
+
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    flat, offsets = _flat_tokens(tokens_list(t["text"]))
+    n_tok = len(flat)
+    if n_tok == 0:
+        return empty
+    n_docs = len(offsets) - 1
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    parts = [flat]
+    for j in range(1, SPAN_K):
+        pad = pa.array([""] * j, pa.string())
+        parts.append(pa.concat_arrays([flat.slice(j), pad]))
+    gram = pc.binary_join_element_wise(*parts, " ")
+    doc_ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+    doc_per_tok = np.repeat(doc_ids, lens)
+    len_per_tok = np.repeat(lens, lens)
+    pos = np.arange(n_tok, dtype=np.int64) - np.repeat(
+        offsets[:-1].astype(np.int64), lens
+    )
+    keep = pos <= len_per_tok - SPAN_K
+    return pa.table(
+        {
+            "gram": gram.filter(pa.array(keep)),
+            "doc_id": pa.array(doc_per_tok[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int64()),
+            "n_tokens": pa.array(len_per_tok[keep], pa.int64()),
+        }
+    )
+
+
+def _shared_gram_hits(part: pa.Table) -> pa.Table:
+    """Gram-keyed pass: keep the (doc_id, pos, n_tokens) rows whose gram
+    occurs in >= 2 DISTINCT docs (cross-doc duplication; a within-doc
+    repeat alone does not flag). All rows of a gram are in this
+    partition, so the distinct-doc count is exact."""
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("n_tokens", pa.int64())]
+    )
+    if part.num_rows == 0:
+        return out_schema.empty_table()
+    enc = pc.dictionary_encode(part["gram"].combine_chunks())
+    code = np.asarray(enc.indices).astype(np.int64)
+    n_codes = len(enc.dictionary)
+    doc = np.asarray(part["doc_id"].combine_chunks())
+    _, doc_inv = np.unique(doc, return_inverse=True)
+    n_docs_u = np.int64(doc_inv.max()) + 1
+    if n_codes * n_docs_u >= np.iinfo(np.int64).max:
+        raise OverflowError("span-coverage pair packing would overflow int64")
+    pair = np.unique(code * n_docs_u + doc_inv)
+    ndocs = np.bincount((pair // n_docs_u).astype(np.int64), minlength=n_codes)
+    shared = ndocs[code] >= 2
+    return part.drop_columns(["gram"]).filter(pa.array(shared))
+
+
+def _coverage_partition(part: pa.Table) -> pa.Table:
+    """Doc-keyed pass: union-of-intervals coverage of fixed-length spans.
+    For each doc's sorted hit positions p_0 < ... < p_m the covered token
+    count is sum(min(K, p_{i+1} - p_i)) + K — one lexsort + one reduceat,
+    no Python loop."""
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("covered_tokens", pa.int64()),
+            ("dup_fraction", pa.float64()),
+        ]
+    )
+    if part.num_rows == 0:
+        return out_schema.empty_table()
+    doc = np.asarray(part["doc_id"].combine_chunks())
+    pos = np.asarray(part["pos"].combine_chunks())
+    ntok = np.asarray(part["n_tokens"].combine_chunks())
+    order = np.lexsort((pos, doc))
+    doc, pos, ntok = doc[order], pos[order], ntok[order]
+    starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+    # per-row contribution: min(K, next_pos - pos); segment-last rows -> K
+    contrib = np.full(len(pos), SPAN_K, dtype=np.int64)
+    if len(pos) > 1:
+        inner = np.minimum(SPAN_K, pos[1:] - pos[:-1])
+        same = doc[1:] == doc[:-1]
+        contrib[:-1] = np.where(same, inner, SPAN_K)
+    covered = np.add.reduceat(contrib, starts)
+    n_tokens = ntok[starts]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "covered_tokens": pa.array(covered, pa.int64()),
+            "dup_fraction": pa.array(
+                covered.astype(np.float64) / n_tokens.astype(np.float64),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_docs_dup_span_coverage(sf_dir: str):
+    """Duplicated-span coverage — the per-document dedup score behind
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): the fraction of a
+    document's tokens covered by at least one word-``SPAN_K``-gram that
+    also occurs in ANOTHER document. The 8th dedup family next to
+    exact / MinHash / SimHash / Jaccard / fuzzy / containment /
+    incremental: it scores partial template reuse positionally instead
+    of whole-doc similarity.
+    Docs with no cross-doc shared gram (or < ``SPAN_K`` tokens) emit no
+    row — at scale the zero-score majority stays out of the exchange and
+    is recovered by an anti-join only if needed.
+
+    Scale shape: the (gram, doc, pos) explode is one streamed pass
+    (~1 row per token); exchange 1 keys by gram (distinct-doc count and
+    the shared filter happen inside the partition — only flagged hits
+    leave); exchange 2 keys by doc_id for the interval-union coverage,
+    moving only flagged positions. No stage broadcasts or materializes
+    the corpus; hot grams can be salted exactly like the boilerplate
+    scan's heavy keys."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        span_gram_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hits = map_partitions_by_key(
+        grams, "gram", _shared_gram_hits, num_parts=NUM_PARTS
+    )
+    return map_partitions_by_key(
+        hits, "doc_id", _coverage_partition, num_parts=NUM_PARTS
+    )
+
+
+DOCS_DUP_SPAN_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+g AS (
+    SELECT doc_id, len(ts)::BIGINT AS n_tokens, i::BIGINT AS pos,
+           array_to_string(ts[i : i + {SPAN_K - 1}], ' ') AS gram
+    FROM tok, unnest(range(1, len(ts) - {SPAN_K - 2})) AS t(i)
+),
+shared AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+    SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN shared USING (gram)
+),
+cov AS (
+    SELECT doc_id, n_tokens,
+           LEAST({SPAN_K}, COALESCE(
+               LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+               {SPAN_K}))::BIGINT AS c
+    FROM hits
+)
+SELECT doc_id,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS covered_tokens,
+       CAST(sum(c) AS DOUBLE) / CAST(max(n_tokens) AS DOUBLE) AS dup_fraction
+FROM cov GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "docs_chunk": (q_docs_chunk, DOCS_CHUNK_SQL),
     "docs_chunk_dedup": (q_docs_chunk_dedup, DOCS_CHUNK_DEDUP_SQL),
     "docs_boilerplate_ngrams": (q_docs_boilerplate_ngrams, DOCS_BOILERPLATE_SQL),
+    "docs_dup_span_coverage": (q_docs_dup_span_coverage, DOCS_DUP_SPAN_SQL),
     "docs_pack_bins": (q_docs_pack_bins, DOCS_PACK_BINS_SQL),
     "docs_blocklist_filter": (q_docs_blocklist_filter, DOCS_BLOCKLIST_SQL),
 }

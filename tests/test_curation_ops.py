@@ -89,3 +89,73 @@ def test_boilerplate_partials_match_reference_and_split_invariant():
     b = kernel(t_whole.slice(100))
     summed = a.add(b, fill_value=0).astype(int)
     assert summed.sort_index().equals(whole_ref)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span coverage
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_coverage_reference(ray_session):
+    """End-to-end vs a direct per-doc reference: shared word-K-grams
+    (cross-doc, >= 2 distinct docs) and the union-of-intervals coverage."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_curation import (
+        SPAN_K,
+        q_docs_dup_span_coverage,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    gram_docs: dict[str, set] = {}
+    doc_grams: dict[int, list] = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        grams = [
+            (" ".join(toks[i : i + SPAN_K]), i)
+            for i in range(len(toks) - SPAN_K + 1)
+        ]
+        doc_grams[did] = [(g, p, len(toks)) for g, p in grams]
+        for g, _ in grams:
+            gram_docs.setdefault(g, set()).add(did)
+    expect = {}
+    for did, grams in doc_grams.items():
+        hits = sorted(p for g, p, _ in grams if len(gram_docs[g]) >= 2)
+        if not hits:
+            continue
+        covered = set()
+        for p in hits:
+            covered.update(range(p, p + SPAN_K))
+        n_tok = grams[0][2]
+        expect[did] = (n_tok, len(covered), len(covered) / n_tok)
+
+    got = q_docs_dup_span_coverage(SF).to_pandas()
+    assert set(got["doc_id"]) == set(expect)
+    for row in got.itertuples():
+        n_tok, cov, frac = expect[row.doc_id]
+        assert row.n_tokens == n_tok
+        assert row.covered_tokens == cov
+        assert row.dup_fraction == frac
+
+
+def test_span_gram_partial_block_invariance(ray_session):
+    """The gram explode is per-document, so splitting the input table at
+    any row boundary must produce the same (gram, doc_id, pos) rows."""
+    import pyarrow.parquet as pq
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_curation import (
+        span_gram_partial,
+    )
+
+    t_whole = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    whole = span_gram_partial(t_whole).to_pandas()
+    parts = [
+        span_gram_partial(t_whole.slice(0, 137)).to_pandas(),
+        span_gram_partial(t_whole.slice(137, 200)).to_pandas(),
+        span_gram_partial(t_whole.slice(337)).to_pandas(),
+    ]
+    split = pd.concat(parts, ignore_index=True)
+    key = ["doc_id", "pos"]
+    assert whole.sort_values(key, ignore_index=True).equals(
+        split.sort_values(key, ignore_index=True)
+    )
