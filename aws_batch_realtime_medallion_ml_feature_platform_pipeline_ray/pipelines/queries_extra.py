@@ -746,6 +746,156 @@ FROM tf JOIN g USING (term) GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Bigram-LM conditional-predictability score (integer-exact)
+# --------------------------------------------------------------------------
+
+
+def _bigram_tf_partial(t: pa.Table) -> pa.Table:
+    """Per-batch exact (doc_id, w1, w2, tf) bigram-frequency partials —
+    docs are whole per batch, so batch-local bigram counts are exact."""
+    import pandas as pd
+
+    from ..functions.text import _flat_tokens, tokens_list
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    flat, offsets = _flat_tokens(tokens_list(t["text"]))
+    n = len(flat)
+    if n == 0:
+        return empty
+    ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+    enc = pc.dictionary_encode(flat)
+    code = np.asarray(enc.indices).astype(np.int64)
+    n_dict = np.int64(len(enc.dictionary))
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    doc_pos = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(offsets[:-1].astype(np.int64), lens)
+    idx = np.flatnonzero(pos <= np.repeat(lens, lens) - 2)
+    if len(idx) == 0:
+        return empty
+    if len(ids) * n_dict * n_dict >= np.iinfo(np.int64).max:
+        raise OverflowError("bigram partial key packing would overflow int64")
+    key = (doc_pos[idx] * n_dict + code[idx]) * n_dict + code[idx + 1]
+    inv, uniq = pd.factorize(key)
+    tf = np.bincount(inv).astype(np.int64)
+    w2c = uniq % n_dict
+    rest = uniq // n_dict
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[rest // n_dict], pa.int64()),
+            "w1": enc.dictionary.take(pa.array(rest % n_dict)),
+            "w2": enc.dictionary.take(pa.array(w2c)),
+            "tf": pa.array(tf, pa.int64()),
+        }
+    )
+
+
+def q_docs_bigram_lm(sf_dir: str):
+    """Per-document bigram-LM conditional-predictability signal — the
+    KenLM-style curation filter's count layer: ``sum_bigram_freq`` = sum
+    over the doc's bigram occurrences of that bigram's GLOBAL count
+    c(w1,w2), ``sum_context_freq`` = the same sum of the left-context
+    total c(w1,·), plus ``n_bigrams``. Their ratio estimates the corpus-
+    average conditional probability P(w2|w1) over the doc — low for
+    incoherent/shuffled text that unigram commonness scores high (every
+    token common, every transition rare). All columns integer so the
+    oracle compare is exact.
+
+    Scale shape: per-batch bigram tf partials (the token stream never
+    shuffles) → ONE exchange keyed by w1, where each partition holds
+    every row of its contexts so BOTH the bigram count (segmented by
+    (w1,w2)) and the context total (segmented by w1) are scatter-adds in
+    place — no second exchange and no count-table join; per-doc weighted
+    partials fold via the keyed exchange."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    rows = ds.map_batches(
+        _bigram_tf_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def weigh(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        w1 = np.asarray(part["w1"].combine_chunks().cast(pa.large_string()))
+        w2 = np.asarray(part["w2"].combine_chunks().cast(pa.large_string()))
+        tf = np.asarray(part["tf"].combine_chunks()).astype(np.int64)
+        c_inv, c_uniq = pd.factorize(w1)
+        w_inv, w_uniq = pd.factorize(w2)
+        cc = np.zeros(len(c_uniq), np.int64)
+        np.add.at(cc, c_inv, tf)
+        if len(c_uniq) * len(w_uniq) >= np.iinfo(np.int64).max:
+            raise OverflowError("bigram pair key packing would overflow int64")
+        p_inv, p_uniq = pd.factorize(
+            c_inv.astype(np.int64) * np.int64(len(w_uniq)) + w_inv
+        )
+        cb = np.zeros(len(p_uniq), np.int64)
+        np.add.at(cb, p_inv, tf)
+        doc = np.asarray(part["doc_id"].combine_chunks())
+        d_inv, d_uniq = pd.factorize(doc)
+        bf = np.zeros(len(d_uniq), np.int64)
+        cf = np.zeros(len(d_uniq), np.int64)
+        nb = np.zeros(len(d_uniq), np.int64)
+        np.add.at(bf, d_inv, tf * cb[p_inv])
+        np.add.at(cf, d_inv, tf * cc[c_inv])
+        np.add.at(nb, d_inv, tf)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_uniq, pa.int64()),
+                "p_bf": pa.array(bf),
+                "p_cf": pa.array(cf),
+                "p_nb": pa.array(nb),
+            }
+        )
+
+    from ..stages.keyed import fold_by_keys
+
+    partials = map_partitions_by_key(rows, "w1", weigh, num_parts=NUM_PARTS)
+    out = fold_by_keys(
+        partials, ["doc_id"], sums=("p_bf", "p_cf", "p_nb"), num_parts=NUM_PARTS
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "sum_bigram_freq": t["p_bf"].cast(pa.int64()),
+                "sum_context_freq": t["p_cf"].cast(pa.int64()),
+                "n_bigrams": t["p_nb"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DOCS_BIGRAM_LM_SQL = """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+b AS (
+    SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+    FROM tok, unnest(range(1, len(ts))) AS t(i)
+),
+tf AS (
+    SELECT doc_id, w1, w2, count(*)::BIGINT AS tf FROM b GROUP BY 1, 2, 3
+),
+gb AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cb FROM tf GROUP BY 1, 2),
+gc AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cc FROM gb GROUP BY 1)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf * gb.cb) AS BIGINT) AS sum_bigram_freq,
+       CAST(sum(tf.tf * gc.cc) AS BIGINT) AS sum_context_freq,
+       CAST(sum(tf.tf) AS BIGINT) AS n_bigrams
+FROM tf JOIN gb USING (w1, w2) JOIN gc USING (w1)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Funnel conversion (signup -> purchase within a window)
 # --------------------------------------------------------------------------
 
@@ -1073,6 +1223,7 @@ REGISTRY: dict[str, tuple] = {
     "events_funnel": (q_events_funnel, EVENTS_FUNNEL_SQL),
     "docs_tfidf_top_terms": (q_docs_tfidf_top_terms, DOCS_TFIDF_SQL),
     "docs_commonness": (q_docs_commonness, DOCS_COMMONNESS_SQL),
+    "docs_bigram_lm": (q_docs_bigram_lm, DOCS_BIGRAM_LM_SQL),
     "docs_sample_stratified": (q_docs_sample_stratified, DOCS_SAMPLE_STRATIFIED_SQL),
     "docs_sample_weighted": (q_docs_sample_weighted, DOCS_SAMPLE_WEIGHTED_SQL),
     "docs_neardup_filter": (q_docs_neardup_filter, DOCS_NEARDUP_FILTER_SQL),

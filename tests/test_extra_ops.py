@@ -178,3 +178,37 @@ def test_asof_tolerance_boundary_exact():
     # tol=59us: b's match falls out, a@150's (50us) stays
     out = asof_attach(left, sr, "k", "ts", ["v"], tolerance_us=59)
     assert out["v"].to_pylist() == [2, 2, 1, None, None]
+
+
+def test_bigram_lm_direct_reference(ray_session):
+    """docs_bigram_lm vs a per-doc Python reference: global bigram counts,
+    left-context totals, and the integer weighted sums."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        q_docs_bigram_lm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    cb: Counter = Counter()
+    cc: Counter = Counter()
+    doc_bigrams = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        bg = list(zip(toks[:-1], toks[1:]))
+        doc_bigrams[did] = bg
+        for pair in bg:
+            cb[pair] += 1
+            cc[pair[0]] += 1
+    got = q_docs_bigram_lm(sf).to_pandas().set_index("doc_id")
+    expect_ids = {d for d, bg in doc_bigrams.items() if bg}
+    assert set(got.index) == expect_ids
+    for did in expect_ids:
+        bg = doc_bigrams[did]
+        row = got.loc[did]
+        assert row["n_bigrams"] == len(bg)
+        assert row["sum_bigram_freq"] == sum(cb[p] for p in bg)
+        assert row["sum_context_freq"] == sum(cc[p[0]] for p in bg)
