@@ -90,6 +90,16 @@ def cmd_compact(args) -> dict:
     return compact_silver(args.out, run_id=args.run_id, min_files=args.min_files)
 
 
+def cmd_snapshots(args) -> dict:
+    import os as _os
+
+    from .state.manifest import list_snapshots
+
+    return {
+        "snapshots": list_snapshots(_os.path.join(args.out, "silver"), "silver")
+    }
+
+
 def cmd_lookup(args) -> dict:
     from .pipelines.medallion import lookup_online
 
@@ -153,6 +163,10 @@ def main(argv=None) -> int:
     cp.add_argument("--run-id", default=None)
     cp.add_argument("--min-files", type=int, default=2)
     cp.set_defaults(fn=cmd_compact)
+
+    sn = sub.add_parser("snapshots", help="list silver snapshot commits (time-travel axis)")
+    sn.add_argument("--out", required=True)
+    sn.set_defaults(fn=cmd_snapshots)
 
     lk = sub.add_parser("lookup", help="point/batch online feature lookup")
     lk.add_argument("--out", required=True)

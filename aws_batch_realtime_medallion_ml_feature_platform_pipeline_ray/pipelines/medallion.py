@@ -646,6 +646,52 @@ def read_gold(out_root: str):
     return read_parquet_sized(os.path.join(out_root, "gold"))
 
 
+def read_silver_snapshot(out_root: str, as_of: float, *, dedup: bool = True):
+    """Snapshot-isolation (time-travel) read of the silver layer as of
+    wall-clock ``as_of`` (epoch seconds): the manifest log picks the
+    exact file set every run committed at or before ``as_of`` produced
+    (state/manifest.snapshot_files — compaction rewrites supersede the
+    runs they coalesced). Raises ``SnapshotUnavailableError`` when a
+    later compaction/expire garbage-collected the needed history.
+
+    ``dedup=True`` applies the standard silver consumer contract (keep
+    first (ts, ingest_ts) per (conv_id, turn_idx)) distributed per
+    silver hash-partition directory — conv→partition assignment is
+    stable across runs, so per-file-group dedup is exact with NO
+    shuffle: files of one ``part=`` dir form one dedup group.
+
+    Gold has no snapshot axis by design (partitions are recomputed in
+    place); a historical gold is reproduced by running the feature pass
+    over a silver snapshot."""
+    import ray
+
+    from ..state.manifest import snapshot_files
+
+    files = snapshot_files(
+        os.path.join(out_root, "silver"), RUN_STAGE_SILVER, as_of
+    )
+    if not dedup:
+        return read_parquet_sized(files)
+    by_part: dict[str, list[str]] = {}
+    for f in files:
+        by_part.setdefault(os.path.basename(os.path.dirname(f)), []).append(f)
+
+    @ray.remote
+    def dedup_group(fs: list[str]) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        tbl = pa.concat_tables(
+            [pq.read_table(f) for f in fs], promote_options="default"
+        )
+        return dedup_first(tbl, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
+
+    import ray.data as rd
+
+    return rd.from_arrow_refs(
+        [dedup_group.remote(fs) for _, fs in sorted(by_part.items())]
+    )
+
+
 def read_online(out_root: str) -> pa.Table:
     import pyarrow.parquet as pq
 

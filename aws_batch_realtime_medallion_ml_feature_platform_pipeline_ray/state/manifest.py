@@ -33,6 +33,10 @@ class PartitionManifest:
     wall_s: float = 0.0
     files: list[str] = field(default_factory=list)
     extra: dict = field(default_factory=dict)
+    # commit wall-clock (epoch seconds), stamped by write_manifest — the
+    # snapshot-isolation time axis. -1 on manifests from older lakes,
+    # which snapshot selection treats as "before every as_of".
+    commit_ts: float = -1.0
 
 
 def manifest_dir(root: str) -> str:
@@ -46,6 +50,8 @@ def manifest_path(root: str, stage: str, partition_key: str, run_id: str | None)
 
 def write_manifest(root: str, m: PartitionManifest) -> None:
     os.makedirs(manifest_dir(root), exist_ok=True)
+    if m.commit_ts < 0:
+        m.commit_ts = time.time()
     path = manifest_path(root, m.stage, m.partition_key, m.run_id)
     tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -124,3 +130,79 @@ def summarize(manifests: list[PartitionManifest]) -> dict:
         "sum_task_wall_s": round(wall, 3),
         "rows_per_task_s": round(rows / wall, 1) if wall > 0 else None,
     }
+
+
+# ---------------------------------------------------------------------------
+# Snapshot isolation (time travel) over the manifest log
+# ---------------------------------------------------------------------------
+
+
+class SnapshotUnavailableError(RuntimeError):
+    """The requested snapshot's files were garbage-collected by a later
+    compaction/expire — the manifest log still describes the snapshot,
+    but its data no longer exists (same semantics as reading a Delta
+    version past VACUUM's retention window)."""
+
+
+def list_snapshots(root: str, stage: str) -> list[dict]:
+    """Distinct commits of ``stage`` (+ its ``{stage}_compact`` rewrites)
+    in commit order — the valid ``as_of`` axis for ``snapshot_files``.
+    One entry per (run_id, stage) with its max commit_ts across
+    partitions (a run's partitions commit within one logical write)."""
+    runs: dict[tuple[str, str], float] = {}
+    for m in load_manifests(root):
+        if m.stage not in (stage, f"{stage}_compact"):
+            continue
+        k = (m.run_id, m.stage)
+        runs[k] = max(runs.get(k, float("-inf")), m.commit_ts)
+    return [
+        {"run_id": rid, "stage": st, "commit_ts": ts}
+        for (rid, st), ts in sorted(runs.items(), key=lambda kv: kv[1])
+    ]
+
+
+def snapshot_files(root: str, stage: str, as_of: float) -> list[str]:
+    """The exact file set of ``stage`` as of wall-clock ``as_of``
+    (epoch seconds): per partition, the latest ``{stage}_compact``
+    rewrite committed at or before ``as_of`` supersedes everything
+    older, plus every ``stage`` run committed after that rewrite and at
+    or before ``as_of``. Raises :class:`SnapshotUnavailableError` if any
+    selected file was deleted by a LATER compaction/expire (the
+    snapshot's history has been garbage-collected).
+
+    Scale shape: pure manifest-log work — O(#manifests) driver-side JSON,
+    no data files opened; the returned list feeds ``read_parquet``
+    directly."""
+    compact_stage = f"{stage}_compact"
+    latest_compact: dict[str, PartitionManifest] = {}
+    runs_by_part: dict[str, list[PartitionManifest]] = {}
+    for m in load_manifests(root):
+        if m.commit_ts > as_of:
+            continue
+        if m.stage == compact_stage:
+            cur = latest_compact.get(m.partition_key)
+            if cur is None or m.commit_ts > cur.commit_ts:
+                latest_compact[m.partition_key] = m
+        elif m.stage == stage:
+            runs_by_part.setdefault(m.partition_key, []).append(m)
+    files: list[str] = []
+    for part, runs in sorted(runs_by_part.items()):
+        comp = latest_compact.get(part)
+        if comp is not None:
+            files.extend(comp.files)
+            floor = comp.commit_ts
+        else:
+            floor = float("-inf")
+        for m in runs:
+            if m.commit_ts > floor:
+                files.extend(m.files)
+    for part, comp in latest_compact.items():
+        if part not in runs_by_part:
+            files.extend(comp.files)
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise SnapshotUnavailableError(
+            f"snapshot as_of={as_of} needs {len(missing)} file(s) removed "
+            f"by a later compaction/expire, e.g. {missing[0]}"
+        )
+    return sorted(set(files))
