@@ -662,7 +662,7 @@ def read_silver_snapshot(out_root: str, as_of: float, *, dedup: bool = True):
 
     Gold has no snapshot axis by design (partitions are recomputed in
     place); a historical gold is reproduced by running the feature pass
-    over a silver snapshot."""
+    over a silver snapshot — see :func:`gold_snapshot`."""
     import ray
 
     from ..state.manifest import snapshot_files
@@ -689,6 +689,43 @@ def read_silver_snapshot(out_root: str, as_of: float, *, dedup: bool = True):
 
     return rd.from_arrow_refs(
         [dedup_group.remote(fs) for _, fs in sorted(by_part.items())]
+    )
+
+
+def gold_snapshot(out_root: str, as_of: float, *, gold_cfg: GoldConfig | None = None):
+    """Historical gold feature vectors as of ``as_of``: the gold pass is
+    a pure function of deduped silver, so the point-in-time gold is
+    reproduced by running ``gold_features_partition`` over the silver
+    snapshot's partition groups — exactly what the stream run whose
+    commit was latest at ``as_of`` computed (training-time point-in-time
+    correctness at the LAKE level; the as-of JOIN gives it at the row
+    level). One Ray task per silver hash partition, files picked by the
+    manifest log, nothing recomputed outside the snapshot."""
+    import ray
+    import ray.data as rd
+
+    from ..state.manifest import snapshot_files
+
+    cfg = gold_cfg or GoldConfig(dedup=False)
+    files = snapshot_files(
+        os.path.join(out_root, "silver"), RUN_STAGE_SILVER, as_of
+    )
+    by_part: dict[str, list[str]] = {}
+    for f in files:
+        by_part.setdefault(os.path.basename(os.path.dirname(f)), []).append(f)
+
+    @ray.remote
+    def gold_group(fs: list[str]) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        hist = pa.concat_tables(
+            [pq.read_table(f) for f in fs], promote_options="default"
+        )
+        hist = dedup_first(hist, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
+        return gold_features_partition(hist, cfg)
+
+    return rd.from_arrow_refs(
+        [gold_group.remote(fs) for _, fs in sorted(by_part.items())]
     )
 
 

@@ -130,3 +130,53 @@ def test_snapshot_log_and_gc(ray_session, lake):
         [latest_after, _run_files(out, "w3")], ignore_index=True
     )[latest_after.columns.tolist()]
     assert snap3.equals(_norm(_dedup_ref(merged)))
+
+
+def test_gold_snapshot_reproduces_history(ray_session, tmp_path):
+    """gold_snapshot(as_of) == the gold the stream run latest at as_of
+    wrote — verified at both commits of a two-run lake (fresh lake: the
+    module fixture's history is GC'd by its compaction test)."""
+    import pyarrow.parquet as pq
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+        gold_snapshot,
+    )
+
+    bronze = tmp_path / "bronze"
+    bronze.mkdir()
+    tbl = generate_transcripts(
+        n_convs=80, avg_turns=8, seed=23, dup_frac=0.05, late_frac=0.1
+    )
+    pq.write_table(tbl, bronze / "bronze.parquet")
+    out = str(tmp_path / "lake")
+    ing = tbl["ingest_ts"].to_pandas()
+    cut = ing.quantile(0.6)
+    run_stream(str(bronze), out, run_id="w1", processed_at=PROCESSED_AT,
+               ingest_window=(ing.min(), cut), num_parts=4)
+    gold_w1 = _gold_on_disk(out)
+    t_mid = time.time()
+    time.sleep(0.01)
+    run_stream(str(bronze), out, run_id="w2", processed_at=PROCESSED_AT,
+               ingest_window=(cut + pd.Timedelta(microseconds=1), ing.max()),
+               num_parts=4)
+    gold_w2 = _gold_on_disk(out)
+
+    snap_mid = _norm_gold(gold_snapshot(out, t_mid).to_pandas())
+    snap_now = _norm_gold(gold_snapshot(out, time.time()).to_pandas())
+    assert snap_mid.equals(_norm_gold(gold_w1))
+    assert snap_now.equals(_norm_gold(gold_w2))
+    assert not snap_mid.equals(snap_now)  # the lake actually changed
+
+
+def _gold_on_disk(out: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        glob.glob(os.path.join(out, "gold", "part=*", "**", "*.parquet"),
+                  recursive=True)
+    )
+    return pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+
+
+def _norm_gold(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(KEY, ignore_index=True)[sorted(df.columns)]
