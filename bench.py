@@ -51,9 +51,25 @@ def _consume(res) -> int:
     return len(res)
 
 
+def _first_touch_probe(gb: float = 1.0) -> float:
+    """First-touch memory bandwidth (GB/s) of fresh pages. This sandbox
+    host intermittently lazily pages fresh allocations at ~10-100 MB/s
+    (documented in BASELINE.md); recording the probe with every bench
+    output makes degraded windows self-identifying instead of relying on
+    out-of-band notes. Healthy is > ~1 GB/s."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.ones(int(gb * 1e9 // 8))
+    dt = time.perf_counter() - t0
+    del a
+    return round(gb / dt, 3)
+
+
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    probe = _first_touch_probe()
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -101,6 +117,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "queries": timings,
         "sf": sf,
         "num_cpus": num_cpus,
+        "first_touch_gbps": probe,
         "headline_turns_per_sec": (
             round(n_turns / timings["gold_features"]) if n_turns else None
         ),
@@ -230,6 +247,7 @@ def run_scaling(lo: int, hi: int, corpus: str | None = None) -> dict:
     when the host's lazy-paging degradation makes the 70M-turn arena
     unaffordable — see BASELINE.md round-2 notes; each child's untimed
     warm-up run absorbs the page-fault cost either way)."""
+    probe_start = _first_touch_probe()
     if corpus is None:
         corpus = os.path.join("/tmp", "graft_scaling_bronze")
         n_rows = _gen_corpus(corpus)
@@ -279,6 +297,7 @@ def run_scaling(lo: int, hi: int, corpus: str | None = None) -> dict:
         "corpus_turns": n_rows,
         "num_cpus": {str(lo): results[lo], str(hi): results[hi]},
         "efficiency_target": 0.8,
+        "first_touch_gbps": {"start": probe_start, "end": _first_touch_probe()},
     }
 
 
