@@ -1209,8 +1209,120 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic multi-epoch shuffle-shard ordering
+# --------------------------------------------------------------------------
+
+N_EPOCHS = 2
+N_SHARDS = 8
+EPOCH_SALT_STEP = 7919  # distinct splitmix salt per epoch
+
+
+def q_docs_epoch_order(sf_dir: str):
+    """Deterministic multi-epoch global shuffle + shard assignment — the
+    ordering step every large training run performs before writing
+    training shards: for each epoch, rank documents by
+    ``splitmix64(doc_id + epoch_salt)`` (a seeded permutation that is
+    stable under any partitioning, resumable, and different per epoch so
+    no two epochs replay the same order), assign ``shard = rank_hash %
+    N_SHARDS``, and number documents within each (epoch, shard) by
+    unsigned hash order.
+
+    Scale path: the hash/shard tag is a zero-shuffle streamed
+    ``map_batches``; the within-shard position needs exactly one keyed
+    exchange on (epoch, shard) followed by a per-partition ``lexsort`` —
+    at 10^12 rows you raise N_SHARDS until one shard sorts comfortably
+    per task (shards are the training-data unit anyway), never a global
+    sort. Ties (impossible for distinct doc_ids, but defensively) break
+    by doc_id, so output is fully deterministic."""
+    from ..stages.keyed import splitmix64
+    from .queries_relational import SPLIT_SALT
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64())).astype(
+            np.uint64
+        )
+        outs = []
+        for e in range(N_EPOCHS):
+            h = splitmix64(ids + np.uint64(SPLIT_SALT + e * EPOCH_SALT_STEP))
+            shard = (h % np.uint64(N_SHARDS)).astype(np.int64)
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids.astype(np.int64)),
+                        "__k": pa.array(np.int64(e) * N_SHARDS + shard),
+                        # uint64 hash carried as its int64 bit-pattern
+                        "__h": pa.array(h.view(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    tagged = docs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pos_part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "epoch": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        k = np.asarray(t["__k"].combine_chunks())
+        h = np.asarray(t["__h"].combine_chunks()).view(np.uint64)
+        ids = np.asarray(t["doc_id"].combine_chunks())
+        order = np.lexsort((ids, h, k))
+        ks = k[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        seg_len = np.diff(np.r_[starts, len(ks)])
+        pos = np.arange(len(ks), dtype=np.int64) - np.repeat(starts, seg_len)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "epoch": pa.array(ks // N_SHARDS),
+                "shard": pa.array(ks % N_SHARDS),
+                "pos": pa.array(pos),
+            }
+        )
+
+    return map_partitions_by_key(tagged, "__k", pos_part, num_parts=NUM_PARTS)
+
+
+def _epoch_order_sql() -> str:
+    from .queries_relational import SPLIT_SALT, splitmix64_hash_sql
+
+    chains, legs = [], []
+    for e in range(N_EPOCHS):
+        p = f"__e{e}_"
+        chains.append(
+            splitmix64_hash_sql(
+                "doc_id", "documents", SPLIT_SALT + e * EPOCH_SALT_STEP, p
+            )
+        )
+        legs.append(
+            f"SELECT doc_id, {e}::BIGINT AS epoch, "
+            f"({p}h % {N_SHARDS})::BIGINT AS shard, {p}h AS __h FROM {p}5"
+        )
+    union = " UNION ALL ".join(legs)
+    return f"""
+WITH {','.join(chains)}, __u AS ({union})
+SELECT doc_id, epoch, shard,
+       (row_number() OVER (PARTITION BY epoch, shard ORDER BY __h, doc_id)
+        - 1)::BIGINT AS pos
+FROM __u
+"""
+
+
+DOCS_EPOCH_ORDER_SQL = _epoch_order_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     "docs_global_rank": (q_docs_global_rank, DOCS_GLOBAL_RANK_SQL),
+    "docs_epoch_order": (q_docs_epoch_order, DOCS_EPOCH_ORDER_SQL),
     "events_value_quantiles": (
         q_events_value_quantiles,
         EVENTS_VALUE_QUANTILES_SQL,

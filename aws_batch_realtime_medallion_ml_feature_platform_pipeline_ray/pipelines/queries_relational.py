@@ -280,6 +280,25 @@ __s5 AS (SELECT *, (xor(__z2, __z2 >> 31) % 100)::BIGINT AS __bucket FROM __s4)
 """
 
 
+def splitmix64_hash_sql(col: str, src: str, salt: int, prefix: str) -> str:
+    """CTE chain computing the FULL ``splitmix64((col + salt) mod 2^64)``
+    value (HUGEINT in [0, 2^64)) as column ``{prefix}h`` alongside all
+    columns of ``src``; final CTE is ``{prefix}5``. Unsigned compare on
+    the HUGEINT matches numpy uint64 ordering bit-for-bit, so ORDER BY
+    ``{prefix}h`` is the exact twin of a uint64 hash-rank sort. Distinct
+    ``prefix`` values let several chains coexist in one WITH (e.g. one
+    per epoch)."""
+    p = prefix
+    return f"""
+{p}0 AS (SELECT *, (({col}::HUGEINT + {salt} + {_SM_GOLD}) % {_M64}) AS {p}z0 FROM {src}),
+{p}1 AS (SELECT *, xor({p}z0, {p}z0 >> 30) AS {p}y1 FROM {p}0),
+{p}2 AS (SELECT *, {_mul64_sql(p + 'y1', _SM_C1)} AS {p}z1 FROM {p}1),
+{p}3 AS (SELECT *, xor({p}z1, {p}z1 >> 27) AS {p}y2 FROM {p}2),
+{p}4 AS (SELECT *, {_mul64_sql(p + 'y2', _SM_C2)} AS {p}z2 FROM {p}3),
+{p}5 AS (SELECT *, xor({p}z2, {p}z2 >> 31) AS {p}h FROM {p}4)
+"""
+
+
 TRAIN_SPLIT_SQL = f"""
 WITH {splitmix64_bucket_sql('event_id', 'events')}
 SELECT event_id, user_id,

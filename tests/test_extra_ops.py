@@ -212,3 +212,44 @@ def test_bigram_lm_direct_reference(ray_session):
         assert row["n_bigrams"] == len(bg)
         assert row["sum_bigram_freq"] == sum(cb[p] for p in bg)
         assert row["sum_context_freq"] == sum(cc[p[0]] for p in bg)
+
+
+def test_epoch_order_permutation_properties():
+    """Each epoch is a complete seeded permutation: every doc appears
+    exactly once per epoch, positions within each (epoch, shard) are
+    contiguous 0..n-1, shard matches the splitmix64 recomputation, and
+    the two epochs order documents differently."""
+    import pandas as pd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        EPOCH_SALT_STEP,
+        N_EPOCHS,
+        N_SHARDS,
+        q_docs_epoch_order,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_relational import (
+        SPLIT_SALT,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.keyed import (
+        splitmix64,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    all_ids = set(pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"])
+    got = q_docs_epoch_order(sf).to_pandas()
+    assert len(got) == N_EPOCHS * len(all_ids)
+    orders = {}
+    for e in range(N_EPOCHS):
+        sub = got[got["epoch"] == e]
+        assert set(sub["doc_id"]) == all_ids and len(sub) == len(all_ids)
+        h = splitmix64(
+            sub["doc_id"].to_numpy(np.int64).astype(np.uint64)
+            + np.uint64(SPLIT_SALT + e * EPOCH_SALT_STEP)
+        )
+        assert np.array_equal(
+            sub["shard"].to_numpy(), (h % np.uint64(N_SHARDS)).astype(np.int64)
+        )
+        for _, g in sub.groupby("shard"):
+            assert sorted(g["pos"]) == list(range(len(g)))
+        orders[e] = sub.sort_values(["shard", "pos"])["doc_id"].tolist()
+    assert orders[0] != orders[1]
