@@ -1210,6 +1210,107 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Z-order (Morton) clustering — the lakehouse ZORDER BY analog
+# --------------------------------------------------------------------------
+
+Z_QBITS = 16          # bits per dimension
+Z_FILE_SHIFT = 26     # 32-bit code >> 26 → 64 output files
+
+
+def _spread16(v: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of uint64 ``v`` to even bit positions
+    (classic magic-number Morton spread)."""
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def q_events_zorder(sf_dir: str):
+    """Z-order (Morton) clustering key over (ts, user_id) — the
+    Delta/Iceberg ``ZORDER BY`` analog that makes a rewrite prunable on
+    TWO columns at once: order-preserving integer quantization of each
+    dimension to 16 bits (bin width ``range // 2^16 + 1`` — division, not
+    multiplication, so int64 never overflows even on decade-wide
+    microsecond ranges), magic-number bit-interleave to a 32-bit Z code,
+    and the output file assigned from the code's top 6 bits so rows close
+    in BOTH dimensions land in the same file.
+
+    Scale path: bounds are ONE streaming min/max aggregate (4 scalars to
+    the driver); the tag itself is a zero-shuffle streamed map; the
+    clustering rewrite is then the existing partitioned writer keyed by
+    ``zfile``. Nothing here sorts globally — Z-file locality comes from
+    the code's top bits alone."""
+    from ray.data.aggregate import Max, Min
+
+    from ..sources.reads import read_parquet_sized
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    agg = ds.aggregate(Min("ts"), Max("ts"), Min("user_id"), Max("user_id"))
+    import pandas as pd
+
+    mn_t = pd.Timestamp(agg["min(ts)"]).value // 1000
+    mx_t = pd.Timestamp(agg["max(ts)"]).value // 1000
+    mn_u, mx_u = int(agg["min(user_id)"]), int(agg["max(user_id)"])
+    wt = (mx_t - mn_t) // (1 << Z_QBITS) + 1
+    wu = (mx_u - mn_u) // (1 << Z_QBITS) + 1
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        uid = np.asarray(t["user_id"].combine_chunks())
+        qt = ((ts - mn_t) // wt).astype(np.uint64)
+        qu = ((uid - mn_u) // wu).astype(np.uint64)
+        z = _spread16(qt) | (_spread16(qu) << np.uint64(1))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "z": pa.array(z.astype(np.int64)),
+                "zfile": pa.array((z >> np.uint64(Z_FILE_SHIFT)).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _spread16_sql(col: str, out: str, steps: list[tuple[int, int]]) -> list[str]:
+    """SELECT-expression chain names for the SQL Morton spread."""
+    exprs = []
+    cur = col
+    for i, (sh, mask) in enumerate(steps):
+        nxt = f"{out}{i}"
+        exprs.append(f"(({cur} | ({cur} << {sh})) & {mask}) AS {nxt}")
+        cur = nxt
+    return exprs
+
+
+_Z_STEPS = [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]
+
+EVENTS_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS mn_t, epoch_us(max(ts)) AS mx_t,
+         min(user_id) AS mn_u, max(user_id) AS mx_u
+  FROM events),
+w AS (SELECT mn_t, mn_u,
+        (mx_t - mn_t) // {1 << Z_QBITS} + 1 AS wt,
+        (mx_u - mn_u) // {1 << Z_QBITS} + 1 AS wu
+      FROM b),
+q AS (SELECT event_id,
+        (epoch_us(ts) - mn_t) // wt AS qt,
+        (user_id - mn_u) // wu AS qu
+      FROM events, w),
+s0 AS (SELECT event_id, {_spread16_sql('qt', 'ta', _Z_STEPS)[0]}, {_spread16_sql('qu', 'ua', _Z_STEPS)[0]} FROM q),
+s1 AS (SELECT event_id, {_spread16_sql('qt', 'ta', _Z_STEPS)[1]}, {_spread16_sql('qu', 'ua', _Z_STEPS)[1]} FROM s0),
+s2 AS (SELECT event_id, {_spread16_sql('qt', 'ta', _Z_STEPS)[2]}, {_spread16_sql('qu', 'ua', _Z_STEPS)[2]} FROM s1),
+s3 AS (SELECT event_id, {_spread16_sql('qt', 'ta', _Z_STEPS)[3]}, {_spread16_sql('qu', 'ua', _Z_STEPS)[3]} FROM s2),
+z AS (SELECT event_id, (ta3 | (ua3 << 1)) AS z FROM s3)
+SELECT event_id, z::BIGINT AS z, (z >> {Z_FILE_SHIFT})::BIGINT AS zfile FROM z
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic multi-epoch shuffle-shard ordering
 # --------------------------------------------------------------------------
 
@@ -1323,6 +1424,7 @@ DOCS_EPOCH_ORDER_SQL = _epoch_order_sql()
 REGISTRY: dict[str, tuple] = {
     "docs_global_rank": (q_docs_global_rank, DOCS_GLOBAL_RANK_SQL),
     "docs_epoch_order": (q_docs_epoch_order, DOCS_EPOCH_ORDER_SQL),
+    "events_zorder": (q_events_zorder, EVENTS_ZORDER_SQL),
     "events_value_quantiles": (
         q_events_value_quantiles,
         EVENTS_VALUE_QUANTILES_SQL,

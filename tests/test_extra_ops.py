@@ -253,3 +253,38 @@ def test_epoch_order_permutation_properties():
             assert sorted(g["pos"]) == list(range(len(g)))
         orders[e] = sub.sort_values(["shard", "pos"])["doc_id"].tolist()
     assert orders[0] != orders[1]
+
+
+def test_spread16_matches_bitwise_reference():
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        _spread16,
+    )
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 1 << 16, size=5000).astype(np.uint64)
+    got = _spread16(v)
+    ref = np.zeros_like(v)
+    for b in range(16):
+        ref |= ((v >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+    assert np.array_equal(got, ref)
+
+
+def test_zorder_interleave_locality():
+    """The Z code's top bits bound BOTH quantized dimensions: any two
+    values sharing the top 2k bits agree on the top k bits of each
+    dimension — the property that makes a zfile prunable on either
+    column."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        _spread16,
+    )
+
+    rng = np.random.default_rng(4)
+    qt = rng.integers(0, 1 << 16, size=2000).astype(np.uint64)
+    qu = rng.integers(0, 1 << 16, size=2000).astype(np.uint64)
+    z = _spread16(qt) | (_spread16(qu) << np.uint64(1))
+    k = 3
+    bucket = z >> np.uint64(32 - 2 * k)
+    for b in np.unique(bucket):
+        m = bucket == b
+        assert np.unique(qt[m] >> np.uint64(16 - k)).size == 1
+        assert np.unique(qu[m] >> np.uint64(16 - k)).size == 1
