@@ -94,6 +94,30 @@ def _flat_tokens(toks: pa.Array) -> tuple[pa.Array, np.ndarray]:
     return toks.flatten(), offsets
 
 
+def gram_explode(
+    flat: pa.Array, offsets: np.ndarray, k: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Word-``k``-gram explode over flattened tokens: returns
+    ``(gram, pos, len_per_tok, keep)`` with one candidate gram per token
+    position (shift-and-join, '' padding per shift) and
+    ``keep = pos <= len - k`` masking positions whose gram would cross a
+    document boundary. Shared by the boilerplate-ngram and span-coverage
+    partials so tokenization/padding/boundary logic can't diverge."""
+    n_tok = len(flat)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    parts = [flat]
+    for j in range(1, k):
+        pad = pa.array([""] * j, pa.string())
+        parts.append(pa.concat_arrays([flat.slice(j), pad]))
+    gram = pc.binary_join_element_wise(*parts, " ")
+    pos = np.arange(n_tok, dtype=np.int64) - np.repeat(
+        offsets[:-1].astype(np.int64), lens
+    )
+    len_per_tok = np.repeat(lens, lens)
+    keep = pos <= len_per_tok - k
+    return gram, pos, len_per_tok, keep
+
+
 def member_count(toks: pa.Array, vocab: tuple[str, ...]) -> np.ndarray:
     """Per-document count of tokens in ``vocab`` — flatten + is_in +
     segment-sum via np.add.reduceat (no Python per row)."""

@@ -454,7 +454,12 @@ def compact_silver(
                 max_ingest_ts=str(pc.max(ing).as_py()) if ing is not None else None,
                 wall_s=_time.perf_counter() - t0,
                 files=[out],
-                extra={"files_in": len(files)},
+                # record EXACTLY which files this rewrite coalesced, so
+                # snapshot selection keeps a run that committed while the
+                # compaction was in flight (its files were never read
+                # here and stay on disk) instead of dropping it by
+                # commit_ts alone
+                extra={"files_in": len(files), "source_files": files},
             ),
         )
         for f in files:
@@ -646,50 +651,74 @@ def read_gold(out_root: str):
     return read_parquet_sized(os.path.join(out_root, "gold"))
 
 
-def read_silver_snapshot(out_root: str, as_of: float, *, dedup: bool = True):
-    """Snapshot-isolation (time-travel) read of the silver layer as of
-    wall-clock ``as_of`` (epoch seconds): the manifest log picks the
-    exact file set every run committed at or before ``as_of`` produced
-    (state/manifest.snapshot_files — compaction rewrites supersede the
-    runs they coalesced). Raises ``SnapshotUnavailableError`` when a
-    later compaction/expire garbage-collected the needed history.
-
-    ``dedup=True`` applies the standard silver consumer contract (keep
-    first (ts, ingest_ts) per (conv_id, turn_idx)) distributed per
-    silver hash-partition directory — conv→partition assignment is
-    stable across runs, so per-file-group dedup is exact with NO
-    shuffle: files of one ``part=`` dir form one dedup group.
-
-    Gold has no snapshot axis by design (partitions are recomputed in
-    place); a historical gold is reproduced by running the feature pass
-    over a silver snapshot — see :func:`gold_snapshot`."""
+def _snapshot_part_datasets(out_root: str, as_of: float, per_group):
+    """Shared snapshot-read shape for silver/gold time travel: pick the
+    exact file set via the manifest log, group files by silver hash
+    partition (conv→partition assignment is stable across runs, so a
+    ``part=`` dir is an exact dedup group with NO shuffle), and run
+    ``per_group(deduped_table)`` as one Ray task per partition. Returns
+    ``None`` when the snapshot is empty (``as_of`` before the first
+    commit) — callers substitute their empty-schema table."""
     import ray
+    import ray.data as rd
 
     from ..state.manifest import snapshot_files
 
     files = snapshot_files(
         os.path.join(out_root, "silver"), RUN_STAGE_SILVER, as_of
     )
-    if not dedup:
-        return read_parquet_sized(files)
+    if not files:
+        return None
     by_part: dict[str, list[str]] = {}
     for f in files:
         by_part.setdefault(os.path.basename(os.path.dirname(f)), []).append(f)
 
     @ray.remote
-    def dedup_group(fs: list[str]) -> pa.Table:
+    def run_group(fs: list[str]) -> pa.Table:
         import pyarrow.parquet as pq
 
         tbl = pa.concat_tables(
             [pq.read_table(f) for f in fs], promote_options="default"
         )
-        return dedup_first(tbl, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
-
-    import ray.data as rd
+        return per_group(dedup_first(tbl, ["conv_id", "turn_idx"], ["ts", "ingest_ts"]))
 
     return rd.from_arrow_refs(
-        [dedup_group.remote(fs) for _, fs in sorted(by_part.items())]
+        [run_group.remote(fs) for _, fs in sorted(by_part.items())]
     )
+
+
+def read_silver_snapshot(out_root: str, as_of: float, *, dedup: bool = True):
+    """Snapshot-isolation (time-travel) read of the silver layer as of
+    wall-clock ``as_of`` (epoch seconds): the manifest log picks the
+    exact file set every run committed at or before ``as_of`` produced
+    (state/manifest.snapshot_files — compaction rewrites supersede
+    exactly the files they coalesced). Raises
+    ``SnapshotUnavailableError`` when a later compaction/expire
+    garbage-collected the needed history; an ``as_of`` before the first
+    commit returns an empty silver-schema dataset.
+
+    ``dedup=True`` applies the standard silver consumer contract (keep
+    first (ts, ingest_ts) per (conv_id, turn_idx)) distributed per
+    silver hash-partition directory.
+
+    Gold has no snapshot axis by design (partitions are recomputed in
+    place); a historical gold is reproduced by running the feature pass
+    over a silver snapshot — see :func:`gold_snapshot`."""
+    import ray.data as rd
+
+    from ..schema import SILVER
+
+    if not dedup:
+        from ..state.manifest import snapshot_files
+
+        files = snapshot_files(
+            os.path.join(out_root, "silver"), RUN_STAGE_SILVER, as_of
+        )
+        if not files:
+            return rd.from_arrow(SILVER.empty_table())
+        return read_parquet_sized(files)
+    ds = _snapshot_part_datasets(out_root, as_of, lambda t: t)
+    return ds if ds is not None else rd.from_arrow(SILVER.empty_table())
 
 
 def gold_snapshot(out_root: str, as_of: float, *, gold_cfg: GoldConfig | None = None):
@@ -701,32 +730,17 @@ def gold_snapshot(out_root: str, as_of: float, *, gold_cfg: GoldConfig | None = 
     correctness at the LAKE level; the as-of JOIN gives it at the row
     level). One Ray task per silver hash partition, files picked by the
     manifest log, nothing recomputed outside the snapshot."""
-    import ray
     import ray.data as rd
 
-    from ..state.manifest import snapshot_files
-
     cfg = gold_cfg or GoldConfig(dedup=False)
-    files = snapshot_files(
-        os.path.join(out_root, "silver"), RUN_STAGE_SILVER, as_of
+    ds = _snapshot_part_datasets(
+        out_root, as_of, lambda t, c=cfg: gold_features_partition(t, c)
     )
-    by_part: dict[str, list[str]] = {}
-    for f in files:
-        by_part.setdefault(os.path.basename(os.path.dirname(f)), []).append(f)
+    if ds is not None:
+        return ds
+    from ..schema import SILVER
 
-    @ray.remote
-    def gold_group(fs: list[str]) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        hist = pa.concat_tables(
-            [pq.read_table(f) for f in fs], promote_options="default"
-        )
-        hist = dedup_first(hist, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
-        return gold_features_partition(hist, cfg)
-
-    return rd.from_arrow_refs(
-        [gold_group.remote(fs) for _, fs in sorted(by_part.items())]
-    )
+    return rd.from_arrow(gold_features_partition(SILVER.empty_table(), cfg))
 
 
 def read_online(out_root: str) -> pa.Table:

@@ -291,22 +291,16 @@ def boilerplate_gram_partial(t: pa.Table) -> pa.Table:
     )
     if t.num_rows == 0:
         return empty
+    from ..functions.text import gram_explode
+
     flat, offsets = _flat_tokens(tokens_list(t["text"]))
     n_tok = len(flat)
     n_docs = len(offsets) - 1
     lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
     if n_tok == 0:
         return empty
-    parts = [flat]
-    for j in range(1, BOILER_K):
-        pad = pa.array([""] * j, pa.string())
-        parts.append(pa.concat_arrays([flat.slice(j), pad]))
-    gram = pc.binary_join_element_wise(*parts, " ")
+    gram, _pos, _len_per_tok, keep = gram_explode(flat, offsets, BOILER_K)
     doc_per_tok = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-    pos = np.arange(n_tok, dtype=np.int64) - np.repeat(
-        offsets[:-1].astype(np.int64), lens
-    )
-    keep = pos <= np.repeat(lens, lens) - BOILER_K
     gram = gram.filter(pa.array(keep))
     doc_per_gram = doc_per_tok[keep]
     enc = pc.dictionary_encode(gram)
@@ -583,24 +577,16 @@ def span_gram_partial(t: pa.Table) -> pa.Table:
     )
     if t.num_rows == 0:
         return empty
+    from ..functions.text import gram_explode
+
     flat, offsets = _flat_tokens(tokens_list(t["text"]))
     n_tok = len(flat)
     if n_tok == 0:
         return empty
-    n_docs = len(offsets) - 1
     lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
-    parts = [flat]
-    for j in range(1, SPAN_K):
-        pad = pa.array([""] * j, pa.string())
-        parts.append(pa.concat_arrays([flat.slice(j), pad]))
-    gram = pc.binary_join_element_wise(*parts, " ")
+    gram, pos, len_per_tok, keep = gram_explode(flat, offsets, SPAN_K)
     doc_ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
     doc_per_tok = np.repeat(doc_ids, lens)
-    len_per_tok = np.repeat(lens, lens)
-    pos = np.arange(n_tok, dtype=np.int64) - np.repeat(
-        offsets[:-1].astype(np.int64), lens
-    )
-    keep = pos <= len_per_tok - SPAN_K
     return pa.table(
         {
             "gram": gram.filter(pa.array(keep)),
@@ -627,7 +613,8 @@ def _shared_gram_hits(part: pa.Table) -> pa.Table:
     doc = np.asarray(part["doc_id"].combine_chunks())
     _, doc_inv = np.unique(doc, return_inverse=True)
     n_docs_u = np.int64(doc_inv.max()) + 1
-    if n_codes * n_docs_u >= np.iinfo(np.int64).max:
+    # guard in Python ints — a np.int64 product would itself wrap silently
+    if int(n_codes) * int(n_docs_u) >= np.iinfo(np.int64).max:
         raise OverflowError("span-coverage pair packing would overflow int64")
     pair = np.unique(code * n_docs_u + doc_inv)
     ndocs = np.bincount((pair // n_docs_u).astype(np.int64), minlength=n_codes)

@@ -781,7 +781,8 @@ def _bigram_tf_partial(t: pa.Table) -> pa.Table:
     idx = np.flatnonzero(pos <= np.repeat(lens, lens) - 2)
     if len(idx) == 0:
         return empty
-    if len(ids) * n_dict * n_dict >= np.iinfo(np.int64).max:
+    # guard in Python ints — a np.int64 product would itself wrap silently
+    if len(ids) * int(n_dict) * int(n_dict) >= np.iinfo(np.int64).max:
         raise OverflowError("bigram partial key packing would overflow int64")
     key = (doc_pos[idx] * n_dict + code[idx]) * n_dict + code[idx + 1]
     inv, uniq = pd.factorize(key)

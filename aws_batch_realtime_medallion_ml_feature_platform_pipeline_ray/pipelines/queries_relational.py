@@ -269,15 +269,13 @@ def _mul64_sql(x: str, c: int) -> str:
 
 def splitmix64_bucket_sql(col: str, src: str, salt: int = SPLIT_SALT) -> str:
     """CTE chain computing ``splitmix64((col + salt) mod 2^64) % 100`` as
-    column ``__bucket`` alongside all columns of ``src``."""
-    return f"""
-__s0 AS (SELECT *, (({col}::HUGEINT + {salt} + {_SM_GOLD}) % {_M64}) AS __z0 FROM {src}),
-__s1 AS (SELECT *, xor(__z0, __z0 >> 30) AS __y1 FROM __s0),
-__s2 AS (SELECT *, {_mul64_sql('__y1', _SM_C1)} AS __z1 FROM __s1),
-__s3 AS (SELECT *, xor(__z1, __z1 >> 27) AS __y2 FROM __s2),
-__s4 AS (SELECT *, {_mul64_sql('__y2', _SM_C2)} AS __z2 FROM __s3),
-__s5 AS (SELECT *, (xor(__z2, __z2 >> 31) % 100)::BIGINT AS __bucket FROM __s4)
-"""
+    column ``__bucket`` alongside all columns of ``src``; final CTE is
+    ``__s5``. One `% 100` step over the shared full-hash chain, so the
+    bucket and the epoch-order hash can never desync."""
+    return (
+        splitmix64_hash_sql(col, src, salt, "__t")
+        + ",\n__s5 AS (SELECT *, (__th % 100)::BIGINT AS __bucket FROM __t5)\n"
+    )
 
 
 def splitmix64_hash_sql(col: str, src: str, salt: int, prefix: str) -> str:

@@ -191,11 +191,22 @@ def snapshot_files(root: str, stage: str, as_of: float) -> list[str]:
         if comp is not None:
             files.extend(comp.files)
             floor = comp.commit_ts
+            # the file set the rewrite actually read (recorded by
+            # compact_silver); empty on manifests from older lakes,
+            # which then fall back to the commit_ts floor alone
+            src = set(comp.extra.get("source_files", ()))
         else:
             floor = float("-inf")
+            src = set()
         for m in runs:
             if m.commit_ts > floor:
                 files.extend(m.files)
+            elif src:
+                # run committed at/before the rewrite's commit_ts but
+                # whose files the rewrite never coalesced (it landed
+                # while compaction was in flight): still part of every
+                # snapshot — only the coalesced files are superseded
+                files.extend(f for f in m.files if f not in src)
     for part, comp in latest_compact.items():
         if part not in runs_by_part:
             files.extend(comp.files)

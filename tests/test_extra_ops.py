@@ -214,7 +214,7 @@ def test_bigram_lm_direct_reference(ray_session):
         assert row["sum_context_freq"] == sum(cc[p[0]] for p in bg)
 
 
-def test_epoch_order_permutation_properties():
+def test_epoch_order_permutation_properties(ray_session):
     """Each epoch is a complete seeded permutation: every doc appears
     exactly once per epoch, positions within each (epoch, shard) are
     contiguous 0..n-1, shard matches the splitmix64 recomputation, and

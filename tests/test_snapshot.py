@@ -52,8 +52,7 @@ def _dedup_ref(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@pytest.fixture(scope="module")
-def lake(tmp_path_factory):
+def _build_lake(tmp_path_factory):
     """Two ingest-windowed runs with a captured mid-point timestamp."""
     import pyarrow.parquet as pq
 
@@ -75,6 +74,19 @@ def lake(tmp_path_factory):
     return out, t_mid
 
 
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory):
+    """Shared READ-ONLY lake — tests that mutate history get their own."""
+    return _build_lake(tmp_path_factory)
+
+
+@pytest.fixture()
+def lake_gc(tmp_path_factory):
+    """Fresh per-test lake for the destructive compaction/GC test, so the
+    module-scoped fixture stays order-independent."""
+    return _build_lake(tmp_path_factory)
+
+
 def test_snapshot_between_runs_is_run1_exactly(ray_session, lake):
     out, t_mid = lake
     snap = _norm(read_silver_snapshot(out, t_mid).to_pandas())
@@ -93,8 +105,8 @@ def test_snapshot_latest_is_full_deduped_silver(ray_session, lake):
     assert len(raw) == len(both)
 
 
-def test_snapshot_log_and_gc(ray_session, lake):
-    out, t_mid = lake
+def test_snapshot_log_and_gc(ray_session, lake_gc):
+    out, t_mid = lake_gc
     silver_root = os.path.join(out, "silver")
     snaps = list_snapshots(silver_root, "silver")
     assert [s["run_id"] for s in snaps] == ["w1", "w2"]
@@ -180,3 +192,66 @@ def _gold_on_disk(out: str) -> pd.DataFrame:
 
 def _norm_gold(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(KEY, ignore_index=True)[sorted(df.columns)]
+
+
+def test_snapshot_keeps_run_committed_during_compaction(tmp_path):
+    """A run whose manifest commit_ts <= the compact's commit_ts but whose
+    files the rewrite never read (it landed while compaction was in
+    flight) must stay in every later snapshot — commit_ts alone must not
+    supersede it."""
+    import pyarrow.parquet as pq
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.state import (
+        manifest as M,
+    )
+
+    root = str(tmp_path / "silver")
+    part = str(tmp_path / "silver" / "part=00000")
+    os.makedirs(part)
+    paths = {}
+    for name in ["run-a.parquet", "run-b.parquet", "run-c.parquet",
+                 "run-compact-z.parquet"]:
+        p = os.path.join(part, name)
+        pq.write_table(pa.table({"x": [1]}), p)
+        paths[name] = p
+
+    def man(stage, rid, files, ts):
+        M.write_manifest(root, M.PartitionManifest(
+            stage="silver" if stage == "run" else "silver_compact",
+            partition_key="00000", run_id=rid, rows_out=1, files=files,
+            commit_ts=ts,
+            extra={"source_files": [paths["run-a.parquet"],
+                                    paths["run-b.parquet"]]}
+            if stage == "compact" else {},
+        ))
+
+    man("run", "a", [paths["run-a.parquet"]], 10.0)
+    man("run", "b", [paths["run-b.parquet"]], 20.0)
+    # run c commits at t=29 while the compaction (which only read a+b)
+    # commits at t=30
+    man("run", "c", [paths["run-c.parquet"]], 29.0)
+    man("compact", "z", [paths["run-compact-z.parquet"]], 30.0)
+
+    got = M.snapshot_files(root, "silver", as_of=100.0)
+    assert paths["run-compact-z.parquet"] in got
+    assert paths["run-c.parquet"] in got, "concurrent run dropped"
+    assert paths["run-a.parquet"] not in got
+    assert paths["run-b.parquet"] not in got
+
+
+def test_snapshot_before_first_commit_is_empty_with_schema(ray_session, lake):
+    out, _ = lake
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+        gold_snapshot,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.schema import (
+        SILVER,
+    )
+
+    for dedup in (True, False):
+        ds = read_silver_snapshot(out, 0.0, dedup=dedup)
+        assert ds.count() == 0
+        assert set(ds.schema().names) == set(SILVER.names)
+    g = gold_snapshot(out, 0.0)
+    assert g.count() == 0
+    assert "conv_id" in g.schema().names
