@@ -812,8 +812,112 @@ FROM transcripts GROUP BY conv_id
 """
 
 
+CONV_FP_SALT = 1009
+
+
+def q_conv_dedup_whole(sf_dir: str):
+    """Whole-conversation exact dedup (10th dedup family) — the
+    transcript analog of document exact-dedup: two identical
+    conversations (same turn texts in the same order) collapse to one
+    canonical conv_id. The conversation fingerprint is a wrapping-uint64
+    SUM over turns of ``splitmix64(md5lower64(text) XOR
+    splitmix64(turn_idx + salt))`` — position-mixed so reordered turns
+    change it, sum-folded (not XOR) so injected duplicate turns can't
+    cancel pairwise, and commutative so the per-conv fold needs no extra
+    sort beyond the canonical (ts, event_id) order that defines
+    turn_idx.
+
+    Scale path: exchange 1 keys turns by conv_id (md5 runs once per
+    DISTINCT text via dictionary encoding — vocab << turns at scale);
+    the fold emits ONE row per conversation, so exchange 2 (by
+    fingerprint, for keep-first) moves O(#convs), not O(#turns)."""
+    import hashlib
+
+    from ..stages.keyed import map_partitions_by_key, splitmix64
+
+    ds = read_events_as_transcripts(sf_dir)
+    empty_fp = pa.table(
+        {"conv_id": pa.array([], pa.string()), "fp": pa.array([], pa.int64())}
+    )
+
+    def fp_part(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return empty_fp
+        order, _k, _ts, seg_start = _conv_order(tbl)
+        tidx = _turn_idx(seg_start).astype(np.uint64)
+        text = tbl["text"].combine_chunks().take(pa.array(order))
+        enc = pc.dictionary_encode(text)
+        dic = enc.dictionary.to_pylist()
+        th = np.empty(len(dic), np.uint64)
+        for i, s in enumerate(dic):
+            th[i] = int.from_bytes(
+                hashlib.md5(str(s).encode()).digest()[8:16], "little"
+            )
+        h = th[np.asarray(enc.indices).astype(np.int64)]
+        contrib = splitmix64(h ^ splitmix64(tidx + np.uint64(CONV_FP_SALT)))
+        starts = np.flatnonzero(seg_start)
+        with np.errstate(over="ignore"):
+            fp = np.add.reduceat(contrib, starts)  # wrapping uint64 sum
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(order[starts]))
+        return pa.table({"conv_id": conv, "fp": pa.array(fp.view(np.int64))})
+
+    fps = map_partitions_by_key(ds, "conv_id", fp_part, num_parts=NUM_PARTS)
+
+    def keep_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "fp": pa.array([], pa.int64()),
+                    "n_copies": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas().sort_values(["fp", "conv_id"], kind="mergesort")
+        g = (
+            df.groupby("fp", sort=False)
+            .agg(conv_id=("conv_id", "first"), n_copies=("conv_id", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(g["conv_id"], pa.string()),
+                "fp": pa.array(g["fp"], pa.int64()),
+                "n_copies": pa.array(g["n_copies"], pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(fps, "fp", keep_part, num_parts=NUM_PARTS)
+
+
+def _conv_dedup_whole_sql() -> str:
+    from .queries_relational import splitmix64_hash_sql
+
+    m63, m64 = 1 << 63, 1 << 64
+    return f"""
+WITH {TRANSCRIPTS_SQL_CTE},
+{splitmix64_hash_sql('turn_idx', 'transcripts', CONV_FP_SALT, '__p')},
+{splitmix64_hash_sql("xor(md5_number_lower(text)::HUGEINT, __ph)", '__p5', 0, '__q')},
+f AS (
+  SELECT conv_id, (sum(__qh) % {m64}::HUGEINT) AS fpu
+  FROM __q5 GROUP BY conv_id
+),
+s AS (
+  SELECT min(conv_id) AS conv_id,
+         CASE WHEN fpu >= {m63}::HUGEINT THEN fpu - {m64}::HUGEINT
+              ELSE fpu END AS fps,
+         count(*) AS n
+  FROM f GROUP BY fpu
+)
+SELECT conv_id, fps::BIGINT AS fp, n::BIGINT AS n_copies FROM s
+"""
+
+
+CONV_DEDUP_WHOLE_SQL = _conv_dedup_whole_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     "session_stats": (q_session_stats, SESSION_STATS_SQL),
+    "conv_dedup_whole": (q_conv_dedup_whole, CONV_DEDUP_WHOLE_SQL),
     "conv_flatten": (q_conv_flatten, CONV_FLATTEN_SQL),
     "conv_role_transitions": (q_conv_role_transitions, CONV_ROLE_TRANSITIONS_SQL),
     "conv_role_runs": (q_conv_role_runs, CONV_ROLE_RUNS_SQL),

@@ -288,3 +288,39 @@ def test_zorder_interleave_locality():
         m = bucket == b
         assert np.unique(qt[m] >> np.uint64(16 - k)).size == 1
         assert np.unique(qu[m] >> np.uint64(16 - k)).size == 1
+
+
+def test_conv_dedup_whole_collapses_and_is_order_sensitive(ray_session, tmp_path):
+    """Two conversations with identical turn texts in the same order
+    collapse to the lexically-smallest conv_id with n_copies=2; the same
+    texts REORDERED fingerprint differently (position-mixed hash)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries import (
+        q_conv_dedup_whole,
+    )
+
+    rows = []
+    texts = ["hello there", "general kenobi", "you are bold"]
+    for uid, order in [(1, [0, 1, 2]), (2, [0, 1, 2]), (3, [2, 1, 0])]:
+        for i, j in enumerate(order):
+            rows.append(
+                {
+                    "event_id": uid * 100 + i,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                    "user_id": uid,
+                    "event_type": "click",
+                    "props": texts[j],
+                }
+            )
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+
+    got = (
+        q_conv_dedup_whole(str(tmp_path))
+        .to_pandas()
+        .sort_values("conv_id", ignore_index=True)
+    )
+    assert got["conv_id"].tolist() == ["conv_1", "conv_3"]
+    assert got["n_copies"].tolist() == [2, 1]
+    assert got["fp"].nunique() == 2
