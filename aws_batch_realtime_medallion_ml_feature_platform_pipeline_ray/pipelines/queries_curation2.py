@@ -644,7 +644,10 @@ UNION ALL SELECT 'distinct', count(DISTINCT text_norm)::BIGINT FROM f
 """
 
 
-def _curation_e2e_sql() -> str:
+def _curation_e2e_ctes() -> str:
+    """WITH-body of the e2e chain up to CTE ``surv`` (the surviving
+    normalized-deduped set) — shared by the e2e twin and the to-shards
+    composition."""
     from .queries_text import (
         GOPHER_MAX_MEAN_LEN,
         GOPHER_MAX_TOKENS,
@@ -655,7 +658,7 @@ def _curation_e2e_sql() -> str:
     )
 
     return rf"""
-WITH n AS (
+n AS (
     SELECT doc_id,
            trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm
     FROM documents
@@ -680,13 +683,96 @@ d AS (
     SELECT doc_id, n_tokens, length(text_norm)::BIGINT AS n_chars_norm,
            row_number() OVER (PARTITION BY text_norm ORDER BY doc_id) AS rn
     FROM f
-)
-SELECT doc_id, n_tokens, n_chars_norm FROM d WHERE rn = 1
+),
+surv AS (
+    SELECT doc_id, n_tokens, n_chars_norm FROM d WHERE rn = 1
+)"""
+
+
+def _curation_e2e_sql() -> str:
+    return f"""
+WITH {_curation_e2e_ctes()}
+SELECT doc_id, n_tokens, n_chars_norm FROM surv
+"""
+
+
+def q_docs_curation_to_shards(sf_dir: str):
+    """The composed finale of the curation chain — what a 100-TB run
+    actually DELIVERS: every surviving document (normalized → Gopher
+    quality-filtered → exact-deduped, :func:`q_docs_curation_e2e`)
+    assigned its epoch-0 training shard and in-shard position via the
+    same seeded splitmix64 permutation as ``docs_epoch_order``. Two
+    exchanges end to end: the e2e dedup exchange (keyed on normalized
+    text) over the filtered stream, then the shard-position exchange
+    moving only O(survivors) slim rows."""
+    from ..stages.keyed import splitmix64
+    from .queries_extra import N_SHARDS
+    from .queries_relational import SPLIT_SALT
+
+    surv = q_docs_curation_e2e(sf_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks()).astype(np.uint64)
+        h = splitmix64(ids + np.uint64(SPLIT_SALT))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "shard": pa.array((h % np.uint64(N_SHARDS)).astype(np.int64)),
+                "__h": pa.array(h.view(np.int64)),
+            }
+        )
+
+    tagged = surv.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pos_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        sh = np.asarray(t["shard"].combine_chunks())
+        h = np.asarray(t["__h"].combine_chunks()).view(np.uint64)
+        ids = np.asarray(t["doc_id"].combine_chunks())
+        ntok = np.asarray(t["n_tokens"].combine_chunks())
+        order = np.lexsort((ids, h, sh))
+        ks = sh[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        seg_len = np.diff(np.r_[starts, len(ks)])
+        pos = np.arange(len(ks), dtype=np.int64) - np.repeat(starts, seg_len)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "n_tokens": pa.array(ntok[order]),
+                "shard": pa.array(ks),
+                "pos": pa.array(pos),
+            }
+        )
+
+    return map_partitions_by_key(tagged, "shard", pos_part, num_parts=NUM_PARTS)
+
+
+def _curation_to_shards_sql() -> str:
+    from .queries_extra import N_SHARDS
+    from .queries_relational import SPLIT_SALT, splitmix64_hash_sql
+
+    return f"""
+WITH {_curation_e2e_ctes()},
+{splitmix64_hash_sql('doc_id', 'surv', SPLIT_SALT, '__g')}
+SELECT doc_id, n_tokens, (__gh % {N_SHARDS})::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY __gh % {N_SHARDS}
+                           ORDER BY __gh, doc_id) - 1)::BIGINT AS pos
+FROM __g5
 """
 
 
 REGISTRY = {
     "docs_curation_e2e": (q_docs_curation_e2e, _curation_e2e_sql()),
+    "docs_curation_to_shards": (q_docs_curation_to_shards, _curation_to_shards_sql()),
     "docs_curation_funnel": (q_docs_curation_funnel, _curation_funnel_sql()),
     "docs_mixture_budget": (q_docs_mixture_budget, DOCS_MIXTURE_BUDGET_SQL),
     "docs_repetition": (q_docs_repetition, DOCS_REPETITION_SQL),

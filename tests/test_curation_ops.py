@@ -159,3 +159,33 @@ def test_span_gram_partial_block_invariance(ray_session):
     assert whole.sort_values(key, ignore_index=True).equals(
         split.sort_values(key, ignore_index=True)
     )
+
+
+def test_curation_to_shards_matches_epoch0_permutation(ray_session):
+    """docs_curation_to_shards is the epoch-0 seeded permutation
+    restricted to the curation survivors: same shard per doc, same
+    relative order within each shard, positions renumbered contiguously."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_curation2 import (
+        q_docs_curation_to_shards,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        q_docs_epoch_order,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    shards = q_docs_curation_to_shards(sf).to_pandas()
+    epoch0 = q_docs_epoch_order(sf).to_pandas()
+    epoch0 = epoch0[epoch0["epoch"] == 0]
+
+    merged = shards.merge(epoch0, on="doc_id", suffixes=("", "_e0"))
+    assert len(merged) == len(shards)
+    assert (merged["shard"] == merged["shard_e0"]).all()
+    for _, g in shards.groupby("shard"):
+        got = g.sort_values("pos")["doc_id"].tolist()
+        ref = (
+            epoch0[(epoch0["shard"] == g["shard"].iloc[0])
+                   & epoch0["doc_id"].isin(g["doc_id"])]
+            .sort_values("pos")["doc_id"]
+            .tolist()
+        )
+        assert got == ref
