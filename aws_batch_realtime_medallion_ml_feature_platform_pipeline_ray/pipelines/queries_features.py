@@ -769,6 +769,74 @@ FROM orders GROUP BY o_custkey
 """
 
 
+ANOMALY_K = 3.0
+
+
+def q_events_anomaly_mad(sf_dir: str):
+    """Per-user ROBUST outlier flag: ``|value - median_u| > K ·
+    MAD_u`` — the median/MAD detector that, unlike z-scores, is immune
+    to the outliers it is hunting. Both medians are discrete
+    (selection, ``quantile_disc`` parity: index ``ceil(0.5·n) − 1``),
+    so doubles pass through bit-exact with no interpolation arithmetic.
+
+    Scale shape: ONE exchange on ``user_id``; per whole hash partition
+    two segmented lexsorts (value, then deviation) and pure
+    gather/repeat — O(n log n) vectorized, no per-group Python, output
+    streamed back at input cardinality."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "is_outlier": pa.array([], pa.int32()),
+                }
+            )
+        u = np.asarray(t["user_id"].combine_chunks())
+        eid = np.asarray(t["event_id"].combine_chunks())
+        v = np.asarray(t["value"].combine_chunks())
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(us)) + 1))
+        lens = np.diff(np.concatenate((starts, [len(us)])))
+        pick = starts - 1 + np.ceil(lens * 0.5).astype(np.int64)
+        dev = np.abs(vs - np.repeat(vs[pick], lens))
+        order2 = np.lexsort((dev, us))  # re-sort deviations per segment
+        mad = dev[order2][pick]
+        flag = dev > ANOMALY_K * np.repeat(mad, lens)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(us),
+                "is_outlier": pa.array(flag.astype(np.int32)),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", part, num_parts=NUM_PARTS)
+
+
+EVENTS_ANOMALY_MAD_SQL = f"""
+WITH d AS (
+  SELECT event_id, user_id,
+         abs(value - quantile_disc(value, 0.5)
+                     OVER (PARTITION BY user_id)) AS dev
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id, dev,
+         quantile_disc(dev, 0.5) OVER (PARTITION BY user_id) AS mad
+  FROM d
+)
+SELECT event_id, user_id,
+       CAST(dev > {ANOMALY_K} * mad AS INTEGER) AS is_outlier
+FROM f
+"""
+
+
 def q_features_robust_scale(sf_dir: str):
     """Median/MAD robust scaling per customer — the outlier-immune
     z-score ((x - median) / MAD): the scaling-family member z-score and
@@ -1297,6 +1365,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_winsorize": (q_docs_winsorize, DOCS_WINSORIZE_SQL),
     "join_semi_bloom": (q_join_semi_bloom, JOIN_SEMI_SQL),
     "features_group_median": (q_features_group_median, FEATURES_GROUP_MEDIAN_SQL),
+    "events_anomaly_mad": (q_events_anomaly_mad, EVENTS_ANOMALY_MAD_SQL),
     "features_robust_scale": (q_features_robust_scale, FEATURES_ROBUST_SCALE_SQL),
     "features_corr": (q_features_corr, FEATURES_CORR_SQL),
     "join_left_outer": (q_join_left_outer, JOIN_LEFT_OUTER_SQL),

@@ -324,3 +324,33 @@ def test_conv_dedup_whole_collapses_and_is_order_sensitive(ray_session, tmp_path
     assert got["conv_id"].tolist() == ["conv_1", "conv_3"]
     assert got["n_copies"].tolist() == [2, 1]
     assert got["fp"].nunique() == 2
+
+
+def test_spread16_is_strictly_monotone():
+    """Order-preservation of the Morton spread: v < w implies
+    spread16(v) < spread16(w), so Z-code ordering respects each
+    dimension's order (the pruning argument)."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        _spread16,
+    )
+
+    s = _spread16(np.arange(1 << 16, dtype=np.uint64))
+    assert np.all(np.diff(s.view(np.uint64).astype(np.int64)) > 0)
+
+
+def test_zorder_quantization_monotone_and_bounded():
+    """Bin-width quantization q=(x-mn)//w is monotone in x and lands in
+    [0, 2^16) for any int64 range, including decade-wide microsecond
+    spans that would overflow a multiply-based affine map."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        Z_QBITS,
+    )
+
+    rng = np.random.default_rng(7)
+    for span in [1, 1000, 10 * 365 * 86400 * 10**6]:  # incl. 10y of us
+        mn = -span // 3
+        x = np.sort(rng.integers(mn, mn + span + 1, size=4000, dtype=np.int64))
+        w = span // (1 << Z_QBITS) + 1
+        q = (x - mn) // w
+        assert q.min() >= 0 and q.max() < (1 << Z_QBITS)
+        assert np.all(np.diff(q) >= 0)

@@ -236,3 +236,36 @@ def test_zscore_stats_match_numpy(ray_session, lake):
     x = nc.astype(float)
     expect = (x - x.mean()) / x.std()
     assert np.allclose(out["zscore"].to_numpy(), expect, rtol=1e-12)
+
+
+def test_anomaly_mad_semantics(ray_session, tmp_path):
+    """Hand-built cases: a lone extreme value among stable ones is
+    flagged; the stable values are not; a constant-value user (MAD=0)
+    flags any nonzero deviation and nothing else."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_features import (
+        q_events_anomaly_mad,
+    )
+
+    rows = []
+    # user 1: tight cluster around 10 plus one wild point
+    for i, v in enumerate([9.0, 10.0, 10.0, 11.0, 500.0]):
+        rows.append({"event_id": 100 + i, "user_id": 1, "value": v})
+    # user 2: all identical -> MAD 0 -> the single deviating point flags
+    for i, v in enumerate([7.0, 7.0, 7.0, 7.5]):
+        rows.append({"event_id": 200 + i, "user_id": 2, "value": v})
+    tbl = pa.Table.from_pylist(rows)
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = (
+        q_events_anomaly_mad(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    flags = dict(zip(got["event_id"], got["is_outlier"]))
+    assert flags[104] == 1                      # the 500.0 point
+    assert all(flags[i] == 0 for i in (100, 101, 102, 103))
+    assert flags[203] == 1                      # 7.5 vs MAD=0
+    assert all(flags[i] == 0 for i in (200, 201, 202))
