@@ -1989,7 +1989,115 @@ JOIN per_sess ps USING (user_id)
 """
 
 
+CUSUM_H_CENTS = 50_000  # drift threshold: |cusum vs global mean| > $500
+
+
+def q_events_cusum(sf_dir: str):
+    """Per-user CUSUM changepoint/drift flag — the classic sequential
+    detector: cumulative sum of deviations from the GLOBAL mean value,
+    flagged where its magnitude exceeds a threshold. Everything runs in
+    SCALED INTEGERS so both sides are bit-exact: with N = total events
+    and S = global cents sum, ``cusum_scaled_i = N·run_i − i·S``
+    (= N·Σ(v_j − S/N), the exact rational cusum scaled by N) and the
+    flag is ``|cusum_scaled| > H_cents·N`` — no float accumulation
+    anywhere, so DuckDB's segment-tree window sums can't drift from a
+    sequential numpy scan.
+
+    Scale shape: one tiny partial pass folds (N, S) from per-batch
+    integer partials (O(#blocks) driver rows); then ONE user_id
+    exchange with segmented prefix sums per partition. An int64
+    headroom guard raises before any silent wrap (SQL side runs
+    HUGEINT)."""
+    cols = ["event_id", "ts", "user_id", "value"]
+    ds = _events(sf_dir, columns=cols)
+
+    def nspart(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            np.asarray(t["value"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        nspart, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # O(#blocks) scalar partials
+    n_tot = sum(r["n"] for r in parts)
+    s_tot = sum(r["s"] for r in parts)
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "cusum_scaled": pa.array([], pa.int64()),
+                    "is_drift": pa.array([], pa.int32()),
+                }
+            )
+        u = np.asarray(t["user_id"].combine_chunks())
+        eid = np.asarray(t["event_id"].combine_chunks())
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        cents = round_half_away(
+            np.asarray(t["value"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, cs = u[order], cents[order]
+        n = len(us)
+        starts = np.flatnonzero(np.diff(us)) + 1
+        csum = np.cumsum(cs)
+        seg_start = np.concatenate(([0], starts))
+        lens = np.diff(np.concatenate((seg_start, [n])))
+        seg_prefix = np.concatenate(([0], csum[starts - 1])) if n else cs
+        run = csum - np.repeat(seg_prefix, lens)
+        rn = np.arange(n, dtype=np.int64) - np.repeat(seg_start, lens) + 1
+        # int64 headroom guard in Python ints (a np.int64 product wraps)
+        worst = max(
+            int(np.abs(run).max()) * n_tot, int(rn.max()) * abs(s_tot)
+        )
+        if 2 * worst >= 2**63:
+            raise OverflowError("scaled cusum would overflow int64")
+        cusum = run * np.int64(n_tot) - rn * np.int64(s_tot)
+        flag = np.abs(cusum) > np.int64(CUSUM_H_CENTS) * np.int64(n_tot)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": pa.array(us),
+                "cusum_scaled": pa.array(cusum),
+                "is_drift": pa.array(flag.astype(np.int32)),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", part, num_parts=NUM_PARTS)
+
+
+EVENTS_CUSUM_SQL = f"""
+WITH g AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(CAST(round(value * 100) AS BIGINT))::HUGEINT AS s
+  FROM events
+),
+r AS (
+  SELECT event_id, user_id,
+         sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)::HUGEINT AS run,
+         row_number()
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)::HUGEINT AS rn
+  FROM events
+)
+SELECT event_id, user_id,
+       (r.run * g.n - r.rn * g.s)::BIGINT AS cusum_scaled,
+       CAST(abs(r.run * g.n - r.rn * g.s) > {CUSUM_H_CENTS} * g.n AS INTEGER)
+           AS is_drift
+FROM r, g
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "events_cusum": (q_events_cusum, EVENTS_CUSUM_SQL),
     "events_cooccurrence": (q_events_cooccurrence, EVENTS_COOCCURRENCE_SQL),
     "events_interarrival": (q_events_interarrival, EVENTS_INTERARRIVAL_SQL),
     "events_streaks": (q_events_streaks, EVENTS_STREAKS_SQL),

@@ -130,3 +130,51 @@ def test_kfold_grouped_and_stable(ray_session):
     per_user = a.groupby("user_id")["fold"].nunique()
     assert (per_user == 1).all()
     assert set(a["fold"].unique()) <= set(range(N_FOLDS))
+
+
+def test_cusum_direct_reference(ray_session, tmp_path):
+    """events_cusum vs a plain Python reference: a user whose values jump
+    mid-stream accumulates |cusum| past the threshold exactly where the
+    scaled-integer recurrence says so."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_signals import (
+        CUSUM_H_CENTS,
+        q_events_cusum,
+    )
+
+    rows = []
+    vals = {1: [10.0] * 8 + [2000.0] * 8, 2: [55.0] * 16}
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append(
+                {
+                    "event_id": uid * 1000 + i,
+                    "ts": pd.Timestamp("2024-03-01") + pd.Timedelta(seconds=i),
+                    "user_id": uid,
+                    "value": v,
+                }
+            )
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+
+    got = (
+        q_events_cusum(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    cents = {r["event_id"]: round(r["value"] * 100) for r in rows}
+    n_tot = len(rows)
+    s_tot = sum(cents.values())
+    for uid, vs in vals.items():
+        run = 0
+        for i in range(len(vs)):
+            eid = uid * 1000 + i
+            run += cents[eid]
+            expect = run * n_tot - (i + 1) * s_tot
+            row = got[got["event_id"] == eid].iloc[0]
+            assert row["cusum_scaled"] == expect, eid
+            assert row["is_drift"] == (abs(expect) > CUSUM_H_CENTS * n_tot)
+    # the jump user must trip the detector; sanity that flags exist
+    assert got[got["user_id"] == 1]["is_drift"].sum() > 0
