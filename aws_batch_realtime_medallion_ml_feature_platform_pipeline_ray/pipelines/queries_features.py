@@ -769,6 +769,90 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q_features_pct_rank(sf_dir: str):
+    """Exact GLOBAL percent-rank (ECDF) scaler over a continuous
+    feature — maps every order's total price to ``(min_rank − 1) /
+    (N − 1)`` with SQL ``percent_rank()`` tie semantics (equal values
+    share the rank of their first row).
+
+    Fully distributed shape, never a row-level global sort: per-batch
+    distinct-value partials → one keyed fold to the (value, count)
+    table → weighted :func:`with_global_rank` over DISTINCT values only
+    (the block-offset scan advances by counts, giving each value the
+    exact min rank of the underlying row population) → one cogroup
+    exchange attaching ranks back to rows. The all-to-all moves only
+    distinct values; rows move once by value key. Division happens once
+    on exact-in-double integers, so the result is bit-equal to
+    ``percent_rank()``."""
+    from ..stages.globalorder import with_global_rank
+    from ..stages.keyed import cogroup_by_key, fold_by_keys
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    n_rows = ds.count()  # parquet metadata
+
+    def cents_tag(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            np.asarray(t["o_totalprice"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    rows = ds.map_batches(cents_tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(t["cents"].combine_chunks()), return_counts=True)
+        return pa.table({"cents": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+    partials = rows.select_columns(["cents"]).map_batches(
+        distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    distinct = fold_by_keys(partials, ["cents"], sums=("cnt",), num_parts=NUM_PARTS)
+    ranked = with_global_rank(
+        distinct, ["cents"], descending=[False], rank_col="minrank",
+        weight_col="cnt",
+    ).select_columns(["cents", "minrank"])
+
+    def attach(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_totalprice": pa.array([], pa.float64()),
+                    "pct_rank": pa.array([], pa.float64()),
+                }
+            )
+        rc = np.asarray(right["cents"].combine_chunks())
+        rr = np.asarray(right["minrank"].combine_chunks())
+        o = np.argsort(rc, kind="mergesort")
+        rc, rr = rc[o], rr[o]
+        lc = np.asarray(left["cents"].combine_chunks())
+        pos = np.searchsorted(rc, lc)
+        pct = (rr[pos] - 1) / (n_rows - 1)
+        return pa.table(
+            {
+                "o_orderkey": left["o_orderkey"],
+                "o_totalprice": left["o_totalprice"],
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return cogroup_by_key(rows, ranked, "cents", attach, num_parts=NUM_PARTS)
+
+
+FEATURES_PCT_RANK_SQL = """
+SELECT o_orderkey, o_totalprice,
+       percent_rank() OVER (ORDER BY o_totalprice) AS pct_rank
+FROM orders
+"""
+
+
 ANOMALY_K = 3.0
 
 
@@ -1366,6 +1450,7 @@ REGISTRY: dict[str, tuple] = {
     "join_semi_bloom": (q_join_semi_bloom, JOIN_SEMI_SQL),
     "features_group_median": (q_features_group_median, FEATURES_GROUP_MEDIAN_SQL),
     "events_anomaly_mad": (q_events_anomaly_mad, EVENTS_ANOMALY_MAD_SQL),
+    "features_pct_rank": (q_features_pct_rank, FEATURES_PCT_RANK_SQL),
     "features_robust_scale": (q_features_robust_scale, FEATURES_ROBUST_SCALE_SQL),
     "features_corr": (q_features_corr, FEATURES_CORR_SQL),
     "join_left_outer": (q_join_left_outer, JOIN_LEFT_OUTER_SQL),

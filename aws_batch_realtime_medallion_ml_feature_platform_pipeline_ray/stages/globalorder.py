@@ -36,12 +36,18 @@ def with_global_rank(
     *,
     descending: list[bool],
     rank_col: str = "rnk",
+    weight_col: str | None = None,
 ):
     """Return ``ds`` with an exact 1-based global row number by ``keys``.
 
     ``keys`` must be a candidate key (no full duplicates across them) so
     the total order — and each block's first-row identity — is unique.
-    """
+
+    ``weight_col``: optional int64 column of row weights; the rank then
+    advances by each row's weight instead of 1 (``rank_col`` is
+    ``1 + Σ weights of strictly-smaller rows``) — the weighted prefix
+    that turns a distinct-value/count table into per-value MIN ranks of
+    the underlying row population (exact distributed ECDF)."""
     s = ds.sort(keys, descending=descending).materialize()
 
     def block_stat(t: pa.Table) -> pa.Table:
@@ -52,10 +58,15 @@ def with_global_rank(
                     "__cnt": pa.array([], pa.int64()),
                 }
             )
+        cnt = (
+            t.num_rows
+            if weight_col is None
+            else int(np.asarray(t[weight_col].combine_chunks()).sum())
+        )
         return pa.table(
             {
                 **{k: t[k].slice(0, 1) for k in keys},
-                "__cnt": pa.array([t.num_rows], pa.int64()),
+                "__cnt": pa.array([cnt], pa.int64()),
             }
         )
 
@@ -90,10 +101,12 @@ def with_global_rank(
                 f"global-rank block boundary drift: no offset for {first}"
             )
         base = off_by_first[first]
-        return t.append_column(
-            rank_col,
-            pa.array(base + 1 + np.arange(t.num_rows, dtype=np.int64)),
-        )
+        if weight_col is None:
+            local = np.arange(t.num_rows, dtype=np.int64)
+        else:
+            w = np.asarray(t[weight_col].combine_chunks()).astype(np.int64)
+            local = np.concatenate(([0], np.cumsum(w)[:-1]))
+        return t.append_column(rank_col, pa.array(base + 1 + local))
 
     return s.map_batches(
         add_rank, batch_size=None, batch_format="pyarrow", zero_copy_batch=True

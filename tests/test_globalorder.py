@@ -106,3 +106,35 @@ def test_global_rank_adversarial_tiny_blocks(ray_session):
 
 def test_global_rank_multiblock_asc(ray_session):
     _rank_check(20_000, False, 11)
+
+
+def test_weighted_rank_equals_expanded_rank(ray_session):
+    """with_global_rank(weight_col) over a distinct-value/count table
+    gives each value exactly the min rank its expanded row population
+    would get from the unweighted ranker."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.globalorder import (
+        with_global_rank,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = rng.choice(np.arange(100, dtype=np.int64), size=40, replace=False)
+    cnts = rng.integers(1, 9, size=len(vals)).astype(np.int64)
+    tbl = pd.DataFrame({"v": vals, "cnt": cnts})
+    ds = rd.from_pandas(tbl).repartition(5)
+    got = (
+        with_global_rank(ds, ["v"], descending=[False], rank_col="r",
+                         weight_col="cnt")
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    order = np.argsort(vals)
+    expect_min_rank = {}
+    acc = 0
+    for i in order:
+        expect_min_rank[vals[i]] = acc + 1
+        acc += cnts[i]
+    assert got["r"].tolist() == [expect_min_rank[v] for v in got["v"]]
