@@ -42,3 +42,18 @@ def div_trunc(a: np.ndarray, b: int) -> np.ndarray:
         raise ValueError(f"div_trunc requires positive divisor, got {b}")
     a = np.asarray(a)
     return np.where(a >= 0, a // b, -((-a) // b))
+
+
+def f64_order_key(x: np.ndarray) -> np.ndarray:
+    """Order-preserving int64 bijection of float64: ``a < b`` as doubles
+    iff ``f64_order_key(a) < f64_order_key(b)`` as signed int64, and
+    equal doubles map to equal keys (−0.0 is normalized to +0.0 first so
+    the two zero encodings tie, matching SQL equality). The classic IEEE
+    total-order transform: non-negative doubles keep their bit pattern,
+    negative doubles flip all non-sign bits. NaNs are not supported
+    (they have no SQL ordering) — rejected loudly."""
+    x = np.asarray(x, dtype=np.float64)
+    if np.isnan(x).any():
+        raise ValueError("f64_order_key: NaN has no total order vs SQL")
+    i = (x + 0.0).view(np.int64)  # +0.0 normalizes -0.0
+    return np.where(i >= 0, i, i ^ np.int64(0x7FFFFFFFFFFFFFFF))

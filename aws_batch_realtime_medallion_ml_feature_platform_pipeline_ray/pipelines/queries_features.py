@@ -53,7 +53,7 @@ import pyarrow.compute as pc
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import cogroup_by_key, map_partitions_by_key
 from .queries_extra import NUM_PARTS, _docs
-from ..functions.numeric import round_half_away
+from ..functions.numeric import f64_order_key, round_half_away
 
 # --------------------------------------------------------------------------
 # Per-group z-score standardization (documents.n_chars by lang)
@@ -783,7 +783,11 @@ def q_features_pct_rank(sf_dir: str):
     exchange attaching ranks back to rows. The all-to-all moves only
     distinct values; rows move once by value key. Division happens once
     on exact-in-double integers, so the result is bit-equal to
-    ``percent_rank()``."""
+    ``percent_rank()``.
+
+    Values are keyed by :func:`f64_order_key` — an order-preserving
+    int64 bijection of the RAW double (not a quantization), so ties are
+    exactly double equality, matching the SQL window's ORDER BY."""
     from ..stages.globalorder import with_global_rank
     from ..stages.keyed import cogroup_by_key, fold_by_keys
 
@@ -792,32 +796,32 @@ def q_features_pct_rank(sf_dir: str):
     )
     n_rows = ds.count()  # parquet metadata
 
-    def cents_tag(t: pa.Table) -> pa.Table:
-        cents = round_half_away(
-            np.asarray(t["o_totalprice"].combine_chunks()) * 100.0
-        ).astype(np.int64)
+    def key_tag(t: pa.Table) -> pa.Table:
+        k = f64_order_key(np.asarray(t["o_totalprice"].combine_chunks()))
         return pa.table(
             {
                 "o_orderkey": t["o_orderkey"],
                 "o_totalprice": t["o_totalprice"],
-                "cents": pa.array(cents),
+                "vkey": pa.array(k),
             }
         )
 
-    rows = ds.map_batches(cents_tag, batch_format="pyarrow", zero_copy_batch=True)
+    rows = ds.map_batches(
+        key_tag, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed by two lineages below: read/tag once
 
     def distinct_partial(t: pa.Table) -> pa.Table:
-        u, c = np.unique(np.asarray(t["cents"].combine_chunks()), return_counts=True)
-        return pa.table({"cents": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+        u, c = np.unique(np.asarray(t["vkey"].combine_chunks()), return_counts=True)
+        return pa.table({"vkey": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
 
-    partials = rows.select_columns(["cents"]).map_batches(
+    partials = rows.select_columns(["vkey"]).map_batches(
         distinct_partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    distinct = fold_by_keys(partials, ["cents"], sums=("cnt",), num_parts=NUM_PARTS)
+    distinct = fold_by_keys(partials, ["vkey"], sums=("cnt",), num_parts=NUM_PARTS)
     ranked = with_global_rank(
-        distinct, ["cents"], descending=[False], rank_col="minrank",
+        distinct, ["vkey"], descending=[False], rank_col="minrank",
         weight_col="cnt",
-    ).select_columns(["cents", "minrank"])
+    ).select_columns(["vkey", "minrank"])
 
     def attach(left: pa.Table, right: pa.Table) -> pa.Table:
         if left.num_rows == 0:
@@ -828,13 +832,14 @@ def q_features_pct_rank(sf_dir: str):
                     "pct_rank": pa.array([], pa.float64()),
                 }
             )
-        rc = np.asarray(right["cents"].combine_chunks())
+        rc = np.asarray(right["vkey"].combine_chunks())
         rr = np.asarray(right["minrank"].combine_chunks())
         o = np.argsort(rc, kind="mergesort")
         rc, rr = rc[o], rr[o]
-        lc = np.asarray(left["cents"].combine_chunks())
+        lc = np.asarray(left["vkey"].combine_chunks())
         pos = np.searchsorted(rc, lc)
-        pct = (rr[pos] - 1) / (n_rows - 1)
+        # percent_rank() of a single-row input is defined as 0.0
+        pct = (rr[pos] - 1) / max(n_rows - 1, 1)
         return pa.table(
             {
                 "o_orderkey": left["o_orderkey"],
@@ -843,7 +848,7 @@ def q_features_pct_rank(sf_dir: str):
             }
         )
 
-    return cogroup_by_key(rows, ranked, "cents", attach, num_parts=NUM_PARTS)
+    return cogroup_by_key(rows, ranked, "vkey", attach, num_parts=NUM_PARTS)
 
 
 FEATURES_PCT_RANK_SQL = """

@@ -2051,7 +2051,7 @@ def q_events_cusum(sf_dir: str):
         csum = np.cumsum(cs)
         seg_start = np.concatenate(([0], starts))
         lens = np.diff(np.concatenate((seg_start, [n])))
-        seg_prefix = np.concatenate(([0], csum[starts - 1])) if n else cs
+        seg_prefix = np.concatenate(([0], csum[starts - 1]))
         run = csum - np.repeat(seg_prefix, lens)
         rn = np.arange(n, dtype=np.int64) - np.repeat(seg_start, lens) + 1
         # int64 headroom guard in Python ints (a np.int64 product wraps)

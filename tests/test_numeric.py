@@ -52,3 +52,30 @@ def test_div_trunc_matches_duckdb_for_negative_numerators():
     assert list(div_trunc(a, b)) == dd
     # numpy floor-division diverges on the negative half-open values
     assert list(a // b) != dd
+
+
+def test_f64_order_key_total_order_and_zero_tie():
+    import numpy as np
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.functions.numeric import (
+        f64_order_key,
+    )
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate(
+        [
+            rng.normal(0, 1e6, 50_000),
+            rng.uniform(-1e-300, 1e-300, 1000),
+            [-0.0, 0.0, np.inf, -np.inf, 1e308, -1e308],
+        ]
+    )
+    k = f64_order_key(x)
+    o = np.argsort(x, kind="mergesort")
+    xs, ks = x[o], k[o]
+    assert np.all(np.diff(ks) >= 0)
+    assert np.all((np.diff(xs) > 0) == (np.diff(ks) > 0))
+    assert f64_order_key(np.array([-0.0]))[0] == f64_order_key(np.array([0.0]))[0]
+    import pytest
+
+    with pytest.raises(ValueError):
+        f64_order_key(np.array([np.nan]))
