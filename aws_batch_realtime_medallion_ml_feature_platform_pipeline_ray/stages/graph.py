@@ -146,7 +146,15 @@ def connected_components(
         ln, lr = ln[order], lr[order]
         n = np.asarray(adj_part["node"].combine_chunks())
         nb = np.asarray(adj_part["nbr"].combine_chunks())
-        rep = lr[np.searchsorted(ln, n)]  # labels hold every adj node
+        pos = np.searchsorted(ln, n)
+        # labels must cover every adj node; a violated invariant would
+        # otherwise silently propagate a NEIGHBOR's rep (or IndexError)
+        if len(ln) == 0 or pos.max() >= len(ln) or not np.array_equal(ln[pos], n):
+            raise RuntimeError(
+                "connected-components invariant violated: labels table "
+                "is missing nodes present in the adjacency partition"
+            )
+        rep = lr[pos]
         return pa.table(
             {"node": pa.array(nb, pa.int64()), "rep": pa.array(rep, pa.int64())}
         )

@@ -235,7 +235,7 @@ def cogroup_by_key(
         for n, t in zip(sch.names, sch.types):
             types.setdefault(n, t)
 
-    def align(side: int, names_present: list[str]):
+    def align(side: int):
         def _align(t: pa.Table) -> pa.Table:
             n_rows = t.num_rows
             cols, out_names = [], []
@@ -252,8 +252,8 @@ def cogroup_by_key(
 
         return _align
 
-    lt = left.map_batches(align(0, l_names), batch_format="pyarrow")
-    rt = right.map_batches(align(1, r_names), batch_format="pyarrow")
+    lt = left.map_batches(align(0), batch_format="pyarrow")
+    rt = right.map_batches(align(1), batch_format="pyarrow")
     both = lt.union(rt)
 
     def run(group: pa.Table) -> pa.Table:
