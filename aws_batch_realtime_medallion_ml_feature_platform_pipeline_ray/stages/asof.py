@@ -45,8 +45,30 @@ class _SortedRight:
         self.t0 = t0
         rel = ts_i - t0
         self.span = int(rel.max()) + 2 if len(ts_i) else 1
+        n_keys = len(self.key_dict)
+        # same guard as functions/windows.adjusted_ts: a wrapped offset
+        # ramp would make ts_adj non-monotone and silently corrupt every
+        # searchsorted probe
+        if n_keys and (n_keys - 1) * self.span + (self.span - 1) >= 2**63:
+            raise OverflowError(
+                f"as-of segment-offset ramp would overflow int64: "
+                f"{n_keys} keys x span {self.span} us — split the right "
+                "side into narrower ts ranges or fewer keys per partition"
+            )
         self.ts_adj = rel + self.codes * self.span
         self.ts_sorted = ts_i  # plain sorted right ts, for nearest's distance pick
+        # duplicate (key, ts) right rows would make the attached value
+        # depend on Ray block arrival order (backward picks the last
+        # duplicate in input order, forward the first) — fail loudly
+        # instead of flaking the deterministic-output contract
+        if len(ts_i) > 1:
+            same = (self.codes[1:] == self.codes[:-1]) & (ts_i[1:] == ts_i[:-1])
+            if same.any():
+                raise ValueError(
+                    "as-of right side has duplicate (key, ts) rows — "
+                    "pre-aggregate the right side to one row per (key, ts) "
+                    "so the attached value is deterministic"
+                )
 
     def left_codes(self, left_keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
         idx = pc.index_in(left_keys, value_set=self.key_dict)
@@ -157,6 +179,12 @@ def asof_attach(
     (nulls when no right row with ts' <= ts exists — ts' >= ts for
     ``direction="forward"`` — or, with ``tolerance_us``, none within the
     staleness/horizon window)."""
+    clash = [c for c in attach_cols if c + suffix in left.column_names]
+    if clash:
+        raise ValueError(
+            f"asof_attach: attached column(s) {clash} collide with left "
+            "columns — pass a suffix to disambiguate"
+        )
     lts = np.asarray(left[left_ts].combine_chunks().cast(pa.int64()))
     pos = right_sorted.probe(
         left[left_key].combine_chunks(), lts, tolerance_us=tolerance_us,

@@ -64,14 +64,23 @@ def dedup_first(
     deterministic). Vectorized: lexsort + first-of-run mask."""
     if tbl.num_rows == 0:
         return tbl
+    k = len(key_cols)
     arrays = []
-    for c in key_cols + order_cols:
+    for i, c in enumerate(key_cols + order_cols):
         col = tbl[c].combine_chunks()
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            arrays.append(np.asarray(pc.dictionary_encode(col).indices).astype(np.int64))
+            enc = pc.dictionary_encode(col)
+            codes = np.asarray(enc.indices).astype(np.int64)
+            if i >= k:
+                # ORDER columns need value order, not first-appearance
+                # order: remap dictionary codes to sorted-value ranks
+                dic = np.asarray(enc.dictionary)
+                rank = np.empty(len(dic), np.int64)
+                rank[np.argsort(dic, kind="mergesort")] = np.arange(len(dic))
+                codes = rank[codes]
+            arrays.append(codes)
         else:
             arrays.append(np.asarray(col.cast(pa.int64())))
-    k = len(key_cols)
     # lexsort: last key is primary → reverse; sort by keys then order cols
     order = np.lexsort(tuple(reversed(arrays)))
     keys_sorted = [a[order] for a in arrays[:k]]
@@ -102,9 +111,11 @@ def gold_features_partition(tbl: pa.Table, cfg: GoldConfig = GoldConfig()) -> pa
     """Compute the full gold feature vector for one hash partition of
     transcript turns. Input columns: conv_id, ts, role, text, tool and
     (unless cfg.compute_turn_idx) turn_idx. Output: FIXTURES.md §3 layout,
-    sorted by (conv_id, ts, turn_idx)."""
+    grouped by conversation (in first-appearance order — NOT conv_id
+    value order) and sorted by (ts, turn_idx) within each conversation;
+    consumers needing a global order sort explicitly."""
     if tbl.num_rows == 0:
-        return _empty_gold(cfg)
+        return _empty_gold(cfg, tbl.schema)
 
     if cfg.dedup and not cfg.compute_turn_idx:
         order_cols = ["ts"] + (["ingest_ts"] if "ingest_ts" in tbl.column_names else [])
@@ -126,7 +137,12 @@ def gold_features_partition(tbl: pa.Table, cfg: GoldConfig = GoldConfig()) -> pa
     ts_adj = W.adjusted_ts(ts, seg_id, max_delta)
 
     text = tbl["text"].combine_chunks()
-    chars = np.asarray(pc.utf8_length(text).cast(pa.int64())).astype(np.float64)
+    # fill_null(0): one null text must not become NaN — the prefix-sum
+    # windowed_sum would poison chars_1h/avg_chars_7d for EVERY later row
+    # in the partition (and DuckDB's SUM skips NULLs, i.e. counts 0)
+    chars = np.asarray(
+        pc.utf8_length(text).cast(pa.int64()).fill_null(0)
+    ).astype(np.float64)
     role = tbl["role"].combine_chunks()
 
     l1, r1 = W.trailing_bounds(ts_adj, cfg.w_short)
@@ -202,7 +218,7 @@ def _ts_with_null(vals: np.ndarray) -> pa.Array:
     )
 
 
-def _empty_gold(cfg: GoldConfig) -> pa.Table:
+def _empty_gold(cfg: GoldConfig, src_schema: pa.Schema | None = None) -> pa.Table:
     names = ["conv_id", "turn_idx", "role", "tool"]
     types = [pa.string(), pa.int32(), pa.string(), pa.string()]
     if cfg.keep_text:
@@ -218,6 +234,13 @@ def _empty_gold(cfg: GoldConfig) -> pa.Table:
     names += ["lag1_ts", "lead1_ts", "gap_s", "session_id", "session_turn_idx"]
     types += [pa.timestamp("us"), pa.timestamp("us"), pa.float64(), pa.int64(),
               pa.int32()]
+    # passthrough columns must appear here too, or an empty partition's
+    # schema diverges from non-empty ones and the block union fails
+    for c in cfg.extra_passthrough:
+        names.append(c)
+        types.append(
+            src_schema.field(c).type if src_schema is not None else pa.string()
+        )
     return pa.table(
         {n: pa.array([], t) for n, t in zip(names, types)}
     )

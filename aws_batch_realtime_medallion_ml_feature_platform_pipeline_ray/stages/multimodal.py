@@ -51,14 +51,17 @@ class FakeDecoder:
     def __init__(self, kind: str):
         self.kind = kind
 
-    def checksum(self, data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    def checksum(
+        self, data: np.ndarray, offsets: np.ndarray, padded: np.ndarray | None = None
+    ) -> np.ndarray:
         """Per-item sum of payload bytes (vectorized over the whole batch:
-        one reduceat on the shared Arrow data buffer)."""
+        one reduceat on the shared Arrow data buffer). Pass ``padded``
+        (:func:`_pad64`) to share the one int64 copy with other kernels."""
         if len(offsets) <= 1:
             return np.zeros(0, dtype=np.int64)
         starts = offsets[:-1]
         sums = np.add.reduceat(
-            np.concatenate([data.astype(np.int64), [0]]),
+            padded if padded is not None else _pad64(data),
             np.minimum(starts, len(data)),
         )
         empty = offsets[1:] == starts
@@ -133,11 +136,12 @@ class MediaFeaturizer:
             if data_buf is not None
             else np.zeros(0, dtype=np.uint8)
         )
-        checksum = self.image.checksum(data, offsets)
+        padded = _pad64(data)  # ONE int64 copy shared by both kernels
+        checksum = self.image.checksum(data, offsets, padded=padded)
 
         lens = offsets[1:] - offsets[:-1]
         hdr_end = offsets[:-1] + np.minimum(lens, HEADER_BYTES)
-        hdr_sums = _range_sums(data, offsets[:-1], hdr_end)
+        hdr_sums = _range_sums(data, offsets[:-1], hdr_end, padded=padded)
         sampled = (np.asarray(batch["est_frames"].combine_chunks())
                    + self.frame_stride - 1) // self.frame_stride
         return pa.table(
@@ -152,7 +156,18 @@ class MediaFeaturizer:
         )
 
 
-def _range_sums(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+def _pad64(data: np.ndarray) -> np.ndarray:
+    """The int64 widening + sentinel pad both reduceat kernels need —
+    build once per batch and share (it is 8x the payload size)."""
+    return np.concatenate([data.astype(np.int64), [0]])
+
+
+def _range_sums(
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    padded: np.ndarray | None = None,
+) -> np.ndarray:
     """Per-range byte sums via one reduceat over interleaved bounds."""
     n = len(starts)
     if n == 0:
@@ -160,7 +175,8 @@ def _range_sums(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.nd
     bounds = np.empty(2 * n, dtype=np.int64)
     bounds[0::2] = starts
     bounds[1::2] = ends
-    padded = np.concatenate([data.astype(np.int64), [0]])
+    if padded is None:
+        padded = _pad64(data)
     sums = np.add.reduceat(padded, np.minimum(bounds, len(data)))[0::2]
     return np.where(ends == starts, 0, sums)
 

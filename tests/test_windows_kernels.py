@@ -6,6 +6,7 @@ distinct count with nulls, lag/lead nulls at segment edges, session gap edges.
 """
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.functions import windows as W
@@ -114,3 +115,108 @@ def test_empty():
     l, r = W.trailing_bounds(ts_adj, 10)
     assert len(W.windowed_count(l, r)) == 0
     assert len(W.windowed_distinct(seg, np.zeros(0, bool), l, r)) == 0
+
+
+def test_null_text_does_not_poison_windows():
+    """One null text must contribute 0 chars (SQL SUM-skips-NULL parity),
+    not NaN-poison every later row's prefix-sum windows."""
+    import pyarrow as pa
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.featurize import (
+        GoldConfig,
+        gold_features_partition,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c"] * 3),
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            "role": pa.array(["user"] * 3),
+            "text": pa.array(["ab", None, "cdef"], pa.string()),
+            "tool": pa.array([None] * 3, pa.string()),
+            "ts": pa.array([base + pd.Timedelta(minutes=i) for i in range(3)]),
+        }
+    )
+    out = gold_features_partition(tbl, GoldConfig(dedup=False)).to_pandas()
+    assert out["chars_1h"].tolist() == [2.0, 2.0, 6.0]
+    assert not out["avg_chars_7d"].isna().any()
+
+
+def test_dedup_first_string_order_col_uses_value_order():
+    import pyarrow as pa
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.featurize import (
+        dedup_first,
+    )
+
+    # 'r2' appears BEFORE 'r1' in input: value order must still pick 'r1'
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "run": pa.array(["r2", "r1"], pa.string()),
+            "v": pa.array([20, 10], pa.int64()),
+        }
+    )
+    out = dedup_first(tbl, ["k"], ["run"])
+    assert out["run"].to_pylist() == ["r1"]
+    assert out["v"].to_pylist() == [10]
+
+
+def test_empty_gold_carries_passthrough_schema():
+    import pyarrow as pa
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.featurize import (
+        GoldConfig,
+        gold_features_partition,
+    )
+
+    cfg = GoldConfig(dedup=False, extra_passthrough=("extra",))
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("extra", pa.int64()),
+        ]
+    )
+    empty = gold_features_partition(schema.empty_table(), cfg)
+    base = pd.Timestamp("2024-01-01")
+    nonempty = gold_features_partition(
+        pa.table(
+            {
+                "conv_id": pa.array(["c"]),
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": pa.array(["user"]),
+                "text": pa.array(["x"]),
+                "tool": pa.array([None], pa.string()),
+                "ts": pa.array([base]),
+                "extra": pa.array([7], pa.int64()),
+            }
+        ),
+        cfg,
+    )
+    assert empty.schema.names == nonempty.schema.names
+    pa.concat_tables([empty, nonempty])  # must not raise
+
+
+def test_asof_duplicate_key_ts_rejected_and_overflow_guard():
+    import pyarrow as pa
+    import pytest
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.asof import (
+        _SortedRight,
+    )
+
+    dup = pa.table(
+        {
+            "k": pa.array(["a", "a"]),
+            "ts": pa.array([100, 100], pa.timestamp("us")),
+            "v": pa.array([1, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        _SortedRight(dup, "k", "ts")
