@@ -79,6 +79,29 @@ def run_daily(
     split_root = os.path.join(datasets_root, "_splits")
     if os.path.isdir(split_root):
         shutil.rmtree(split_root)  # overwrite semantics (build_datasets.py:68)
+    if not files:
+        # empty lake / dt range matching no fragments: write empty
+        # datasets + metadata instead of crashing in read_parquet([])
+        counts = {}
+        for which in ("train", "validation", "inference"):
+            out_dir = os.path.join(datasets_root, which)
+            if os.path.isdir(out_dir):
+                shutil.rmtree(out_dir)
+            os.makedirs(out_dir, exist_ok=True)
+            counts[which] = 0
+        meta = {
+            "created_at": created_at,
+            "dt_range": [dt_start, dt_end],
+            "inference_dts": [],
+            "counts": counts,
+            "feature_version": feature_version,
+            "label": f"is_long := utf8_length(text) > {LABEL_THRESHOLD}",
+        }
+        meta_path = os.path.join(datasets_root, "metadata.json")
+        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=1)
+        return meta
     ds = read_parquet_sized(files)
 
     def drop_hive_part(t: pa.Table) -> pa.Table:

@@ -77,9 +77,15 @@ def normalize_bronze(batch: pa.Table, *, processed_at: str,
     idempotent resume of the atomic write + manifest protocol). Window
     misses are dropped either way: they are not errors, just out-of-slice."""
     t = batch
-    mask = pc.and_(
-        pc.and_(pc.is_valid(t["conv_id"]), pc.is_valid(t["turn_idx"])),
-        pc.greater(pc.utf8_length(t["text"]), 0),
+    # fill_null(False): a NULL text makes the predicate null, which the
+    # int8 cast would keep as null -> NaN, matching neither ==0 (reject
+    # count) nor ==1 (keep) — the row would vanish uncounted
+    mask = pc.fill_null(
+        pc.and_(
+            pc.and_(pc.is_valid(t["conv_id"]), pc.is_valid(t["turn_idx"])),
+            pc.greater(pc.utf8_length(t["text"]), 0),
+        ),
+        False,
     )
     if window is not None:
         lo, hi = (_coerce_ts(b) for b in window)
@@ -93,9 +99,12 @@ def normalize_bronze(batch: pa.Table, *, processed_at: str,
     if tag_invalid:
         if wmask is not None:
             t = t.filter(wmask)
-            mask = pc.and_(
-                pc.and_(pc.is_valid(t["conv_id"]), pc.is_valid(t["turn_idx"])),
-                pc.greater(pc.utf8_length(t["text"]), 0),
+            mask = pc.fill_null(
+                pc.and_(
+                    pc.and_(pc.is_valid(t["conv_id"]), pc.is_valid(t["turn_idx"])),
+                    pc.greater(pc.utf8_length(t["text"]), 0),
+                ),
+                False,
             )
         t = t.append_column(VALID_COL, pc.cast(mask, pa.int8()))
     else:
@@ -130,7 +139,10 @@ def run_stream(
     # fused pass can skip its own dedup step
     cfg = gold_cfg or GoldConfig(dedup=False)
 
-    done_silver = M.completed_partitions(silver_root, RUN_STAGE_SILVER, run_id)
+    # resume skip keyed on the FINAL (gold) stage manifest: a crash
+    # between the silver and gold manifest writes must rerun the
+    # partition end to end, or gold/online would stay permanently stale
+    done_silver = M.completed_partitions(gold_root, RUN_STAGE_GOLD, run_id)
 
     ds = read_parquet_sized(bronze_path)
     ds = ds.map_batches(
@@ -285,6 +297,14 @@ def write_gold_partition(gold_tbl: pa.Table, part_dir: str) -> list[str]:
 
     new_files: list[str] = []
     new_dts: set[str] = set()
+    # C8 durability: a full-history recompute must not resurrect dt=
+    # fragments a retention run already expired — honor the persisted
+    # cutoff so expiry sticks across later stream runs
+    cutoff = _retention_cutoff(os.path.dirname(part_dir))
+    if cutoff is not None and gold_tbl.num_rows:
+        gold_tbl = gold_tbl.filter(
+            _pc.greater_equal(gold_tbl["dt"], pa.scalar(cutoff))
+        )
     if gold_tbl.num_rows:
         dt_enc = _pc.dictionary_encode(gold_tbl["dt"].combine_chunks())
         codes = np.asarray(dt_enc.indices)
@@ -316,6 +336,28 @@ def write_gold_partition(gold_tbl: pa.Table, part_dir: str) -> list[str]:
         if os.path.basename(d)[3:] not in new_dts:
             shutil.rmtree(d)
     return new_files
+
+
+def _retention_cutoff(gold_root: str) -> str | None:
+    """The persisted retention cutoff (max keep_from_dt of all expire
+    runs), or None when no retention is configured."""
+    p = os.path.join(gold_root, "_retention.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("keep_from_dt")
+
+
+def _persist_retention_cutoff(gold_root: str, keep_from_dt: str) -> None:
+    cur = _retention_cutoff(gold_root)
+    if cur is not None and cur >= keep_from_dt:
+        return
+    os.makedirs(gold_root, exist_ok=True)
+    p = os.path.join(gold_root, "_retention.json")
+    tmp = p + f".tmp-{uuid_hex()[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"keep_from_dt": keep_from_dt}, f)
+    os.replace(tmp, p)
 
 
 def gold_dt_fragments(
@@ -352,6 +394,9 @@ def expire_gold_partitions(out_root: str, *, keep_from_dt: str) -> dict:
     import pyarrow.parquet as _pq
 
     gold_root = os.path.join(out_root, "gold")
+    # persist the cutoff FIRST so retention survives later full-history
+    # gold recomputes (write_gold_partition filters dt < cutoff)
+    _persist_retention_cutoff(gold_root, keep_from_dt)
     removed: list[dict] = []
     for d in sorted(glob.glob(os.path.join(gold_root, "part=*", "dt=*"))):
         dt = os.path.basename(d)[3:]
@@ -368,12 +413,16 @@ def expire_gold_partitions(out_root: str, *, keep_from_dt: str) -> dict:
         )
         shutil.rmtree(d)
     if removed:  # a no-op re-run must not overwrite the audit record
+        # unique run_id per invocation: a SECOND expire with the same
+        # cutoff (late backfill wrote new old-dt fragments) must append
+        # its audit, not overwrite the earlier one — reconcile_lake sums
+        # expired rows across all audits
         M.write_manifest(
             out_root,
             M.PartitionManifest(
                 stage="expire",
                 partition_key=f"before-{keep_from_dt}",
-                run_id=f"expire-{keep_from_dt}",
+                run_id=f"expire-{keep_from_dt}-{uuid_hex()[:8]}",
                 rows_out=sum(r["rows"] for r in removed),
                 extra={"keep_from_dt": keep_from_dt, "removed": removed},
             ),
@@ -747,6 +796,8 @@ def read_online(out_root: str) -> pa.Table:
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(out_root, "online", "part=*", "data.parquet")))
+    if not files:  # pre-bootstrap / wiped lake: empty typed table
+        return pa.table({f.name: pa.array([], f.type) for f in S.GOLD})
     return pa.concat_tables([pq.read_table(f) for f in files])
 
 
@@ -796,8 +847,12 @@ def bootstrap_lake(out_root: str) -> dict:
     with open(schema_path, "w") as f:
         json.dump(reg, f, indent=1)
     online_root = os.path.join(out_root, "online")
-    empty = pa.table({f.name: pa.array([], f.type) for f in S.GOLD})
-    M.atomic_write_table(empty, os.path.join(online_root, "part=00000", "data.parquet"))
+    # existence-guarded like _meta.json: re-running bootstrap on a
+    # populated lake must never wipe live online rows in partition 0
+    online_seed = os.path.join(online_root, "part=00000", "data.parquet")
+    if not os.path.exists(online_seed):
+        empty = pa.table({f.name: pa.array([], f.type) for f in S.GOLD})
+        M.atomic_write_table(empty, online_seed)
     meta_path = os.path.join(online_root, "_meta.json")
     if not os.path.exists(meta_path):
         with open(meta_path, "w") as f:

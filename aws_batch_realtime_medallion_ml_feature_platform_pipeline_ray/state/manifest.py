@@ -91,9 +91,16 @@ def backfill_targets(root: str, stage: str, late_min_ts: str) -> set[str]:
     backfill rerun. The reference parsed ``watermark_delay_minutes``
     (silver_and_gold.py:31) but never used it — here it bounds
     ``late_min_ts = window_start - watermark_delay``."""
+    from datetime import datetime
+
+    # parse both sides: manifests store str(datetime) with a SPACE
+    # separator while callers may pass ISO-8601 'T' — a lexicographic
+    # compare across the two formats silently skips same-day partitions
+    # (' ' < 'T')
+    bound = datetime.fromisoformat(late_min_ts)
     out = set()
     for m in load_manifests(root, stage):
-        if m.max_ts is not None and m.max_ts >= late_min_ts:
+        if m.max_ts is not None and datetime.fromisoformat(m.max_ts) >= bound:
             out.add(m.partition_key)
     return out
 
@@ -174,42 +181,37 @@ def snapshot_files(root: str, stage: str, as_of: float) -> list[str]:
     no data files opened; the returned list feeds ``read_parquet``
     directly."""
     compact_stage = f"{stage}_compact"
-    latest_compact: dict[str, PartitionManifest] = {}
+    compacts_by_part: dict[str, list[PartitionManifest]] = {}
     runs_by_part: dict[str, list[PartitionManifest]] = {}
     for m in load_manifests(root):
         if m.commit_ts > as_of:
             continue
         if m.stage == compact_stage:
-            cur = latest_compact.get(m.partition_key)
-            if cur is None or m.commit_ts > cur.commit_ts:
-                latest_compact[m.partition_key] = m
+            compacts_by_part.setdefault(m.partition_key, []).append(m)
         elif m.stage == stage:
             runs_by_part.setdefault(m.partition_key, []).append(m)
     files: list[str] = []
-    for part, runs in sorted(runs_by_part.items()):
-        comp = latest_compact.get(part)
-        if comp is not None:
-            files.extend(comp.files)
-            floor = comp.commit_ts
-            # the file set the rewrite actually read (recorded by
-            # compact_silver); empty on manifests from older lakes,
-            # which then fall back to the commit_ts floor alone
-            src = set(comp.extra.get("source_files", ()))
-        else:
-            floor = float("-inf")
-            src = set()
-        for m in runs:
-            if m.commit_ts > floor:
-                files.extend(m.files)
-            elif src:
-                # run committed at/before the rewrite's commit_ts but
-                # whose files the rewrite never coalesced (it landed
-                # while compaction was in flight): still part of every
-                # snapshot — only the coalesced files are superseded
-                files.extend(f for f in m.files if f not in src)
-    for part, comp in latest_compact.items():
-        if part not in runs_by_part:
-            files.extend(comp.files)
+    for part in sorted(set(runs_by_part) | set(compacts_by_part)):
+        comps = compacts_by_part.get(part, [])
+        # a file is superseded iff SOME compaction at/before as_of
+        # actually read it — the union over ALL such compactions, so a
+        # run coalesced by an EARLIER rewrite (whose own output a later
+        # rewrite coalesced in turn) stays superseded through the chain
+        superseded: set[str] = set()
+        floor_legacy = float("-inf")  # pre-source_files manifests:
+        for c in comps:               # fall back to their commit_ts floor
+            src = c.extra.get("source_files")
+            if src is None:
+                floor_legacy = max(floor_legacy, c.commit_ts)
+            else:
+                superseded.update(src)
+        if comps:
+            latest = max(comps, key=lambda c: c.commit_ts)
+            files.extend(latest.files)
+        for m in runs_by_part.get(part, []):
+            if m.commit_ts <= floor_legacy:
+                continue
+            files.extend(f for f in m.files if f not in superseded)
     missing = [f for f in files if not os.path.exists(f)]
     if missing:
         raise SnapshotUnavailableError(
