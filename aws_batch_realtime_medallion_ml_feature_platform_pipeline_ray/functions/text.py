@@ -165,9 +165,9 @@ def lang_id(text) -> pa.Array:
     return pa.array(best, pa.string())
 
 
-def lang_id_sql_case(col: str = "text") -> str:
-    """The DuckDB twin of lang_id(): hit counts per language then a
-    first-strictly-greater CASE chain."""
+def lang_id_sql_case(col: str = "text") -> tuple[str, str]:
+    """The DuckDB twin of lang_id(): returns (per-language hit-count
+    SELECT expressions, first-strictly-greater CASE chain)."""
     hit_exprs = {
         lang: (
             "len(list_filter(string_split("
@@ -267,17 +267,19 @@ def shingle_hashes(text, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     ).astype(np.uint64)
     n_docs = len(offsets) - 1
     lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
-    # k-gram hash: mix(h_i, h_{i+1}, ..., h_{i+k-1}) with position salts;
-    # short docs (< k tokens) keep one window starting at position 0
+    # k-gram hash: mix(h_i, h_{i+1}, ..., h_{i+k-1}) with position salts
     g = tok_hash.copy()
     acc = splitmix64(g)
     for j in range(1, k):
         shifted = np.roll(g, -j)
         acc = splitmix64(acc ^ splitmix64(shifted + np.uint64(j)))
-    # windows that would cross document boundaries are dropped below
+    # FULL windows only, like the md5 twin: a wrap-around window for a
+    # short doc (< k tokens) would mix in the NEXT document's token
+    # hashes via the roll, making the signature depend on batch
+    # composition — short docs contribute no shingles instead
     doc_id_per_tok = np.repeat(np.arange(n_docs), lens)
     pos_in_doc = np.arange(len(g)) - np.repeat(offsets[:-1].astype(np.int64), lens)
-    keep = pos_in_doc < np.maximum(np.repeat(lens, lens) - k + 1, 1)
+    keep = pos_in_doc <= np.repeat(lens, lens) - k
     sh = acc[keep]
     sh_doc = doc_id_per_tok[keep]
     new_offsets = np.concatenate(

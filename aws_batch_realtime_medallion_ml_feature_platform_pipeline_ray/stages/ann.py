@@ -15,7 +15,25 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from functools import partial
+
 from ..functions.numeric import round6
+
+
+def _final_topk_group(g: pa.Table, k: int) -> pa.Table:
+    """Per-query final top-k: lexsort (ties -> lower vec_id), rank, round
+    sims for oracle parity. Shared by brute-force / self-join / IVF."""
+    sims = np.asarray(g["sim"].combine_chunks())
+    vids = np.asarray(g["vec_id"].combine_chunks())
+    order = np.lexsort((vids, -sims))[:k]
+    out = g.take(pa.array(order))
+    out = out.append_column(
+        "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+    )
+    sims_r = round6(np.asarray(out["sim"].combine_chunks()))
+    return out.set_column(
+        out.schema.get_field_index("sim"), "sim", pa.array(sims_r)
+    )
 
 
 def _matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -40,6 +58,12 @@ class _TopKScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # Ray can deliver empty blocks
+            return pa.table(
+                {"q_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
         m = _normalize(_matrix(batch))
         ids = np.asarray(batch["vec_id"].combine_chunks())
         sims = self.q_mat @ m.T  # (n_q, n_batch)
@@ -77,19 +101,9 @@ def knn_bruteforce(ds, query_tbl: pa.Table, k: int = 3, concurrency=2):
         concurrency=concurrency,
     )
 
-    def final_topk(g: pa.Table) -> pa.Table:
-        sims = np.asarray(g["sim"].combine_chunks())
-        vids = np.asarray(g["vec_id"].combine_chunks())
-        order = np.lexsort((vids, -sims))[:k]  # ties: lower vec_id first
-        out = g.take(pa.array(order))
-        rank = pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
-        out = out.append_column("rank", rank)
-        sims_r = round6(np.asarray(out["sim"].combine_chunks()))
-        return out.set_column(
-            out.schema.get_field_index("sim"), "sim", pa.array(sims_r)
-        )
-
-    return cand.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
+    return cand.groupby("q_id").map_groups(
+        partial(_final_topk_group, k=k), batch_format="pyarrow"
+    )
 
 
 class _RadiusPartials:
@@ -103,6 +117,11 @@ class _RadiusPartials:
         self.centroids = ray.get(cent_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"list": pa.array([], pa.int64()),
+                 "min_cos": pa.array([], pa.float64())}
+            )
         m = _normalize(_matrix(batch))
         sims = m @ self.centroids.T
         lists = np.argmax(sims, axis=1)
@@ -128,6 +147,10 @@ class _IvfPairEmitter:
         self.centroids, self.pks_per_list = ray.get(state_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            empty = batch.slice(0, 0)
+            empty = empty.append_column("__list", pa.array([], pa.int64()))
+            return empty.append_column("pk", pa.array([], pa.int64()))
         m = _normalize(_matrix(batch))
         lists = np.argmax(m @ self.centroids.T, axis=1)
         parts = []
@@ -394,20 +417,9 @@ def knn_self_join(ds, k: int = 3, *, n_blocks: int = 4, num_parts: int = 8):
         num_parts=num_parts,
     )
 
-    def final_topk(g: pa.Table) -> pa.Table:
-        sims = np.asarray(g["sim"].combine_chunks())
-        vids = np.asarray(g["vec_id"].combine_chunks())
-        order = np.lexsort((vids, -sims))[:k]
-        out = g.take(pa.array(order))
-        out = out.append_column(
-            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
-        )
-        sims_r = round6(np.asarray(out["sim"].combine_chunks()))
-        return out.set_column(
-            out.schema.get_field_index("sim"), "sim", pa.array(sims_r)
-        )
-
-    return cand.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
+    return cand.groupby("q_id").map_groups(
+        partial(_final_topk_group, k=k), batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -451,6 +463,12 @@ class _IvfScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"q_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
         m = _normalize(_matrix(batch))
         ids = np.asarray(batch["vec_id"].combine_chunks())
         lists = np.argmax(m @ self.centroids.T, axis=1)
@@ -516,17 +534,6 @@ def knn_ivf(
         concurrency=concurrency,
     )
 
-    def final_topk(g: pa.Table) -> pa.Table:
-        sims = np.asarray(g["sim"].combine_chunks())
-        vids = np.asarray(g["vec_id"].combine_chunks())
-        order = np.lexsort((vids, -sims))[:k]
-        out = g.take(pa.array(order))
-        out = out.append_column(
-            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
-        )
-        sims_r = round6(np.asarray(out["sim"].combine_chunks()))
-        return out.set_column(
-            out.schema.get_field_index("sim"), "sim", pa.array(sims_r)
-        )
-
-    return cand.groupby("q_id").map_groups(final_topk, batch_format="pyarrow")
+    return cand.groupby("q_id").map_groups(
+        partial(_final_topk_group, k=k), batch_format="pyarrow"
+    )

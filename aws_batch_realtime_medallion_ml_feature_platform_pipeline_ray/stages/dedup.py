@@ -40,12 +40,15 @@ def minhash_signatures(sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         return out
     starts = offsets[:-1]
     empty = offsets[1:] == offsets[:-1]
-    starts_c = np.minimum(starts, len(sh) - 1)
+    ne = ~empty
+    # reduceat over NON-EMPTY docs only: clamping an out-of-range empty
+    # start to len-1 would otherwise truncate the PRECEDING doc's segment
+    # (its last shingle silently dropped from the minhash)
+    starts_ne = starts[ne]
     for i in range(N_PERMS):
         ph = splitmix64(sh ^ _SALTS[i])
-        mins = np.minimum.reduceat(ph, starts_c)
-        mins[empty] = np.iinfo(np.uint64).max
-        out[:, i] = mins
+        if len(starts_ne):
+            out[ne, i] = np.minimum.reduceat(ph, starts_ne)
     return out
 
 
@@ -335,7 +338,7 @@ def ngram_table(batch: pa.Table, k: int = 3) -> pa.Table:
     vectorized: flattened token array + element-wise joins of shifted
     views, boundary windows masked out."""
     import pyarrow.compute as pc
-    from ..functions.text import tokens_list, _flat_tokens
+    from ..functions.text import gram_explode, tokens_list, _flat_tokens
 
     toks = tokens_list(batch["text"].combine_chunks())
     flat, offsets = _flat_tokens(toks)
@@ -348,15 +351,8 @@ def ngram_table(batch: pa.Table, k: int = 3) -> pa.Table:
              "gram": pa.array([], pa.string()),
              "dn": pa.array([], pa.int64())}
         )
-    parts = [flat]
-    for j in range(1, k):
-        shifted = flat.slice(j).combine_chunks() if hasattr(flat.slice(j), "combine_chunks") else flat.slice(j)
-        pad = pa.array([""] * j, pa.string())
-        parts.append(pa.concat_arrays([shifted, pad]))
-    gram = pc.binary_join_element_wise(*parts, " ")
+    gram, _pos, _len_per_tok, keep = gram_explode(flat, offsets, k)
     doc_per_tok = np.repeat(np.arange(n_docs), lens)
-    pos = np.arange(n_tok) - np.repeat(offsets[:-1].astype(np.int64), lens)
-    keep = pos <= np.repeat(lens, lens) - k
     ids = np.asarray(batch["doc_id"].combine_chunks().cast(pa.int64()))
     _check_packable(ids)
     out = pa.table(
@@ -490,17 +486,23 @@ def simhash64(sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(sh) == 0:
         return out
-    starts = np.minimum(offsets[:-1], len(sh) - 1)
     lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    ne = lens > 0
+    # reduceat over NON-EMPTY docs only (see minhash_signatures): a
+    # clamped empty start would truncate the preceding doc's vote segment
+    # while lens still counts the full doc, flipping near-boundary bits
+    starts_ne = offsets[:-1][ne]
+    lens_ne = lens[ne]
     # 64 contiguous 1-D segmented sums, one per bit: an axis-0 reduceat
     # over the unpacked (n_tokens x 64) vote matrix is column-strided and
     # materializes 64x the hash bytes — measured ~500x slower than this
     # per-bit loop on memory-bandwidth-bound hosts
+    out_ne = np.zeros(len(starts_ne), dtype=np.uint64)
     for b in range(64):
         bit = ((sh >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-        votes = np.add.reduceat(bit, starts)
-        out |= np.uint64(1 << b) * (votes * 2 > lens).astype(np.uint64)
-    out[lens == 0] = 0
+        votes_ne = np.add.reduceat(bit, starts_ne)
+        out_ne |= np.uint64(1 << b) * (votes_ne * 2 > lens_ne).astype(np.uint64)
+    out[ne] = out_ne
     return out
 
 

@@ -177,7 +177,11 @@ def gold_partition_phase_a(tbl: pa.Table, cfg: GoldConfig) -> pa.Table:
     max_delta = max(cfg.w_short, cfg.w_distinct, cfg.w_long)
     ts_adj = W.adjusted_ts(ts, seg_id, max_delta)
     text = tbl["text"].combine_chunks()
-    chars = np.asarray(pc.utf8_length(text).cast(pa.int64())).astype(np.float64)
+    # fill_null(0): mirror featurize.py — one null text must not
+    # NaN-poison the prefix-sum windows of every later row in the shard
+    chars = np.asarray(
+        pc.utf8_length(text).cast(pa.int64()).fill_null(0)
+    ).astype(np.float64)
     role = tbl["role"].combine_chunks()
 
     l1, r1 = W.trailing_bounds(ts_adj, cfg.w_short)
@@ -558,11 +562,17 @@ def gold_features_salted(
     # it to parquet: the write streams with backpressure and frees blocks
     # as it goes; summaries come back via a column-pruned read (tiny
     # bytes), and the stitch map streams over the spool.
+    import atexit
+    import shutil
     import tempfile
 
     import ray.data as rd
 
     spool = tempfile.mkdtemp(prefix="salted_phase_a_", dir="/tmp")
+    # the returned dataset reads the spool lazily, so it cannot be
+    # deleted here — reclaim it at interpreter exit (a long-lived driver
+    # otherwise accumulates one gold-sized directory per salted run)
+    atexit.register(shutil.rmtree, spool, ignore_errors=True)
     phase_a.write_parquet(spool)
     summary_tbl = (
         rd.read_parquet(spool, columns=["conv_id", SHARD_COL, *_SUM_COLS])
@@ -579,15 +589,6 @@ def gold_features_salted(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-
-
-def _extract_summaries(batch: pa.Table) -> pa.Table:
-    mask = pc.and_(
-        pc.is_valid(batch["__sum_n_real"]),
-        pc.not_equal(batch[SHARD_COL], pa.scalar(int(NON_SALTED), pa.int64())),
-    )
-    cols = ["conv_id", SHARD_COL, *_SUM_COLS]
-    return batch.select(cols).filter(mask)
 
 
 def _extract_summaries_pruned(batch: pa.Table) -> pa.Table:

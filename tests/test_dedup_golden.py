@@ -212,3 +212,55 @@ def test_edit_distance_pairs_matches_reference(pairs):
     got = edit_distance_pairs(am, al, bm, bl)
     want = [_lev_ref(x, y) for x, y in pairs]
     assert list(got) == want
+
+
+def test_minhash_simhash_batch_composition_invariant():
+    """A doc's MinHash/SimHash signature must not change because an
+    EMPTY doc follows it in the batch (the clamped trailing reduceat
+    start used to truncate the preceding doc's segment)."""
+    import numpy as np
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.dedup import (
+        minhash_signatures,
+        simhash64,
+    )
+
+    rng = np.random.default_rng(9)
+    sh = rng.integers(0, 1 << 63, size=7, dtype=np.int64).astype(np.uint64)
+    # alone vs followed-by-empty vs surrounded: docA = sh[0:4], docB = sh[4:7]
+    alone = minhash_signatures(sh[:4], np.array([0, 4]))
+    with_tail_empty = minhash_signatures(sh[:4], np.array([0, 4, 4]))
+    assert np.array_equal(alone[0], with_tail_empty[0])
+    assert np.all(
+        with_tail_empty[1] == np.iinfo(np.uint64).max
+    )  # empty doc sentinel
+    mixed = minhash_signatures(sh, np.array([0, 4, 4, 7, 7]))
+    assert np.array_equal(mixed[0], alone[0])
+    assert np.array_equal(
+        mixed[2], minhash_signatures(sh[4:], np.array([0, 3]))[0]
+    )
+
+    s_alone = simhash64(sh[:4], np.array([0, 4]))
+    s_tail = simhash64(sh[:4], np.array([0, 4, 4]))
+    assert s_alone[0] == s_tail[0]
+    assert s_tail[1] == 0
+    s_mixed = simhash64(sh, np.array([0, 4, 4, 7, 7]))
+    assert s_mixed[0] == s_alone[0]
+    assert s_mixed[2] == simhash64(sh[4:], np.array([0, 3]))[0]
+
+
+def test_shingle_hashes_short_docs_batch_invariant():
+    """Docs with < k tokens contribute NO shingles (a wrap-around window
+    would mix the next document's tokens in, making the signature depend
+    on batch neighbors)."""
+    import pyarrow as pa
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.functions.text import (
+        shingle_hashes,
+    )
+
+    sh1, off1 = shingle_hashes(pa.array(["two words", "a much longer document here"]))
+    sh2, off2 = shingle_hashes(pa.array(["two words", "completely different text now ok"]))
+    # the short doc's shingle set is empty in BOTH batches
+    assert off1[1] - off1[0] == 0
+    assert off2[1] - off2[0] == 0
