@@ -17,12 +17,28 @@ import pyarrow as pa
 from .. import schema as S
 
 
+def _cast_bronze(t: pa.Table) -> pa.Table:
+    """Canonical BRONZE schema casts shared by the NDJSON and CSV
+    readers (timestamp-string detection + typed column pruning)."""
+    cols = {}
+    for f in S.BRONZE:
+        if f.name not in t.column_names:
+            continue
+        col = t[f.name]
+        if pa.types.is_timestamp(f.type) and pa.types.is_string(col.type):
+            col = col.cast(pa.timestamp("us"))
+        cols[f.name] = col.cast(f.type) if col.type != f.type else col
+    return pa.table(cols)
+
+
 def write_ndjson_gz(tbl: pa.Table, path: str, rows_per_file: int = 100_000) -> list[str]:
     """Write a table as gzip NDJSON files (bronze landing-zone format)."""
     os.makedirs(path, exist_ok=True)
     files = []
     n = tbl.num_rows
-    for i, start in enumerate(range(0, max(n, 1), rows_per_file)):
+    # n == 0 writes NO files (a zero-line .json.gz is unreadable by the
+    # Arrow JSON reader); the reader returns an empty typed dataset
+    for i, start in enumerate(range(0, n, rows_per_file)):
         chunk = tbl.slice(start, rows_per_file)
         fp = os.path.join(path, f"part-{i:05d}.json.gz")
         with gzip.open(fp, "wt") as f:
@@ -43,20 +59,11 @@ def read_ndjson_transcripts(path: str):
     (gzip is auto-detected from the .gz extension by the Arrow reader)."""
     import ray.data as rd
 
-    ds = rd.read_json(sorted(glob.glob(os.path.join(path, "*.json.gz"))))
-
-    def cast(t: pa.Table) -> pa.Table:
-        cols = {}
-        for f in S.BRONZE:
-            if f.name not in t.column_names:
-                continue
-            col = t[f.name]
-            if pa.types.is_timestamp(f.type) and pa.types.is_string(col.type):
-                col = col.cast(pa.timestamp("us"))
-            cols[f.name] = col.cast(f.type) if col.type != f.type else col
-        return pa.table(cols)
-
-    return ds.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+    files = sorted(glob.glob(os.path.join(path, "*.json.gz")))
+    if not files:  # empty landing zone: empty typed dataset, not a crash
+        return rd.from_arrow(S.BRONZE.empty_table())
+    ds = rd.read_json(files)
+    return ds.map_batches(_cast_bronze, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def write_csv(tbl: pa.Table, path: str, rows_per_file: int = 100_000) -> list[str]:
@@ -68,32 +75,32 @@ def write_csv(tbl: pa.Table, path: str, rows_per_file: int = 100_000) -> list[st
     for i, start in enumerate(range(0, max(n, 1), rows_per_file)):
         chunk = tbl.slice(start, rows_per_file).to_pandas()
         fp = os.path.join(path, f"part-{i:05d}.csv")
-        chunk.to_csv(fp, index=False, date_format="%Y-%m-%dT%H:%M:%S.%f")
+        import csv as _csv
+
+        # QUOTE_NONNUMERIC: empty STRINGS are written as "" (quoted)
+        # while None stays an unquoted empty field, so the reader's
+        # quoted_strings_can_be_null=False keeps the two distinct
+        chunk.to_csv(fp, index=False, date_format="%Y-%m-%dT%H:%M:%S.%f",
+                     quoting=_csv.QUOTE_NONNUMERIC)
         files.append(fp)
     return files
 
 
 def read_csv_transcripts(path: str):
-    """CSV → transcript Dataset with canonical schema casts. Empty fields
-    read as NULL (matching the writer's None encoding and DuckDB's
-    read_csv default), so the round trip is exact."""
+    """CSV → transcript Dataset with canonical schema casts. Unquoted
+    empty fields read as NULL while quoted "" stays an empty STRING
+    (matching the writer's quoting), so the round trip is exact — the
+    empty-text-vs-null distinction the fixtures inject survives."""
     import ray.data as rd
     from pyarrow import csv as pacsv
 
+    files = sorted(glob.glob(os.path.join(path, "*.csv")))
+    if not files:
+        return rd.from_arrow(S.BRONZE.empty_table())
     ds = rd.read_csv(
-        sorted(glob.glob(os.path.join(path, "*.csv"))),
-        convert_options=pacsv.ConvertOptions(strings_can_be_null=True),
+        files,
+        convert_options=pacsv.ConvertOptions(
+            strings_can_be_null=True, quoted_strings_can_be_null=False
+        ),
     )
-
-    def cast(t: pa.Table) -> pa.Table:
-        cols = {}
-        for f in S.BRONZE:
-            if f.name not in t.column_names:
-                continue
-            col = t[f.name]
-            if pa.types.is_timestamp(f.type) and pa.types.is_string(col.type):
-                col = col.cast(pa.timestamp("us"))
-            cols[f.name] = col.cast(f.type) if col.type != f.type else col
-        return pa.table(cols)
-
-    return ds.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(_cast_bronze, batch_format="pyarrow", zero_copy_batch=True)

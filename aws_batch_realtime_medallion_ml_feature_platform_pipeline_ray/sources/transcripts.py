@@ -125,6 +125,8 @@ def generate_transcripts(
         [f"conv_{conv_id_offset + i:08d}" for i in range(n_convs)], dtype=object
     )
     conv_str = conv_pool[conv_ids]
+    if n == 0:  # n_convs=0: empty typed BRONZE table, not an IndexError
+        return S.BRONZE.empty_table()
     boundaries = np.zeros(n, dtype=bool)
     boundaries[np.cumsum(sizes)[:-1]] = True
     boundaries[0] = True
@@ -177,11 +179,21 @@ def generate_transcripts(
         k = int(n * dup_frac)
         pick = rng.choice(n, k, replace=False)
         dup = tbl.take(pa.array(pick))
-        # duplicated rows arrive later with different text (dedup must keep first)
+        # duplicated rows arrive later AND carry different text, so a
+        # dedup keeping the wrong copy (keep-last) changes content-derived
+        # features — detectable by the oracle, not just by ingest_ts
         dup = dup.set_column(
             dup.schema.get_field_index("ingest_ts"),
             "ingest_ts",
             pc.add(dup["ingest_ts"], pa.scalar(120 * S.US_PER_S, pa.duration("us"))),
+        )
+        dup = dup.set_column(
+            dup.schema.get_field_index("text"),
+            "text",
+            pc.binary_join_element_wise(
+                dup["text"].combine_chunks().cast(pa.string()),
+                "redelivered", " ",
+            ).cast(dup.schema.field("text").type),
         )
         tbl = pa.concat_tables([tbl, dup])
     if null_frac > 0 or empty_text_frac > 0:

@@ -79,11 +79,14 @@ def skew_aware_join(
 
     ``join_fn(left_part, right_part) -> pa.Table`` must implement the
     per-partition inner join with a stable output schema (including for
-    empty inputs); it is used unchanged on BOTH paths, so the two paths
-    cannot diverge semantically.
+    empty inputs) and must be ROW-DECOMPOSABLE on the left: the hot path
+    feeds it per-batch left fragments while the cold path feeds whole
+    key groups, so per-group semantics (e.g. keep-latest-per-key before
+    joining) would emit per-batch results for hot keys — pre-aggregate
+    such semantics upstream instead.
 
-    ``hot_threshold``: keys with more than this many probe-side rows are
-    routed to the broadcast path. The hot set has at most
+    ``hot_threshold``: keys with AT LEAST this many probe-side rows are
+    routed to the broadcast path (>=). The hot set has at most
     ``probe_rows / hot_threshold`` keys — size it so that bound (and the
     matching build-side slice) comfortably fits the driver and every
     worker's heap.

@@ -83,10 +83,19 @@ def put_partition(
 
     if err_tbl.num_rows:
         err_name = f"run-{run_id}.parquet" if run_id else "data.parquet"
-        _write_table(
-            err_tbl,
-            os.path.join(online_root, "_errors", f"part={key}", err_name),
-        )
+        # the quarantine write gets the same retry + no-abort treatment
+        # as the main put: a transient failure here must not kill the
+        # partition task (the rows are already counted as errors)
+        for attempt in range(max_retries + 1):
+            try:
+                _write_table(
+                    err_tbl,
+                    os.path.join(online_root, "_errors", f"part={key}", err_name),
+                )
+                break
+            except OSError:
+                if attempt < max_retries:
+                    sleep(_no_sleep_backoff(attempt))
 
     dest = os.path.join(online_root, f"part={key}", "data.parquet")
     n_ok = ok_tbl.num_rows
