@@ -1422,7 +1422,170 @@ FROM __u
 DOCS_EPOCH_ORDER_SQL = _epoch_order_sql()
 
 
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval (Okapi BM25 top-k scoring against a fixed query)
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("data", "hash", "join")
+BM25_TOP_K = 20
+
+
+def q_docs_bm25(sf_dir: str):
+    """Okapi BM25 top-``BM25_TOP_K`` retrieval for a fixed keyword query
+    — the classic sparse-retrieval scorer (idf-weighted, length-
+    normalized tf saturation), ties broken by ``doc_id``.
+
+    Plan: pass 1 streams O(|query|) df partials plus the corpus token
+    total per batch (a few rows each — the token stream never leaves the
+    task); N comes from the parquet footer. idf/avgdl ride the closure
+    into pass 2, a ZERO-shuffle scoring map with a per-batch partial
+    top-k, so only O(k × blocks) candidate rows reach the final
+    single-block cut. Score arithmetic is the same IEEE expression in
+    the same order on both sides, rounded to 6 digits before ranking.
+    """
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ..functions.text import _flat_tokens, tokens_list
+
+    n_docs = int(pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows)
+    terms = list(BM25_QUERY)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, offsets = _flat_tokens(tokens_list(t["text"]))
+        n_rows = t.num_rows
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        dfs, tots = [], []
+        for i, term in enumerate(terms):
+            mask = np.asarray(pc.equal(flat, term).fill_null(False))
+            per_doc = np.bincount(
+                np.repeat(np.arange(n_rows, dtype=np.int64), lens)[mask],
+                minlength=n_rows,
+            )
+            dfs.append(int(np.count_nonzero(per_doc)))
+            tots.append(int(len(flat)) if i == 0 else 0)  # token total rides row 0
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "n_tok": pa.array(tots, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    stats = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("n_tok", alias_name="nt"))
+        .to_pandas()
+    )
+    df_by_term = dict(zip(stats["term"], stats["df"].astype(int)))
+    tot_tok = float(int(stats["nt"].sum()))
+    n_f = float(n_docs)
+    avgdl = tot_tok / n_f
+    idf = [
+        math.log((n_f - float(df_by_term[t]) + 0.5) / (float(df_by_term[t]) + 0.5) + 1.0)
+        for t in terms
+    ]
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        flat, offsets = _flat_tokens(tokens_list(t["text"]))
+        n_rows = t.num_rows
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        doc_pos = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        dl = lens.astype(np.float64)
+        score = np.zeros(n_rows, np.float64)
+        for i, term in enumerate(terms):
+            mask = np.asarray(pc.equal(flat, term).fill_null(False))
+            tf = np.bincount(doc_pos[mask], minlength=n_rows).astype(np.float64)
+            score += (
+                idf[i]
+                * (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            )
+        score = round6(score)
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        order = np.lexsort((ids, -score))[:BM25_TOP_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    cands = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final_cut(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks())
+        score = np.asarray(t["score"].combine_chunks())
+        order = np.lexsort((ids, -score))[:BM25_TOP_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(score[order], pa.float64()),
+                "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return cands.repartition(1).map_batches(
+        final_cut, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _bm25_term_sql(i: int, term: str) -> str:
+    """One term's BM25 contribution — same literals, same op order as the
+    numpy expression in :func:`q_docs_bm25`."""
+    return (
+        f"ln(((SELECT n FROM n) - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * ({BM25_K1} + 1.0))"
+        f" / (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl"
+        f" / ((SELECT t FROM t) / (SELECT n FROM n))))"
+    )
+
+
+DOCS_BM25_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+t AS (SELECT count(*)::DOUBLE AS t FROM tok),
+f AS (
+    SELECT doc_id,
+           count(*)::DOUBLE AS dl,
+           {", ".join(f"(count(*) FILTER (term = '{tm}'))::DOUBLE AS tf{i}" for i, tm in enumerate(BM25_QUERY))}
+    FROM tok GROUP BY 1
+),
+d AS (
+    SELECT {", ".join(f"(count(DISTINCT doc_id) FILTER (term = '{tm}'))::DOUBLE AS df{i}" for i, tm in enumerate(BM25_QUERY))}
+    FROM tok
+),
+s AS (
+    SELECT doc_id,
+           ROUND({" + ".join(_bm25_term_sql(i, tm) for i, tm in enumerate(BM25_QUERY))}, 6) AS score
+    FROM f, d
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+FROM s
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "docs_bm25": (q_docs_bm25, DOCS_BM25_SQL),
     "docs_global_rank": (q_docs_global_rank, DOCS_GLOBAL_RANK_SQL),
     "docs_epoch_order": (q_docs_epoch_order, DOCS_EPOCH_ORDER_SQL),
     "events_zorder": (q_events_zorder, EVENTS_ZORDER_SQL),

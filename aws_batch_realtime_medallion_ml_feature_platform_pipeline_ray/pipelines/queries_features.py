@@ -1450,7 +1450,122 @@ def q_join_semi_bloom(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# NTILE discretization (equal-frequency binning into k per-group tiles)
+# --------------------------------------------------------------------------
+
+NTILE_K = 4
+
+
+def q_events_ntile(sf_dir: str):
+    """``NTILE(4)`` of event values within each event type — the classic
+    equal-frequency discretizer (quartile bins whose first ``n % k``
+    tiles carry one extra row, exactly DuckDB/ANSI tile sizing).
+
+    Plan: ONE keyed exchange on ``event_type`` co-locates each type's
+    rows (same shape as ``features_rank``); inside each hash partition a
+    single segmented ``lexsort`` by ``(value, event_id)`` orders every
+    type at once, tile ids come from pure integer arithmetic on the
+    within-segment position, and the output collapses to per-(type, tile)
+    row counts + integer-cent value sums before leaving the partition —
+    the final groupby moves O(types × k × partitions) partial rows, never
+    data. Scale note: per-type total ordering inherently co-locates a
+    type; for a handful of mega-types compose
+    ``stages/globalorder.with_global_rank`` (range-partitioned sort +
+    block-offset scan) per type instead of the hash exchange — the tile
+    formula below is unchanged given (pos, n).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def ntile_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "tile": pa.array([], pa.int64()),
+                "pn": pa.array([], pa.int64()),
+                "pc": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        code = np.asarray(enc.indices).astype(np.int64)
+        eid = np.asarray(t["event_id"].combine_chunks())
+        val = np.asarray(t["value"].combine_chunks())
+        order = np.lexsort((eid, val, code))
+        cs, vs = code[order], val[order]
+        n = len(cs)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(cs)) + 1))
+        seg_len = np.diff(np.concatenate((starts, [n])))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
+        nseg = np.repeat(seg_len, seg_len)
+        q, r = nseg // NTILE_K, nseg % NTILE_K
+        big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+        tile = (
+            np.where(
+                pos < big,
+                pos // (q + 1),
+                r + (pos - big) // np.maximum(q, 1),
+            )
+            + 1
+        )
+        cents = round_half_away(vs * 100.0).astype(np.int64)
+        # collapse to per-(type, tile) partials before leaving the task
+        key = cs * (NTILE_K + 1) + tile
+        uniq, inv = np.unique(key, return_inverse=True)
+        pn = np.bincount(inv).astype(np.int64)
+        pcents = np.zeros(len(uniq), np.int64)
+        np.add.at(pcents, inv, cents)
+        return pa.table(
+            {
+                "event_type": enc.dictionary.take(
+                    pa.array(uniq // (NTILE_K + 1))
+                ).cast(pa.string()),
+                "tile": pa.array(uniq % (NTILE_K + 1), pa.int64()),
+                "pn": pa.array(pn),
+                "pc": pa.array(pcents),
+            }
+        )
+
+    partials = map_partitions_by_key(ds, "event_type", ntile_part, num_parts=NUM_PARTS)
+    out = partials.groupby(["event_type", "tile"]).aggregate(
+        Sum("pn", alias_name="n_rows"), Sum("pc", alias_name="sum_cents")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "tile": t["tile"],
+                "n_rows": t["n_rows"].cast(pa.int64()),
+                "sum_cents": t["sum_cents"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_NTILE_SQL = f"""
+WITH r AS (
+    SELECT event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           ntile({NTILE_K}) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+           ) AS tile
+    FROM events
+)
+SELECT event_type, CAST(tile AS BIGINT) AS tile,
+       count(*)::BIGINT AS n_rows, SUM(cents)::BIGINT AS sum_cents
+FROM r GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "events_ntile": (q_events_ntile, EVENTS_NTILE_SQL),
     "docs_winsorize": (q_docs_winsorize, DOCS_WINSORIZE_SQL),
     "join_semi_bloom": (q_join_semi_bloom, JOIN_SEMI_SQL),
     "features_group_median": (q_features_group_median, FEATURES_GROUP_MEDIAN_SQL),

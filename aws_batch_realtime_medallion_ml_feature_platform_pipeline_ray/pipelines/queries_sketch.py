@@ -331,7 +331,121 @@ HAVING count(*) * {HH_DENOM} >= (SELECT n_total FROM n)
 """
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch: point-frequency estimates with bounded memory
+# --------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+CMS_PROBES = ("the", "data", "merge", "vector", "spark")
+
+
+def _cms_buckets(h: np.ndarray) -> list[np.ndarray]:
+    """Row-r bucket = bits [16r, 16r+10) of the md5-lower-64 token hash —
+    four disjoint 16-bit windows of a uniform 64-bit hash give the d
+    independent-enough hash functions a CMS needs, and the window
+    extraction is pure shift/mask arithmetic on BOTH sides (no second
+    hash chain in SQL)."""
+    return [
+        ((h >> np.uint64(16 * r)) & np.uint64(CMS_W - 1)).astype(np.int64)
+        for r in range(CMS_D)
+    ]
+
+
+def q_docs_cms_tokens(sf_dir: str):
+    """Count-min sketch (d=4, w=1024) over the document token stream,
+    probed for ``CMS_PROBES`` — the mergeable point-frequency estimator
+    whose memory is a fixed d×w integer grid at ANY vocabulary size (the
+    third sketch family beside HyperLogLog and Misra-Gries; estimates
+    are exact-or-over, never under).
+
+    Scale shape: each batch collapses its tokens into ≤ d·w (cell,
+    count) partial rows — the token stream never shuffles; the only
+    exchange is the tiny cell groupby (≤ 4096 groups), and probing is a
+    driver-side O(d × |probes|) lookup on the folded grid. The oracle
+    twin reproduces the identical sketch in SQL (md5-lower-64 basis,
+    same bit windows), so the estimate itself is value-checked, not just
+    the plumbing."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import token_hashes_md5
+    from ..sources.reads import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        h, _off = token_hashes_md5(t["text"].combine_chunks())
+        if len(h) == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        cells = np.concatenate(
+            [r * CMS_W + b for r, b in enumerate(_cms_buckets(h))]
+        )
+        counts = np.bincount(cells, minlength=CMS_D * CMS_W).astype(np.int64)
+        used = np.flatnonzero(counts)
+        return pa.table(
+            {"cell": pa.array(used, pa.int64()), "c": pa.array(counts[used])}
+        )
+
+    grid_df = (
+        ds.map_batches(cms_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    grid = np.zeros(CMS_D * CMS_W, np.int64)
+    grid[grid_df["cell"].to_numpy()] = grid_df["c"].to_numpy()
+
+    import hashlib
+
+    out_terms, out_counts = [], []
+    for term in CMS_PROBES:
+        th = np.array(
+            [int.from_bytes(hashlib.md5(term.encode()).digest()[8:16], "little")],
+            np.uint64,
+        )
+        est = min(
+            int(grid[r * CMS_W + int(b[0])])
+            for r, b in enumerate(_cms_buckets(th))
+        )
+        out_terms.append(term)
+        out_counts.append(est)
+    return pa.table(
+        {
+            "term": pa.array(out_terms, pa.string()),
+            "cms_count": pa.array(out_counts, pa.int64()),
+        }
+    )
+
+
+DOCS_CMS_SQL = f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+rr AS (SELECT unnest([{", ".join(str(r) for r in range(CMS_D))}]) AS r),
+cells AS (
+    SELECT r,
+           ((md5_number_lower(term) >> (16 * r)) % {CMS_W})::BIGINT AS bucket,
+           count(*)::BIGINT AS c
+    FROM tok, rr GROUP BY 1, 2
+),
+probes AS (
+    SELECT term FROM (VALUES {", ".join(f"('{t}')" for t in CMS_PROBES)}) p(term)
+),
+pb AS (
+    SELECT term, r,
+           ((md5_number_lower(term) >> (16 * r)) % {CMS_W})::BIGINT AS bucket
+    FROM probes, rr
+)
+SELECT term, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS cms_count
+FROM pb LEFT JOIN cells USING (r, bucket)
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_hll_users": (q_events_hll_users, EVENTS_HLL_SQL),
     "docs_heavy_tokens": (q_docs_heavy_tokens, DOCS_HEAVY_TOKENS_SQL),
+    "docs_cms_tokens": (q_docs_cms_tokens, DOCS_CMS_SQL),
 }

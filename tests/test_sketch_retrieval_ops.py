@@ -1,0 +1,108 @@
+"""Semantic tests (beyond oracle parity) for the retrieval/discretizer/
+sketch additions:
+
+- events_ntile: DuckDB tile sizing on a hand-built 7-row group (first
+  n % k tiles get one extra row) and exhaustive size-invariants at
+  sf0.001 (tile sizes within a type differ by at most 1 and are
+  non-increasing with tile id).
+- docs_bm25: matches an independent pure-pandas BM25 reference
+  computation, and more query-term hits at equal length implies a
+  higher score.
+- docs_cms_tokens: count-min estimates are exact-or-over, never under
+  (the defining CMS guarantee).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ntile_hand_case_tile_sizes(ray_session, tmp_path):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_features import (
+        q_events_ntile,
+    )
+
+    # 7 rows, one type: DuckDB ntile(4) sizes are 2,2,2,1
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(7), pa.int64()),
+            "event_type": pa.array(["x"] * 7, pa.string()),
+            "value": pa.array([5.0, 1.0, 3.0, 2.0, 7.0, 6.0, 4.0], pa.float64()),
+            "ts": pa.array([pd.Timestamp("2024-01-01")] * 7),
+            "user_id": pa.array(np.zeros(7), pa.int64()),
+            "props": pa.array(["{}"] * 7, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_ntile(str(tmp_path)).to_pandas().sort_values("tile")
+    assert out["n_rows"].tolist() == [2, 2, 2, 1]
+    # tile 1 holds the two smallest values (1.0, 2.0) -> 300 cents
+    assert out["sum_cents"].tolist() == [300, 700, 1100, 700]
+
+
+def test_ntile_size_invariants_sf0001(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_features import (
+        NTILE_K,
+        q_events_ntile,
+    )
+
+    out = q_events_ntile(SF).to_pandas()
+    for _, g in out.groupby("event_type"):
+        sizes = g.sort_values("tile")["n_rows"].to_numpy()
+        assert len(sizes) <= NTILE_K
+        assert sizes.max() - sizes.min() <= 1
+        assert (np.diff(sizes) <= 0).all()  # big tiles come first
+        assert int(g["n_rows"].sum()) == int(sizes.sum())
+
+
+def test_bm25_matches_pandas_reference(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOP_K,
+        q_docs_bm25,
+    )
+
+    out = q_docs_bm25(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = docs["text"].str.split(" ")
+    n = float(len(docs))
+    dl = toks.str.len().astype(float)
+    avgdl = float(dl.sum()) / n
+    score = np.zeros(len(docs))
+    for term in BM25_QUERY:
+        tf = toks.apply(lambda ts: sum(1 for x in ts if x == term)).astype(float)
+        df = float((tf > 0).sum())
+        idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        score += idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+    ref = (
+        pd.DataFrame({"doc_id": docs["doc_id"], "score": np.round(score, 6)})
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(BM25_TOP_K)
+        .reset_index(drop=True)
+    )
+    got = out.sort_values("rk").reset_index(drop=True)
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert np.allclose(got["score"].to_numpy(), ref["score"].to_numpy(), atol=2e-6)
+
+
+def test_cms_never_underestimates(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_sketch import (
+        CMS_PROBES,
+        q_docs_cms_tokens,
+    )
+
+    out = q_docs_cms_tokens(SF).to_pandas().set_index("term")["cms_count"]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    exact = (
+        docs["text"].str.split(" ").explode().value_counts()
+    )
+    for term in CMS_PROBES:
+        assert int(out[term]) >= int(exact.get(term, 0))
