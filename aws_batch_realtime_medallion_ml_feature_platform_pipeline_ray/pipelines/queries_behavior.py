@@ -637,7 +637,89 @@ FROM c, tot
 """
 
 
+# --------------------------------------------------------------------------
+# Grouped mode (most frequent value per entity, deterministic ties)
+# --------------------------------------------------------------------------
+
+
+def q_events_mode_by_user(sf_dir: str):
+    """Modal ``event_type`` per user (the most frequent category, ties
+    broken by lexicographic type order) — the categorical "favorite
+    action" feature the aggregate family (sum/mean/median) can't
+    express: an argmax over per-group counts.
+
+    Plan: per-batch (user, type, count) partials collapse the stream
+    before it moves; ONE keyed exchange on ``user_id`` co-locates each
+    user's partial rows; per partition a single lexsort folds the
+    partials and picks each user's (max count, min type) row off segment
+    boundaries. The exchange moves O(distinct (user, type)) rows, never
+    events."""
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["user_id", "event_type"])
+            .aggregate([("event_type", "count")])
+        )
+        return g.rename_columns(["user_id", "event_type", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "mode_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        import pandas as pd
+
+        uid = np.asarray(part["user_id"].combine_chunks().cast(pa.int64()))
+        typ = np.asarray(
+            part["event_type"].combine_chunks().cast(pa.large_string())
+        )
+        c = np.asarray(part["c"].combine_chunks().cast(pa.int64()))
+        # fold the cross-batch partials: exact counts per (user, type)
+        inv, uniq = pd.factorize(
+            pd.MultiIndex.from_arrays([uid, typ]), sort=False
+        )
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, c)
+        u2 = uniq.get_level_values(0).to_numpy().astype(np.int64)
+        t2 = uniq.get_level_values(1).to_numpy()
+        order = np.lexsort((t2, -tot, u2))
+        us, ts_, cs = u2[order], t2[order], tot[order]
+        first = np.concatenate(([0], np.flatnonzero(np.diff(us)) + 1))
+        return pa.table(
+            {
+                "user_id": pa.array(us[first], pa.int64()),
+                "mode_type": pa.array(ts_[first], pa.string()),
+                "n": pa.array(cs[first], pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(partials, "user_id", pick, num_parts=NUM_PARTS)
+
+
+EVENTS_MODE_SQL = """
+WITH c AS (
+    SELECT user_id, event_type, count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type
+    ) AS rk FROM c
+)
+SELECT user_id, event_type AS mode_type, n FROM r WHERE rk = 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "events_mode_by_user": (q_events_mode_by_user, EVENTS_MODE_SQL),
     "events_retention": (q_events_retention, EVENTS_RETENTION_SQL),
     "events_ewma": (q_events_ewma, EVENTS_EWMA_SQL),
     "events_profile": (q_events_profile, EVENTS_PROFILE_SQL),

@@ -2096,7 +2096,138 @@ FROM r, g
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-group OLS trend fit (distributed linear regression from moments)
+# ---------------------------------------------------------------------------
+
+
+def q_events_ols_trend(sf_dir: str):
+    """Per-event-type ordinary-least-squares trend of value over time:
+    ``slope`` (cents/day) and ``intercept`` (cents at day 0) of the
+    regression of integer-cent values on integer epoch days — the
+    classic distributed model fit from sufficient statistics.
+
+    Plan: ZERO data shuffles — each batch collapses to O(types) moment
+    partials (n, Σx, Σy, Σxx, Σxy as int64 scatter-adds; days and cents
+    are small enough that per-batch int64 never overflows), one tiny
+    groupby folds them, and the closed-form solve runs on the O(types)
+    result with arbitrary-precision Python ints, so the normal-equation
+    numerators are EXACT before the one double division — mirrored by
+    HUGEINT arithmetic in the SQL twin (same final IEEE ops, round6)."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+                "sxx": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        day = np.asarray(t["ts"].combine_chunks().cast(pa.int64())) // _US_PER_DAY
+        cents = round_half_away(
+            np.asarray(t["value"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        code = np.asarray(enc.indices).astype(np.int64)
+        k = len(enc.dictionary)
+
+        def fold(vals: np.ndarray) -> np.ndarray:
+            out = np.zeros(k, np.int64)
+            np.add.at(out, code, vals)
+            return out
+
+        n = np.bincount(code, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": enc.dictionary.cast(pa.string()),
+                "n": pa.array(n),
+                "sx": pa.array(fold(day)),
+                "sy": pa.array(fold(cents)),
+                "sxx": pa.array(fold(day * day)),
+                "sxy": pa.array(fold(day * cents)),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def solve(t: pa.Table) -> pa.Table:
+        from ..functions.numeric import round6
+
+        types, ns, slopes, intercepts = [], [], [], []
+        for row in t.to_pylist():
+            # exact arbitrary-precision integers up to the one division
+            n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
+            sxx, sxy = int(row["sxx"]), int(row["sxy"])
+            num, den = n * sxy - sx * sy, n * sxx - sx * sx
+            slope = float(num) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            types.append(row["event_type"])
+            ns.append(n)
+            slopes.append(slope)
+            intercepts.append(intercept)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "slope_cents_per_day": pa.array(
+                    round6(np.array(slopes, np.float64)), pa.float64()
+                ),
+                "intercept_cents": pa.array(
+                    round6(np.array(intercepts, np.float64)), pa.float64()
+                ),
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        solve, batch_format="pyarrow", batch_size=None
+    )
+
+
+EVENTS_OLS_TREND_SQL = f"""
+WITH m AS (
+    SELECT event_type,
+           count(*)::HUGEINT AS n,
+           SUM((epoch_us(ts) // {_US_PER_DAY})::HUGEINT) AS sx,
+           SUM(CAST(ROUND(value * 100) AS HUGEINT)) AS sy,
+           SUM((epoch_us(ts) // {_US_PER_DAY})::HUGEINT
+               * (epoch_us(ts) // {_US_PER_DAY})::HUGEINT) AS sxx,
+           SUM((epoch_us(ts) // {_US_PER_DAY})::HUGEINT
+               * CAST(ROUND(value * 100) AS HUGEINT)) AS sxy
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT event_type, n,
+           (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE AS slope,
+           sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n::DOUBLE AS nd
+    FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(slope, 6) AS slope_cents_per_day,
+       ROUND((syd - slope * sxd) / nd, 6) AS intercept_cents
+FROM s
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "events_ols_trend": (q_events_ols_trend, EVENTS_OLS_TREND_SQL),
     "events_cusum": (q_events_cusum, EVENTS_CUSUM_SQL),
     "events_cooccurrence": (q_events_cooccurrence, EVENTS_COOCCURRENCE_SQL),
     "events_interarrival": (q_events_interarrival, EVENTS_INTERARRIVAL_SQL),

@@ -371,7 +371,90 @@ SELECT event_id, user_id, event_type, ts FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Rolling median: per-entity order-statistic ROWS window
+# ---------------------------------------------------------------------------
+
+ROLLMED_K = 5
+
+
+def q_events_rolling_median(sf_dir: str):
+    """Per-user rolling median of ``value`` over the last ``ROLLMED_K``
+    events (ROWS frame, ordered by ``ts, event_id``) — the robust
+    (outlier-immune) sibling of the rolling mean/sum family: an ORDER
+    STATISTIC over a sliding window, which prefix-sum tricks can't
+    compute.
+
+    Plan: ONE keyed exchange on ``user_id``; per partition, a single
+    lexsort orders every user's run, then the k window columns are built
+    as k shifted views masked at segment starts (NaN-padded) — an
+    (n × k) matrix sorted row-wise, so the median is two gathers + one
+    interpolation, fully vectorized for fixed small k. Median of an even
+    window mirrors DuckDB ``median()`` (``lower + (upper-lower)*0.5``);
+    both sides round to 6 digits to absorb any 1-ulp interpolation
+    drift on arbitrary doubles."""
+    from ..functions.numeric import round6
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def med_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "med5": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks().cast(pa.int64()))
+        val = np.asarray(t["value"].combine_chunks()).astype(np.float64)
+        order = np.lexsort((eid, ts, uid))
+        us, es, vs = uid[order], eid[order], val[order]
+        n = len(us)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(us)) + 1))
+        seg_len = np.diff(np.concatenate((starts, [n])))
+        seg_start_pos = np.repeat(starts, seg_len)
+        p = np.arange(n, dtype=np.int64)
+        cols = []
+        for j in range(ROLLMED_K):
+            idx = p - j
+            ok = idx >= seg_start_pos
+            cols.append(np.where(ok, vs[np.maximum(idx, 0)], np.nan))
+        win = np.sort(np.stack(cols, axis=1), axis=1)  # NaNs sort last
+        w = np.minimum(p - seg_start_pos + 1, ROLLMED_K)
+        rows = np.arange(n)
+        lower = win[rows, (w - 1) // 2]
+        upper = win[rows, w // 2]
+        med = round6(lower + (upper - lower) * 0.5)
+        return pa.table(
+            {
+                "event_id": pa.array(es),
+                "user_id": pa.array(us),
+                "med5": pa.array(med, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", med_part, num_parts=NUM_PARTS)
+
+
+EVENTS_ROLLING_MEDIAN_SQL = f"""
+SELECT event_id, user_id,
+       ROUND(median(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {ROLLMED_K - 1} PRECEDING AND CURRENT ROW
+       ), 6) AS med5
+FROM events
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "events_rolling_median": (q_events_rolling_median, EVENTS_ROLLING_MEDIAN_SQL),
     "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_SQL),
     "asof_join_nearest": (q_asof_join_nearest, ASOF_NEAREST_SQL),
     "features_cummax": (q_features_cummax, FEATURES_CUMMAX_SQL),

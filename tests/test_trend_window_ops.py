@@ -1,0 +1,74 @@
+"""Semantic tests (beyond oracle parity) for the trend/window/mode
+additions — each checked against an independent pandas/numpy reference:
+
+- events_rolling_median == pandas groupby.rolling(5, min_periods=1).median()
+- events_ols_trend slope/intercept == numpy lstsq fit on (day, cents)
+- events_mode_by_user == pandas per-user value_counts argmax with the
+  documented (count desc, type asc) tie policy
+"""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rolling_median_matches_pandas(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_temporal import (
+        ROLLMED_K,
+        q_events_rolling_median,
+    )
+
+    out = (
+        q_events_rolling_median(SF)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ref = (
+        ev.groupby("user_id")["value"]
+        .rolling(ROLLMED_K, min_periods=1)
+        .median()
+        .reset_index(level=0)
+    )
+    ref["event_id"] = ev["event_id"].to_numpy()
+    ref = ref.sort_values("event_id", ignore_index=True)
+    assert np.allclose(
+        out["med5"].to_numpy(), np.round(ref["value"].to_numpy(), 6), atol=2e-6
+    )
+
+
+def test_ols_trend_matches_lstsq(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_signals import (
+        _US_PER_DAY,
+        q_events_ols_trend,
+    )
+
+    out = q_events_ols_trend(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = (ev["ts"].astype("int64") // _US_PER_DAY).to_numpy(float)
+    cents = np.round(ev["value"].to_numpy() * 100.0)
+    for et, g in ev.groupby("event_type"):
+        m = ev["event_type"] == et
+        A = np.stack([day[m], np.ones(m.sum())], axis=1)
+        slope, intercept = np.linalg.lstsq(A, cents[m], rcond=None)[0]
+        assert np.isclose(out.loc[et, "slope_cents_per_day"], slope, atol=1e-4)
+        assert np.isclose(out.loc[et, "intercept_cents"], intercept, rtol=1e-6)
+        assert int(out.loc[et, "n"]) == int(m.sum())
+
+
+def test_mode_by_user_matches_pandas(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_behavior import (
+        q_events_mode_by_user,
+    )
+
+    out = q_events_mode_by_user(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for uid, g in ev.groupby("user_id"):
+        c = g["event_type"].value_counts()
+        best_n = int(c.max())
+        best_type = min(t for t, n in c.items() if n == best_n)
+        assert out.loc[uid, "mode_type"] == best_type
+        assert int(out.loc[uid, "n"]) == best_n
