@@ -322,6 +322,19 @@ def q_knn_ivf(sf_dir: str):
     )
 
 
+def q_knn_lsh(sf_dir: str):
+    """Random-hyperplane LSH top-k with a full-width probe ball
+    (probe_radius == n_bits) — exercises the training-free LSH bucket
+    scale path end-to-end while remaining exactly equal to brute force,
+    so it shares the KNN SQL oracle. Partial-radius recall is measured
+    in tests/test_ann_lsh.py."""
+    from ..stages.ann import knn_lsh
+
+    return knn_lsh(
+        _emb(sf_dir), _query_tbl(sf_dir), k=K, n_bits=6, probe_radius=6
+    )
+
+
 def _query_sample(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
@@ -1205,6 +1218,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_hard_negatives": (q_embedding_hard_negatives, HARD_NEGATIVES_SQL),
     "docs_dedup_semantic_audit": (q_docs_dedup_semantic_audit, _semantic_audit_sql()),
     "knn_ivf": (q_knn_ivf, KNN_SQL),
+    "knn_lsh": (q_knn_lsh, KNN_SQL),
 
     "knn_self": (q_knn_self, KNN_SELF_SQL),
     "embedding_triangles": (q_embedding_triangles, EMBEDDING_TRIANGLES_SQL),

@@ -453,7 +453,110 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-weighted average (trapezoidal integration per entity)
+# ---------------------------------------------------------------------------
+
+
+def q_events_twa(sf_dir: str):
+    """Per-user TIME-weighted average of ``value``: the trapezoidal
+    integral of the value curve over the user's observation span,
+    divided by the span — the standard irregular-sampling average
+    (sensor/price feeds) that a plain mean gets wrong when events
+    cluster. Users with zero span (a single event, or all ties) yield
+    NULL, mirroring SQL.
+
+    Plan: ONE keyed exchange on ``user_id``; per partition a single
+    lexsort orders every user's run, adjacent-pair trapezoid terms
+    ``(c_i + c_{i+1}) * dt_i`` accumulate per segment as EXACT int64
+    (integer cents x microsecond gaps; headroom-guarded), and the one
+    double division happens per user at the end — mirrored by HUGEINT
+    sums in the SQL twin, so the quotient is the same double."""
+    from ..functions.numeric import round6, round_half_away
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def twa_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "twa_cents": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks().cast(pa.int64()))
+        cents = round_half_away(
+            np.asarray(t["value"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        us, tss, cs = uid[order], ts[order], cents[order]
+        n = len(us)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(us)) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        seg_len = ends - starts
+        seg_id = np.repeat(np.arange(len(starts)), seg_len)
+        # adjacent-pair terms within a segment
+        pair = np.flatnonzero((seg_id[:-1] == seg_id[1:]))
+        dt = tss[pair + 1] - tss[pair]
+        csum = cs[pair] + cs[pair + 1]
+        span = tss[ends - 1] - tss[starts]
+        # a user's |num| is bounded by max|c_i + c_{i+1}| * span (the dt
+        # terms telescope to the span) — exact int64 iff that product fits
+        if len(pair) and int(np.abs(csum).max()) * int(span.max()) >= 2**63:
+            raise OverflowError(
+                "events_twa: trapezoid terms would overflow int64 — "
+                "rescale cents or split spans"
+            )
+        num = np.zeros(len(starts), np.int64)
+        np.add.at(num, seg_id[pair], csum * dt)
+        twa = np.full(len(starts), np.nan)
+        ok = span > 0
+        twa[ok] = round6(
+            num[ok].astype(np.float64) / (2 * span[ok]).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(us[starts], pa.int64()),
+                "n": pa.array(seg_len.astype(np.int64)),
+                "twa_cents": pa.array(twa, pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", twa_part, num_parts=NUM_PARTS)
+
+
+EVENTS_TWA_SQL = """
+WITH o AS (
+    SELECT user_id, epoch_us(ts) AS t,
+           CAST(ROUND(value * 100) AS HUGEINT) AS c,
+           lead(epoch_us(ts)) OVER w AS nt,
+           lead(CAST(ROUND(value * 100) AS HUGEINT)) OVER w AS nc
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+a AS (
+    SELECT user_id,
+           count(*)::BIGINT AS n,
+           SUM(CASE WHEN nt IS NOT NULL THEN (c + nc) * (nt - t) END) AS num,
+           (max(t) - min(t))::HUGEINT AS span
+    FROM o GROUP BY 1
+)
+SELECT user_id, n,
+       CASE WHEN span > 0
+            THEN ROUND(num::DOUBLE / (2 * span)::DOUBLE, 6) END AS twa_cents
+FROM a
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "events_twa": (q_events_twa, EVENTS_TWA_SQL),
     "events_rolling_median": (q_events_rolling_median, EVENTS_ROLLING_MEDIAN_SQL),
     "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_SQL),
     "asof_join_nearest": (q_asof_join_nearest, ASOF_NEAREST_SQL),

@@ -537,3 +537,120 @@ def knn_ivf(
     return cand.groupby("q_id").map_groups(
         partial(_final_topk_group, k=k), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: random-hyperplane (SimHash) codes + multi-probe
+# ---------------------------------------------------------------------------
+
+
+def lsh_hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian hyperplane matrix (dim x n_bits) for
+    random-hyperplane (cosine) LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_bits))
+
+
+def _lsh_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Integer bucket code per row: sign bits of the hyperplane
+    projections packed little-endian."""
+    bits = (m @ planes) > 0.0
+    return bits @ (1 << np.arange(planes.shape[1], dtype=np.int64))
+
+
+class _LshScorer:
+    """Per-batch LSH probe: code each batch row, then score each query
+    only against rows whose code lies within the query's probe set
+    (Hamming ball of radius ``probe_radius`` around the query's code).
+    Bucket loop over the batch's distinct codes; every inner step is a
+    numpy matmul — the IVF scorer's shape with hyperplane buckets."""
+
+    def __init__(self, state_ref, k: int):
+        import ray
+
+        self.q_ids, self.q_mat, self.planes, self.q_probe = ray.get(state_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"q_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        m = _normalize(_matrix(batch))
+        ids = np.asarray(batch["vec_id"].combine_chunks())
+        codes = _lsh_codes(m, self.planes)
+        out_q, out_v, out_s = [], [], []
+        for c in np.unique(codes):
+            probing = np.flatnonzero(self.q_probe[:, c])
+            members = np.flatnonzero(codes == c)
+            if not len(probing) or not len(members):
+                continue
+            sims = self.q_mat[probing] @ m[members].T
+            self_mask = ids[members][None, :] == self.q_ids[probing][:, None]
+            sims[self_mask] = -np.inf
+            k = min(self.k, sims.shape[1])
+            part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            out_q.append(np.repeat(self.q_ids[probing], k))
+            out_v.append(ids[members][part.reshape(-1)])
+            out_s.append(np.take_along_axis(sims, part, axis=1).reshape(-1))
+        if not out_q:
+            return empty
+        q = np.concatenate(out_q)
+        v = np.concatenate(out_v)
+        s = np.concatenate(out_s)
+        keep = np.isfinite(s)
+        return pa.table(
+            {"q_id": pa.array(q[keep]), "vec_id": pa.array(v[keep]),
+             "sim": pa.array(s[keep])}
+        )
+
+
+def knn_lsh(
+    ds,
+    query_tbl: pa.Table,
+    k: int = 3,
+    *,
+    n_bits: int = 6,
+    probe_radius: int = 1,
+    concurrency=2,
+    seed: int = 42,
+):
+    """Approximate cosine top-k via random-hyperplane LSH with
+    multi-probe: each query probes every bucket within Hamming distance
+    ``probe_radius`` of its own code. Exact when ``probe_radius >=
+    n_bits`` (every bucket probed). The scale path beside IVF: no
+    training pass at all — the quantizer is a seeded hyperplane draw, so
+    adding corpus shards never re-trains, and the probe table is a
+    (n_queries x 2^n_bits) boolean grid (n_bits stays small; raise
+    bucket count by sharding on a code PREFIX instead of widening the
+    ball)."""
+    import ray
+
+    q_ids = np.asarray(query_tbl["vec_id"].combine_chunks())
+    q_mat = _normalize(_matrix(query_tbl))
+    planes = lsh_hyperplanes(q_mat.shape[1], n_bits, seed=seed)
+    q_codes = _lsh_codes(q_mat, planes)
+    all_codes = np.arange(1 << n_bits, dtype=np.int64)
+    # popcount via byte-view lookup: Hamming distance of every bucket
+    # code to every query code, then the probe ball mask
+    xor = q_codes[:, None] ^ all_codes[None, :]
+    dist = np.zeros(xor.shape, np.int64)
+    for b in range(n_bits):
+        dist += (xor >> b) & 1
+    q_probe = dist <= probe_radius
+    state_ref = ray.put((q_ids, q_mat, planes, q_probe))
+
+    cand = ds.map_batches(
+        _LshScorer,
+        fn_constructor_args=(state_ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    return cand.groupby("q_id").map_groups(
+        partial(_final_topk_group, k=k), batch_format="pyarrow"
+    )

@@ -72,3 +72,22 @@ def test_mode_by_user_matches_pandas(ray_session):
         best_type = min(t for t, n in c.items() if n == best_n)
         assert out.loc[uid, "mode_type"] == best_type
         assert int(out.loc[uid, "n"]) == best_n
+
+
+def test_twa_matches_trapezoid_reference(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_temporal import (
+        q_events_twa,
+    )
+
+    out = q_events_twa(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        t = g["ts"].astype("int64").to_numpy(float)
+        c = np.round(g["value"].to_numpy() * 100.0)
+        span = t[-1] - t[0]
+        if span <= 0:
+            assert pd.isna(out.loc[uid, "twa_cents"])
+            continue
+        ref = np.trapz(c, t) / span
+        assert np.isclose(out.loc[uid, "twa_cents"], ref, rtol=1e-9)
+        assert int(out.loc[uid, "n"]) == len(g)
