@@ -726,7 +726,99 @@ FROM cov GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# BPE tokenizer-training merge step (adjacent-pair counting)
+# --------------------------------------------------------------------------
+
+BPE_TOP_K = 10
+
+
+def q_docs_bpe_merge(sf_dir: str):
+    """One BPE tokenizer-training merge step: count every adjacent
+    character pair inside every word of the corpus and rank the top
+    ``BPE_TOP_K`` merge candidates — the inner loop of byte-pair-encoding
+    vocabulary induction, run distributed.
+
+    Plan: ZERO data shuffles — each batch's token stream collapses to
+    (pair, count) partials via O(max word length) vectorized slice
+    kernels + one dictionary-encoded bincount (the pair space is bounded
+    by alphabet², not corpus size); a tiny pair groupby folds partials
+    and a single-block cut ranks the winners. Slices are
+    codepoint-based on both sides (pyarrow ``utf8_slice_codeunits`` /
+    SQL ``substr``), identical on this corpus's ASCII vocabulary."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import _flat_tokens, tokens_list
+    from ..sources.reads import read_parquet_sized
+
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair": pa.array([], pa.string()), "pn": pa.array([], pa.int64())}
+        )
+        flat, _off = _flat_tokens(tokens_list(t["text"]))
+        if len(flat) == 0:
+            return empty
+        lens = np.asarray(pc.utf8_length(flat).cast(pa.int64()))
+        max_len = int(lens.max())
+        chunks = []
+        for i in range(max(0, max_len - 1)):
+            sel = flat.filter(pa.array(lens >= i + 2))
+            if len(sel):
+                chunks.append(pc.utf8_slice_codeunits(sel, start=i, stop=i + 2))
+        if not chunks:
+            return empty
+        allp = pa.concat_arrays([c.cast(pa.large_string()) for c in chunks])
+        enc = pc.dictionary_encode(allp)
+        counts = np.bincount(
+            np.asarray(enc.indices), minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        return pa.table(
+            {"pair": enc.dictionary.cast(pa.string()), "pn": pa.array(counts)}
+        )
+
+    folded = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        pairs = np.asarray(t["pair"].combine_chunks().cast(pa.large_string()))
+        n = np.asarray(t["n"].combine_chunks().cast(pa.int64()))
+        order = np.lexsort((pairs, -n))[:BPE_TOP_K]
+        return pa.table(
+            {
+                "pair": pa.array(pairs[order], pa.string()),
+                "n": pa.array(n[order], pa.int64()),
+                "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return folded.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+DOCS_BPE_MERGE_SQL = f"""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+    SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+    FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM words)
+),
+c AS (SELECT pair, count(*)::BIGINT AS n FROM pairs GROUP BY 1)
+SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
+FROM c ORDER BY rk LIMIT {BPE_TOP_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "docs_bpe_merge": (q_docs_bpe_merge, DOCS_BPE_MERGE_SQL),
     "docs_chunk": (q_docs_chunk, DOCS_CHUNK_SQL),
     "docs_chunk_dedup": (q_docs_chunk_dedup, DOCS_CHUNK_DEDUP_SQL),
     "docs_boilerplate_ngrams": (q_docs_boilerplate_ngrams, DOCS_BOILERPLATE_SQL),

@@ -1153,7 +1153,105 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Band join: equi-key + value-band hybrid (|Δvalue| <= band within key)
+# --------------------------------------------------------------------------
+
+BAND_CENTS = 500  # |purchase - click| <= $5.00, in integer cents
+
+
+def q_events_band_join(sf_dir: str):
+    """Band join: for every purchase, the number of SAME-USER clicks
+    whose value lies within ±$5 — the equi-key + inequality-band hybrid
+    (big-big, no broadcast) that neither a pure equi-join nor the
+    interval ``range_join`` covers.
+
+    Plan: ONE keyed exchange on ``user_id`` co-locates both sides (they
+    share one pruned read); per partition, clicks sort once by
+    (user, cents) and collapse to a composite integer axis
+    ``code * stride + (cents - cmin + band)`` whose per-user blocks
+    cannot overlap (stride = span + 2·band + 1, overflow-guarded), so
+    every purchase's band count is two global ``searchsorted`` probes —
+    no per-user loop, no pair materialization. Band arithmetic is exact
+    integer cents on both sides."""
+    import pyarrow.dataset as pads
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=(pads.field("event_type") == "purchase")
+        | (pads.field("event_type") == "click"),
+    )
+
+    def band_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "n_close": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks().cast(pa.int64()))
+        typ = np.asarray(
+            pc.equal(t["event_type"].combine_chunks(), "purchase")
+        )
+        cents = round_half_away(
+            np.asarray(t["value"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        import pandas as pd
+
+        code, _uniq = pd.factorize(uid, sort=False)
+        code = code.astype(np.int64)
+        is_p = typ
+        is_c = ~typ
+        if not is_p.any():
+            return empty
+        cmin = int(cents.min())
+        span = int(cents.max()) - cmin
+        stride = span + 2 * BAND_CENTS + 1
+        n_codes = int(code.max()) + 1
+        if n_codes * stride >= 2**63:
+            raise OverflowError(
+                "events_band_join: composite axis would overflow int64"
+            )
+        ckey = np.sort(
+            code[is_c] * stride + (cents[is_c] - cmin + BAND_CENTS)
+        )
+        base = code[is_p] * stride + (cents[is_p] - cmin)
+        lo = np.searchsorted(ckey, base, side="left")
+        hi = np.searchsorted(ckey, base + 2 * BAND_CENTS, side="right")
+        return pa.table(
+            {
+                "event_id": pa.array(eid[is_p], pa.int64()),
+                "user_id": pa.array(uid[is_p], pa.int64()),
+                "n_close": pa.array((hi - lo).astype(np.int64)),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", band_part, num_parts=NUM_PARTS)
+
+
+EVENTS_BAND_JOIN_SQL = f"""
+WITH p AS (
+    SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS pc
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cc
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, count(c.cc)::BIGINT AS n_close
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id AND ABS(p.pc - c.cc) <= {BAND_CENTS}
+GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "events_band_join": (q_events_band_join, EVENTS_BAND_JOIN_SQL),
     "join_shuffle": (q_join_shuffle, JOIN_SHUFFLE_SQL),
     "join_multiway": (q_join_multiway, JOIN_MULTIWAY_SQL),
     "skew_join": (q_skew_join, SKEW_JOIN_SQL),
