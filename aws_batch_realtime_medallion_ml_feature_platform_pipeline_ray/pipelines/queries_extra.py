@@ -1584,7 +1584,98 @@ LIMIT {BM25_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Exact-k weighted sampling without replacement (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+
+WSAMPLE_K = 32
+WSAMPLE_SALT = 1013
+
+
+def q_docs_sample_weighted_k(sf_dir: str):
+    """Exactly-``WSAMPLE_K`` length-weighted sample WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each doc draws an exponential key
+    ``-ln(u)/w`` from a hash-deterministic uniform ``u`` and weight
+    ``w = n_chars``; the k SMALLEST keys are the sample — equivalent to
+    sequential weighted draws without replacement, but embarrassingly
+    parallel and re-run/partitioning stable (no RNG state, no
+    coordination — the property the keep-rate sampler
+    ``docs_sample_weighted`` has, now with an exact-k guarantee).
+
+    Plan: ZERO shuffles — per-batch local bottom-k, then a single-block
+    final cut moves O(k × blocks) rows. The uniform is
+    ``((splitmix64(doc_id + salt) >> 11) + 1) / 2^53`` (exact double in
+    (0, 1], identical bit arithmetic in the SQL twin); keys round to 6
+    digits before ranking to absorb the one libm ``ln`` call, ties
+    broken by doc_id."""
+    from ..stages.keyed import splitmix64
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "key": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        w = np.asarray(t["n_chars"].combine_chunks().cast(pa.int64())).astype(
+            np.float64
+        )
+        h = splitmix64(ids.astype(np.uint64) + np.uint64(WSAMPLE_SALT))
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / 9007199254740992.0
+        key = round6(-np.log(u) / w)
+        order = np.lexsort((ids, key))[:WSAMPLE_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(
+        local_bottomk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final_cut(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks())
+        key = np.asarray(t["key"].combine_chunks())
+        order = np.lexsort((ids, key))[:WSAMPLE_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "key": pa.array(key[order], pa.float64()),
+                "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return cands.repartition(1).map_batches(
+        final_cut, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _wsample_sql() -> str:
+    from .queries_relational import splitmix64_hash_sql
+
+    return f"""
+WITH {splitmix64_hash_sql('doc_id', 'documents', WSAMPLE_SALT, '__w')},
+k AS (
+    SELECT doc_id,
+           ROUND(-ln(((__wh >> 11) + 1)::DOUBLE / 9007199254740992.0)
+                 / n_chars::DOUBLE, 6) AS key
+    FROM __w5
+)
+SELECT doc_id, key,
+       CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rk
+FROM k ORDER BY key, doc_id LIMIT {WSAMPLE_K}
+"""
+
+
+DOCS_SAMPLE_WEIGHTED_K_SQL = _wsample_sql()
+
+
 REGISTRY: dict[str, tuple] = {
+    "docs_sample_weighted_k": (q_docs_sample_weighted_k, DOCS_SAMPLE_WEIGHTED_K_SQL),
     "docs_bm25": (q_docs_bm25, DOCS_BM25_SQL),
     "docs_global_rank": (q_docs_global_rank, DOCS_GLOBAL_RANK_SQL),
     "docs_epoch_order": (q_docs_epoch_order, DOCS_EPOCH_ORDER_SQL),

@@ -106,3 +106,21 @@ def test_cms_never_underestimates(ray_session):
     )
     for term in CMS_PROBES:
         assert int(out[term]) >= int(exact.get(term, 0))
+
+
+def test_weighted_k_sample_exact_k_and_length_bias(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        WSAMPLE_K,
+        q_docs_sample_weighted_k,
+    )
+
+    out = q_docs_sample_weighted_k(SF).to_pandas()
+    assert len(out) == WSAMPLE_K
+    assert out["doc_id"].is_unique
+    assert (np.diff(out.sort_values("rk")["key"].to_numpy()) >= 0).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id")
+    # ES keys ~ Exp(rate=w): long docs are more likely sampled — with this
+    # deterministic seed the sampled mean length exceeds the corpus mean
+    assert (
+        docs.loc[out["doc_id"], "n_chars"].mean() > docs["n_chars"].mean()
+    )
