@@ -555,7 +555,104 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# Daily resampling with LOCF (irregular events -> regular feature grid)
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def q_events_resample_daily(sf_dir: str):
+    """Resample each user's irregular event stream onto a REGULAR daily
+    grid (first..last active day) carrying the last observed value
+    forward — the gap-filling alignment step every daily feature
+    snapshot / training-matrix build needs before windowed aggregates
+    can assume one row per (entity, day). Ties within a day resolve to
+    the latest ``(ts, event_id)`` row, deterministically.
+
+    Plan: ONE keyed exchange on ``user_id``; per partition one lexsort
+    orders every user's run, the grid materializes as repeat/arange
+    integer arithmetic (output rows = Σ per-user day spans — the only
+    thing that grows), and LOCF is ONE global ``searchsorted`` on a
+    per-user-blocked composite day axis (grid days never leave their
+    user's block). Values pass through untouched — bit-exact by
+    construction."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def resample_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "value_locf": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks().cast(pa.int64()))
+        val = np.asarray(t["value"].combine_chunks()).astype(np.float64)
+        order = np.lexsort((eid, ts, uid))
+        us, tss, vs = uid[order], ts[order], val[order]
+        n = len(us)
+        day = tss // _US_PER_DAY
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(us)) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        seg_len = ends - starts
+        nseg = len(starts)
+        spans = day[ends - 1] - day[starts] + 1
+        total = int(spans.sum())
+        seg_of_grid = np.repeat(np.arange(nseg, dtype=np.int64), spans)
+        gstart = np.concatenate(([0], np.cumsum(spans)[:-1]))
+        offs = np.arange(total, dtype=np.int64) - np.repeat(gstart, spans)
+        grid_day = np.repeat(day[starts], spans) + offs
+        stride = int(day.max()) + 1
+        if nseg * stride >= 2**63:
+            raise OverflowError(
+                "events_resample_daily: composite day axis would overflow"
+            )
+        seg_id_ev = np.repeat(np.arange(nseg, dtype=np.int64), seg_len)
+        ekey = seg_id_ev * stride + day  # sorted: seg asc, day asc within
+        gkey = seg_of_grid * stride + grid_day
+        pos = np.searchsorted(ekey, gkey, side="right") - 1
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(us[starts], spans), pa.int64()),
+                "day": pa.array(grid_day, pa.int64()),
+                "value_locf": pa.array(vs[pos], pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", resample_part, num_parts=NUM_PARTS)
+
+
+EVENTS_RESAMPLE_SQL = f"""
+WITH ev AS (
+    SELECT user_id, (epoch_us(ts) // {_US_PER_DAY})::BIGINT AS day,
+           ts, event_id, value
+    FROM events
+),
+lastd AS (
+    SELECT user_id, day, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM ev
+    ) WHERE rn = 1
+),
+b AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM ev GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS day FROM b)
+SELECT g.user_id, g.day::BIGINT AS day, l.value AS value_locf
+FROM grid g ASOF LEFT JOIN lastd l
+  ON g.user_id = l.user_id AND g.day >= l.day
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "events_resample_daily": (q_events_resample_daily, EVENTS_RESAMPLE_SQL),
     "events_twa": (q_events_twa, EVENTS_TWA_SQL),
     "events_rolling_median": (q_events_rolling_median, EVENTS_ROLLING_MEDIAN_SQL),
     "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_SQL),

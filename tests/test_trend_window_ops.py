@@ -91,3 +91,22 @@ def test_twa_matches_trapezoid_reference(ray_session):
         ref = np.trapz(c, t) / span
         assert np.isclose(out.loc[uid, "twa_cents"], ref, rtol=1e-9)
         assert int(out.loc[uid, "n"]) == len(g)
+
+
+def test_resample_daily_matches_pandas_locf(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_temporal import (
+        q_events_resample_daily,
+    )
+
+    out = q_events_resample_daily(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    for uid, g in ev.groupby("user_id"):
+        got = out[out.user_id == uid].sort_values("day")
+        # contiguous grid covering [first, last] active day
+        assert got["day"].tolist() == list(
+            range(int(g["day"].min()), int(g["day"].max()) + 1)
+        )
+        daily_last = g.groupby("day")["value"].last()
+        ref = daily_last.reindex(got["day"]).ffill()
+        assert np.array_equal(got["value_locf"].to_numpy(), ref.to_numpy())
