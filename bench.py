@@ -66,7 +66,7 @@ def _first_touch_probe(gb: float = 1.0) -> float:
     return round(gb / dt, 3)
 
 
-def run_suite(sf_dir: str, num_cpus: int) -> dict:
+def run_suite(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     import ray
 
     probe = _first_touch_probe()
@@ -85,6 +85,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     )
 
     reg = full_registry()
+    if only:
+        names = [n for n in reg if only in n]
+        if not names:
+            raise SystemExit(f"--query {only!r} matches no registered pipeline")
+        reg = {n: reg[n] for n in names}
     timings: dict[str, float] = {}
     # Steady-state warm-up, untimed: spawn the executor/worker pool AND run
     # the heaviest pipeline once so the plasma arena is faulted to near its
@@ -93,7 +98,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # job is always at steady state, so charging arena page faults to the
     # first timed query would measure the hypervisor, not the engine.
     read_events_as_transcripts(sf_dir).count()
-    _consume(reg["gold_features"][0](sf_dir))
+    warm = "gold_features" if "gold_features" in reg else sorted(reg)[0]
+    _consume(reg[warm][0](sf_dir))
 
     n_turns = 0
     total0 = time.perf_counter()
@@ -121,6 +127,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "headline_turns_per_sec": (
             round(n_turns / timings["gold_features"]) if n_turns else None
         ),
+        **({"query_filter": only} if only else {}),
     }
 
 
@@ -330,6 +337,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=SCALING_REPS)
     ap.add_argument("--input", default=None)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--query", default=None,
+                    help="substring filter: time only matching pipelines")
     args = ap.parse_args()
 
     if args._child:
@@ -344,7 +353,7 @@ def main() -> None:
 
     import ray
 
-    result = run_suite(args.sf_dir, args.num_cpus)
+    result = run_suite(args.sf_dir, args.num_cpus, only=args.query)
     print(json.dumps(result))
     ray.shutdown()
 
