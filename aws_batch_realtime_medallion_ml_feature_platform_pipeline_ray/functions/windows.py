@@ -40,6 +40,7 @@ import numpy as np
 
 __all__ = [
     "segment_starts",
+    "segment_bounds",
     "segment_ids",
     "adjusted_ts",
     "trailing_bounds",
@@ -71,6 +72,24 @@ def segment_ids(seg_start: np.ndarray) -> np.ndarray:
     if len(seg_start) == 0:
         return np.zeros(0, dtype=np.int64)
     return np.cumsum(seg_start, dtype=np.int64) - 1
+
+
+def segment_bounds(
+    sorted_keys: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(starts, ends, lengths) index arrays of each run of equal keys in an
+    already-sorted array — the one shared definition of the
+    ``concatenate(([0], flatnonzero(diff)+1))`` boundary idiom the keyed
+    per-partition kernels all rely on."""
+    n = len(sorted_keys)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    starts = np.concatenate(
+        ([0], np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1)
+    ).astype(np.int64)
+    ends = np.concatenate((starts[1:], [n])).astype(np.int64)
+    return starts, ends, ends - starts
 
 
 def adjusted_ts(ts: np.ndarray, seg_id: np.ndarray, max_delta: int) -> np.ndarray:

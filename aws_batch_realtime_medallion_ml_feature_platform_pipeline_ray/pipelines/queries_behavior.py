@@ -690,9 +690,11 @@ def q_events_mode_by_user(sf_dir: str):
         np.add.at(tot, inv, c)
         u2 = uniq.get_level_values(0).to_numpy().astype(np.int64)
         t2 = uniq.get_level_values(1).to_numpy()
+        from ..functions.windows import segment_bounds
+
         order = np.lexsort((t2, -tot, u2))
         us, ts_, cs = u2[order], t2[order], tot[order]
-        first = np.concatenate(([0], np.flatnonzero(np.diff(us)) + 1))
+        first, _ends, _lens = segment_bounds(us)
         return pa.table(
             {
                 "user_id": pa.array(us[first], pa.int64()),

@@ -1622,6 +1622,12 @@ def q_docs_sample_weighted_k(sf_dir: str):
         w = np.asarray(t["n_chars"].combine_chunks().cast(pa.int64())).astype(
             np.float64
         )
+        # zero/negative-weight docs are never sampled (the SQL twin filters
+        # them the same way — -ln(u)/0 would be inf here but NULL in SQL)
+        pos = w > 0.0
+        ids, w = ids[pos], w[pos]
+        if not len(ids):
+            return empty
         h = splitmix64(ids.astype(np.uint64) + np.uint64(WSAMPLE_SALT))
         u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / 9007199254740992.0
         key = round6(-np.log(u) / w)
@@ -1663,7 +1669,7 @@ k AS (
     SELECT doc_id,
            ROUND(-ln(((__wh >> 11) + 1)::DOUBLE / 9007199254740992.0)
                  / n_chars::DOUBLE, 6) AS key
-    FROM __w5
+    FROM __w5 WHERE n_chars > 0
 )
 SELECT doc_id, key,
        CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS rk

@@ -1496,11 +1496,12 @@ def q_events_ntile(sf_dir: str):
         code = np.asarray(enc.indices).astype(np.int64)
         eid = np.asarray(t["event_id"].combine_chunks())
         val = np.asarray(t["value"].combine_chunks())
+        from ..functions.windows import segment_bounds
+
         order = np.lexsort((eid, val, code))
         cs, vs = code[order], val[order]
         n = len(cs)
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(cs)) + 1))
-        seg_len = np.diff(np.concatenate((starts, [n])))
+        starts, _ends, seg_len = segment_bounds(cs)
         pos = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_len)
         nseg = np.repeat(seg_len, seg_len)
         q, r = nseg // NTILE_K, nseg % NTILE_K

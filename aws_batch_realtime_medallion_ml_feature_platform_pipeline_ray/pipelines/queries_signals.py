@@ -2177,22 +2177,29 @@ def q_events_ols_trend(sf_dir: str):
             n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
             sxx, sxy = int(row["sxx"]), int(row["sxy"])
             num, den = n * sxy - sx * sy, n * sxx - sx * sx
-            slope = float(num) / float(den)
-            intercept = (float(sy) - slope * float(sx)) / float(n)
+            if den == 0:
+                # degenerate fit (one event, or all of a type on one day):
+                # DuckDB's DOUBLE/0.0 is NULL — mirror it instead of raising
+                slope = intercept = None
+            else:
+                slope = float(num) / float(den)
+                intercept = (float(sy) - slope * float(sx)) / float(n)
             types.append(row["event_type"])
             ns.append(n)
             slopes.append(slope)
             intercepts.append(intercept)
+        def r6(vals):
+            return [
+                None if v is None else float(round6(np.array([v]))[0])
+                for v in vals
+            ]
+
         return pa.table(
             {
                 "event_type": pa.array(types, pa.string()),
                 "n": pa.array(ns, pa.int64()),
-                "slope_cents_per_day": pa.array(
-                    round6(np.array(slopes, np.float64)), pa.float64()
-                ),
-                "intercept_cents": pa.array(
-                    round6(np.array(intercepts, np.float64)), pa.float64()
-                ),
+                "slope_cents_per_day": pa.array(r6(slopes), pa.float64()),
+                "intercept_cents": pa.array(r6(intercepts), pa.float64()),
             }
         )
 

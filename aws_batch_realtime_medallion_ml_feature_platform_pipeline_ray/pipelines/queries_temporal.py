@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.windows import segment_bounds
 from ..sources.reads import read_parquet_sized
 from ..stages.asof import asof_join_broadcast
 from ..stages.keyed import map_partitions_by_key
@@ -417,8 +418,7 @@ def q_events_rolling_median(sf_dir: str):
         order = np.lexsort((eid, ts, uid))
         us, es, vs = uid[order], eid[order], val[order]
         n = len(us)
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(us)) + 1))
-        seg_len = np.diff(np.concatenate((starts, [n])))
+        starts, _ends, seg_len = segment_bounds(us)
         seg_start_pos = np.repeat(starts, seg_len)
         p = np.arange(n, dtype=np.int64)
         cols = []
@@ -497,10 +497,7 @@ def q_events_twa(sf_dir: str):
         ).astype(np.int64)
         order = np.lexsort((eid, ts, uid))
         us, tss, cs = uid[order], ts[order], cents[order]
-        n = len(us)
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(us)) + 1))
-        ends = np.concatenate((starts[1:], [n]))
-        seg_len = ends - starts
+        starts, ends, seg_len = segment_bounds(us)
         seg_id = np.repeat(np.arange(len(starts)), seg_len)
         # adjacent-pair terms within a segment
         pair = np.flatnonzero((seg_id[:-1] == seg_id[1:]))
@@ -598,11 +595,15 @@ def q_events_resample_daily(sf_dir: str):
         val = np.asarray(t["value"].combine_chunks()).astype(np.float64)
         order = np.lexsort((eid, ts, uid))
         us, tss, vs = uid[order], ts[order], val[order]
-        n = len(us)
         day = tss // _US_PER_DAY
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(us)) + 1))
-        ends = np.concatenate((starts[1:], [n]))
-        seg_len = ends - starts
+        if len(day) and int(day.min()) < 0:
+            # the composite key packing below assumes day >= 0 (stride only
+            # bounds the top), and numpy floor-div diverges from DuckDB's
+            # truncating // for negative days — refuse loudly, never corrupt
+            raise ValueError(
+                "events_resample_daily: pre-epoch timestamps unsupported"
+            )
+        starts, ends, seg_len = segment_bounds(us)
         nseg = len(starts)
         spans = day[ends - 1] - day[starts] + 1
         total = int(spans.sum())

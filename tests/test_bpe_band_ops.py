@@ -33,9 +33,15 @@ def test_band_join_matches_bruteforce(ray_session):
         q_events_band_join,
     )
 
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.functions.numeric import (
+        round_half_away,
+    )
+
     out = q_events_band_join(SF).to_pandas().set_index("event_id")
     ev = pd.read_parquet(f"{SF}/events.parquet")
-    ev["cents"] = np.round(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    ev["cents"] = round_half_away(ev["value"].to_numpy() * 100.0).astype(
+        np.int64
+    )
     p = ev[ev.event_type == "purchase"]
     clicks = ev[ev.event_type == "click"].groupby("user_id")["cents"].apply(list)
     assert len(out) == len(p)

@@ -124,3 +124,27 @@ def test_weighted_k_sample_exact_k_and_length_bias(ray_session):
     assert (
         docs.loc[out["doc_id"], "n_chars"].mean() > docs["n_chars"].mean()
     )
+
+
+def test_weighted_k_sample_excludes_zero_weight_docs(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_extra import (
+        q_docs_sample_weighted_k,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": pa.array(["x"] * 10, pa.string()),
+            "lang": pa.array(["en"] * 10, pa.string()),
+            "source": pa.array(["s"] * 10, pa.string()),
+            "n_chars": pa.array([0, 0, 0] + [50] * 7, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_docs_sample_weighted_k(str(tmp_path)).to_pandas()
+    # only the 7 positive-weight docs are eligible
+    assert len(out) == 7
+    assert not set(out["doc_id"]) & {0, 1, 2}

@@ -110,3 +110,54 @@ def test_resample_daily_matches_pandas_locf(ray_session):
         daily_last = g.groupby("day")["value"].last()
         ref = daily_last.reindex(got["day"]).ffill()
         assert np.array_equal(got["value_locf"].to_numpy(), ref.to_numpy())
+
+
+def test_ols_degenerate_single_day_type_yields_null(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_signals import (
+        q_events_ols_trend,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp("2024-03-01 05:00")] * 2
+                + [pd.Timestamp("2024-03-01 09:00")]
+            ),
+            "user_id": pa.array([0, 0, 0], pa.int64()),
+            "event_type": pa.array(["solo"] * 3, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_ols_trend(str(tmp_path)).to_pandas()
+    assert len(out) == 1 and int(out["n"].iloc[0]) == 3
+    # all events on one epoch day -> zero variance in x -> NULL fit
+    assert pd.isna(out["slope_cents_per_day"].iloc[0])
+    assert pd.isna(out["intercept_cents"].iloc[0])
+
+
+def test_resample_rejects_pre_epoch_timestamps(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_temporal import (
+        q_events_resample_daily,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([pd.Timestamp("1969-12-31 23:00")]),
+            "user_id": pa.array([0], pa.int64()),
+            "value": pa.array([1.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    with _pytest.raises(Exception, match="pre-epoch"):
+        q_events_resample_daily(str(tmp_path)).to_pandas()
