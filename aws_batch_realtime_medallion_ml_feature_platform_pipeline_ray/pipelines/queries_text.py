@@ -94,6 +94,77 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Model-scoring apply: fixed logistic quality classifier
+# --------------------------------------------------------------------------
+
+# frozen model weights (intercept, ln(1+n_tokens), avg_token_len,
+# stopword_ratio) — the shipped-artifact analog of a trained fastText/LR
+# quality filter; scoring is the operator under test, not the fit
+LR_B = -1.45
+LR_W_LOGTOK = 0.6
+LR_W_AVGLEN = -0.25
+LR_W_STOP = 3.0
+
+
+def q_docs_quality_score_lr(sf_dir: str):
+    """Model-scoring APPLY: run a frozen logistic-regression quality
+    classifier over every document and emit the calibrated score + keep
+    flag — the batch-inference step of a classifier-based curation
+    pipeline (the weights are a fixed artifact riding the task closure;
+    swap in any linear model without touching the plumbing).
+
+    Plan: ZERO shuffles — the features come from the same vectorized
+    quality kernel as ``docs_quality``, the score is one fused numpy
+    expression per batch, and the keep decision thresholds the ROUNDED
+    score so both sides decide on the identical double."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = T.quality_metrics(t["text"].combine_chunks())
+        z = (
+            LR_B
+            + LR_W_LOGTOK * np.log(1.0 + m["n_tokens"].astype(np.float64))
+            + LR_W_AVGLEN * m["avg_token_len"]
+            + LR_W_STOP * m["stopword_ratio"]
+        )
+        from ..functions.numeric import round6
+
+        s = round6(1.0 / (1.0 + np.exp(-z)))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "q_score": pa.array(s, pa.float64()),
+                "keep": pa.array((s >= 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_QUALITY_LR_SQL = f"""
+WITH f AS (
+    SELECT doc_id,
+        length(string_split(text, ' ')) AS n_tokens,
+        (length(text) - (length(string_split(text, ' ')) - 1))
+            / CAST(length(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+        len(list_filter(string_split(text, ' '), x -> x IN ({_STOP_IN})))
+            / CAST(length(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-({LR_B} + {LR_W_LOGTOK} * ln(1.0 + n_tokens)
+               + {LR_W_AVGLEN} * avg_token_len
+               + {LR_W_STOP} * stopword_ratio))), 6) AS q_score
+    FROM f
+)
+SELECT doc_id, q_score, CAST(q_score >= 0.5 AS BIGINT) AS keep FROM s
+"""
+
+
 # Gopher-style composite quality rules, all in INTEGER arithmetic so the
 # keep decision is bit-exact: token count in range, mean token length in
 # [3, 10] (as 3·nt <= alpha_len <= 10·nt), and >= 2 stopword hits.
@@ -1335,6 +1406,7 @@ REGISTRY: dict[str, tuple] = {
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, DOCS_NGRAM_JACCARD_SQL),
     "docs_containment_pairs": (q_docs_containment_pairs, DOCS_CONTAINMENT_SQL),
     "docs_quality": (q_docs_quality, DOCS_QUALITY_SQL),
+    "docs_quality_score_lr": (q_docs_quality_score_lr, DOCS_QUALITY_LR_SQL),
     "docs_gopher_filter": (q_docs_gopher_filter, DOCS_GOPHER_SQL),
     "docs_token_count": (q_docs_token_count, DOCS_TOKEN_COUNT_SQL),
     "docs_token_count_bpe": (q_docs_token_count_bpe, DOCS_TOKEN_COUNT_BPE_SQL),

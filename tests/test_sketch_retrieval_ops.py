@@ -148,3 +148,42 @@ def test_weighted_k_sample_excludes_zero_weight_docs(ray_session, tmp_path):
     # only the 7 positive-weight docs are eligible
     assert len(out) == 7
     assert not set(out["doc_id"]) & {0, 1, 2}
+
+
+def test_quality_lr_matches_direct_reference(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_text import (
+        LR_B,
+        LR_W_AVGLEN,
+        LR_W_LOGTOK,
+        LR_W_STOP,
+        q_docs_quality_score_lr,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.functions.text import (
+        STOPWORDS,
+    )
+
+    out = (
+        q_docs_quality_score_lr(SF)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values(
+        "doc_id", ignore_index=True
+    )
+    toks = docs["text"].str.split(" ")
+    nt = toks.str.len().to_numpy(float)
+    nc = docs["text"].str.len().to_numpy(float)
+    avg = (nc - (nt - 1)) / nt
+    stop = toks.apply(lambda ts: sum(1 for x in ts if x in STOPWORDS)).to_numpy(
+        float
+    )
+    z = LR_B + LR_W_LOGTOK * np.log(1.0 + nt) + LR_W_AVGLEN * avg + LR_W_STOP * (
+        stop / nt
+    )
+    ref = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+    assert np.allclose(out["q_score"].to_numpy(), ref, atol=2e-6)
+    # both classes occur and the flag thresholds the rounded score
+    assert set(out["keep"]) == {0, 1}
+    assert np.array_equal(
+        out["keep"].to_numpy(), (out["q_score"].to_numpy() >= 0.5).astype(int)
+    )
