@@ -304,7 +304,7 @@ def csv_oracle_sql(sf_dir: str = "") -> str:
     return f"""
 SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool,
        CAST(ts AS TIMESTAMP) AS ts
-FROM read_csv('{d}/*.csv', header=true)
+FROM read_csv('{d}/*.csv', header=true, allow_quoted_nulls=false)
 """
 
 

@@ -68,20 +68,20 @@ def read_ndjson_transcripts(path: str):
 
 def write_csv(tbl: pa.Table, path: str, rows_per_file: int = 100_000) -> list[str]:
     """Write a table as headered CSV files (the other common landing-zone
-    format next to NDJSON). Timestamps ISO, None → empty field."""
+    format next to NDJSON). NULL is an unquoted empty field while an
+    empty STRING is a quoted ``""`` (pyarrow's writer keeps the two
+    distinct; pandas ``to_csv`` quotes its NA rep under QUOTE_NONNUMERIC
+    and collapses them), so the reader's
+    ``quoted_strings_can_be_null=False`` round-trips exactly."""
+    from pyarrow import csv as pacsv
+
     os.makedirs(path, exist_ok=True)
     files = []
     n = tbl.num_rows
     for i, start in enumerate(range(0, max(n, 1), rows_per_file)):
-        chunk = tbl.slice(start, rows_per_file).to_pandas()
+        chunk = tbl.slice(start, rows_per_file)
         fp = os.path.join(path, f"part-{i:05d}.csv")
-        import csv as _csv
-
-        # QUOTE_NONNUMERIC: empty STRINGS are written as "" (quoted)
-        # while None stays an unquoted empty field, so the reader's
-        # quoted_strings_can_be_null=False keeps the two distinct
-        chunk.to_csv(fp, index=False, date_format="%Y-%m-%dT%H:%M:%S.%f",
-                     quoting=_csv.QUOTE_NONNUMERIC)
+        pacsv.write_csv(chunk, fp)
         files.append(fp)
     return files
 
