@@ -1,0 +1,606 @@
+"""Model/feature EVALUATION statistics: the offline checks a feature
+platform runs on top of its gold features and model scores before
+promoting them — two-sample KS drift, ranking AUC for the frozen quality
+classifier, categorical mutual information, leave-one-out target
+encoding, and Welch's t-test between time windows.
+
+Reference parity: the reference validates feature snapshots with count
+metrics only (/root/reference/scripts/; success-metric lambda); these
+operators are the statistical upgrades of that gate, computed over the
+same event stream / document corpus.
+
+Scale shapes (each documented on the operator):
+
+- ``events_ks_drift`` / ``events_welch_t`` / ``events_mi_type_dow``:
+  zero keyed exchanges — per-batch O(distinct-bucket) count partials,
+  one tiny ``groupby().aggregate(Sum)`` fold (bucket domains are bounded:
+  integer cents of a bounded metric, |types| x 7, two sides), then O(B)
+  driver arithmetic. No event row ever reaches the driver.
+- ``docs_lr_auc``: the score is rounded to 6 decimals, so the distinct
+  key domain is bounded by 1e6+1 REGARDLESS of corpus size — partials
+  collapse each batch to (score-key, pos/neg counts) and the rank-sum
+  runs on the tiny folded histogram. This is the standard trick for
+  exact AUC at any scale.
+- ``events_target_encode_loo``: the category domain (event_type) is a
+  small vocabulary, so the per-type (sum, count) fold is tiny and the
+  encode itself is a second streamed pass with the folded stats riding
+  the task closure — zero shuffles of event rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.numeric import round6, round_half_away
+
+_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00 epoch-us
+_SPLIT_SQL = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+def _events(sf_dir: str, columns):
+    from ..sources.reads import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _docs(sf_dir: str, columns):
+    from ..sources.reads import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _cents(val: np.ndarray) -> np.ndarray:
+    return round_half_away(np.asarray(val, dtype=np.float64) * 100.0).astype(
+        np.int64
+    )
+
+
+_SIDE_EMPTY = pa.table(
+    {
+        "k": pa.array([], pa.int64()),
+        "r": pa.array([], pa.int64()),
+        "c": pa.array([], pa.int64()),
+    }
+)
+
+
+def _side_count_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (value-cents, side) count partial: collapses a batch to
+    O(distinct cents) rows of exact int64 counts."""
+    if t.num_rows == 0:
+        return _SIDE_EMPTY
+    mask = pc.is_valid(t["value"])
+    t = t.filter(mask) if pc.any(pc.invert(mask)).as_py() else t
+    if t.num_rows == 0:
+        return _SIDE_EMPTY
+    us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+    k = _cents(np.asarray(t["value"].combine_chunks()))
+    is_ref = us < _SPLIT_US
+    g = (
+        pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "r": pa.array(is_ref.astype(np.int64), pa.int64()),
+                "c": pa.array((~is_ref).astype(np.int64), pa.int64()),
+            }
+        )
+        .group_by("k")
+        .aggregate([("r", "sum"), ("c", "sum")])
+    )
+    return g.rename_columns(["k", "r", "c"])
+
+
+def _fold_side_counts(ds) -> list[dict]:
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(
+            _side_count_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("k")
+        .aggregate(Sum("r", alias_name="n_ref"), Sum("c", alias_name="n_cur"))
+        .take_all()
+    )  # O(distinct cents) — bounded by the metric's value domain
+    rows.sort(key=lambda x: x["k"])
+    return rows
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift statistic
+# --------------------------------------------------------------------------
+
+
+def q_events_ks_drift(sf_dir: str):
+    """Exact two-sample KS statistic of the ``value`` distribution between
+    the reference window (before 2024-01-16) and the current window —
+    the distribution-free sibling of ``events_psi_drift`` (no binning
+    choice, detects any CDF divergence).
+
+    Exactness: values are keyed on integer cents, cumulative counts stay
+    int64, and the only doubles are the two CDF divisions and the final
+    abs-max — the identical expression chain on both engines, rounded
+    to 6 decimals."""
+    rows = _fold_side_counts(_events(sf_dir, columns=["ts", "value"]))
+    n_ref = sum(r["n_ref"] for r in rows)
+    n_cur = sum(r["n_cur"] for r in rows)
+    if n_ref == 0 or n_cur == 0:
+        ks = None
+    else:
+        cr = np.cumsum(np.array([r["n_ref"] for r in rows], dtype=np.int64))
+        cc = np.cumsum(np.array([r["n_cur"] for r in rows], dtype=np.int64))
+        d = np.abs(cr / float(n_ref) - cc / float(n_cur))
+        ks = float(round6(d.max()))
+    return pa.table(
+        {
+            "ks": pa.array([ks], pa.float64()),
+            "n_ref": pa.array([n_ref], pa.int64()),
+            "n_cur": pa.array([n_cur], pa.int64()),
+        }
+    )
+
+
+EVENTS_KS_DRIFT_SQL = f"""
+WITH e AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS k,
+           (ts < {_SPLIT_SQL}) AS is_ref
+    FROM events WHERE value IS NOT NULL
+),
+cnt AS (
+    SELECT k,
+           CAST(count(*) FILTER (is_ref) AS BIGINT) AS r,
+           CAST(count(*) FILTER (NOT is_ref) AS BIGINT) AS c
+    FROM e GROUP BY k
+),
+cum AS (
+    SELECT CAST(sum(r) OVER (ORDER BY k) AS BIGINT) AS cr,
+           CAST(sum(c) OVER (ORDER BY k) AS BIGINT) AS cc
+    FROM cnt
+),
+tot AS (
+    SELECT CAST(sum(r) AS BIGINT) AS n_ref, CAST(sum(c) AS BIGINT) AS n_cur
+    FROM cnt
+)
+SELECT ROUND(max(abs(cr / CAST(n_ref AS DOUBLE) - cc / CAST(n_cur AS DOUBLE))), 6)
+           AS ks,
+       n_ref, n_cur
+FROM cum, tot GROUP BY n_ref, n_cur
+"""
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test between the same two windows
+# --------------------------------------------------------------------------
+
+
+def q_events_welch_t(sf_dir: str):
+    """Welch's unequal-variance t-test of mean ``value`` between the
+    reference and current windows, with the Welch-Satterthwaite degrees
+    of freedom — the go/no-go significance companion to the KS/PSI
+    drift magnitudes.
+
+    Exactness: per-side count / sum / sum-of-squares are exact int64 in
+    cents (|cents| <= ~5e4 here, so sumsq fits int64 far beyond the test
+    scales); every double expression after the fold is written in the
+    identical order on both engines and rounded to 6 decimals."""
+    ds = _events(sf_dir, columns=["ts", "value"])
+
+    empty = pa.table(
+        {c: pa.array([], pa.int64()) for c in ["n1", "s1", "q1", "n2", "s2", "q2"]}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        mask = pc.is_valid(t["value"])
+        t = t.filter(mask) if pc.any(pc.invert(mask)).as_py() else t
+        if t.num_rows == 0:
+            return empty
+        us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        k = _cents(np.asarray(t["value"].combine_chunks()))
+        ref = us < _SPLIT_US
+        kr, kc = k[ref], k[~ref]
+        return pa.table(
+            {
+                "n1": pa.array([kr.size], pa.int64()),
+                "s1": pa.array([int(kr.sum())], pa.int64()),
+                "q1": pa.array([int((kr * kr).sum())], pa.int64()),
+                "n2": pa.array([kc.size], pa.int64()),
+                "s2": pa.array([int(kc.sum())], pa.int64()),
+                "q2": pa.array([int((kc * kc).sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n1", "s1", "q1", "n2", "s2", "q2"]])
+    )
+    n1, s1, q1 = agg["n1"] or 0, agg["s1"] or 0, agg["q1"] or 0
+    n2, s2, q2 = agg["n2"] or 0, agg["s2"] or 0, agg["q2"] or 0
+    if n1 < 2 or n2 < 2:
+        t_stat = df = m1 = m2 = None
+    else:
+        # cents domain throughout; the mean difference is /100 at the end.
+        # EVERY line below mirrors the SQL twin token for token.
+        m1c = s1 / float(n1)
+        m2c = s2 / float(n2)
+        v1 = (q1 - s1 * (s1 / float(n1))) / float(n1 - 1)
+        v2 = (q2 - s2 * (s2 / float(n2))) / float(n2 - 1)
+        se1 = v1 / float(n1)
+        se2 = v2 / float(n2)
+        t_stat = float(round6((m1c - m2c) / np.sqrt(se1 + se2)))
+        df = float(
+            round6(
+                (se1 + se2) * (se1 + se2)
+                / (se1 * se1 / float(n1 - 1) + se2 * se2 / float(n2 - 1))
+            )
+        )
+        m1 = float(round6(m1c / 100.0))
+        m2 = float(round6(m2c / 100.0))
+    return pa.table(
+        {
+            "n_ref": pa.array([n1], pa.int64()),
+            "n_cur": pa.array([n2], pa.int64()),
+            "mean_ref": pa.array([m1], pa.float64()),
+            "mean_cur": pa.array([m2], pa.float64()),
+            "t_stat": pa.array([t_stat], pa.float64()),
+            "df": pa.array([df], pa.float64()),
+        }
+    )
+
+
+EVENTS_WELCH_T_SQL = f"""
+WITH e AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS k,
+           (ts < {_SPLIT_SQL}) AS is_ref
+    FROM events WHERE value IS NOT NULL
+),
+a AS (
+    SELECT CAST(count(*) FILTER (is_ref) AS BIGINT) AS n1,
+           CAST(coalesce(sum(k) FILTER (is_ref), 0) AS BIGINT) AS s1,
+           CAST(coalesce(sum(k * k) FILTER (is_ref), 0) AS BIGINT) AS q1,
+           CAST(count(*) FILTER (NOT is_ref) AS BIGINT) AS n2,
+           CAST(coalesce(sum(k) FILTER (NOT is_ref), 0) AS BIGINT) AS s2,
+           CAST(coalesce(sum(k * k) FILTER (NOT is_ref), 0) AS BIGINT) AS q2
+    FROM e
+),
+v AS (
+    SELECT n1, n2,
+           s1 / CAST(n1 AS DOUBLE) AS m1c,
+           s2 / CAST(n2 AS DOUBLE) AS m2c,
+           ((q1 - s1 * (s1 / CAST(n1 AS DOUBLE))) / CAST(n1 - 1 AS DOUBLE))
+               / CAST(n1 AS DOUBLE) AS se1,
+           ((q2 - s2 * (s2 / CAST(n2 AS DOUBLE))) / CAST(n2 - 1 AS DOUBLE))
+               / CAST(n2 AS DOUBLE) AS se2
+    FROM a
+)
+SELECT n1 AS n_ref, n2 AS n_cur,
+       ROUND(m1c / 100.0, 6) AS mean_ref,
+       ROUND(m2c / 100.0, 6) AS mean_cur,
+       ROUND((m1c - m2c) / sqrt(se1 + se2), 6) AS t_stat,
+       ROUND((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+                + se2 * se2 / CAST(n2 - 1 AS DOUBLE)), 6) AS df
+FROM v
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact AUC of the frozen LR quality classifier
+# --------------------------------------------------------------------------
+
+
+def q_docs_lr_auc(sf_dir: str):
+    """Mann-Whitney AUC (with average-rank tie handling) of the frozen
+    logistic quality score against the ``lang = 'en'`` proxy label —
+    the offline ranking-quality gate run before promoting a curation
+    classifier.
+
+    Key trick for scale: the score is already rounded to 6 decimals, so
+    the distinct-key histogram is bounded by 1e6+1 buckets no matter the
+    corpus size; the rank-sum AUC is exact over that histogram with the
+    numerator kept entirely in int64 (``sum np*(2*below + nn)`` — the
+    x2 avoids the half-rank fraction) and ONE final double division."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import text as T
+    from .queries_text import LR_B, LR_W_AVGLEN, LR_W_LOGTOK, LR_W_STOP
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    empty = pa.table(
+        {
+            "sk": pa.array([], pa.int64()),
+            "np_": pa.array([], pa.int64()),
+            "nn_": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        m = T.quality_metrics(t["text"].combine_chunks())
+        z = (
+            LR_B
+            + LR_W_LOGTOK * np.log(1.0 + m["n_tokens"].astype(np.float64))
+            + LR_W_AVGLEN * m["avg_token_len"]
+            + LR_W_STOP * m["stopword_ratio"]
+        )
+        s = round6(1.0 / (1.0 + np.exp(-z)))
+        sk = round_half_away(s * 1e6).astype(np.int64)
+        pos = pc.equal(t["lang"].combine_chunks(), "en").cast(pa.int64())
+        posn = np.asarray(pos).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "sk": pa.array(sk, pa.int64()),
+                    "np_": pa.array(posn, pa.int64()),
+                    "nn_": pa.array(1 - posn, pa.int64()),
+                }
+            )
+            .group_by("sk")
+            .aggregate([("np_", "sum"), ("nn_", "sum")])
+        )
+        return g.rename_columns(["sk", "np_", "nn_"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sk")
+        .aggregate(Sum("np_", alias_name="np"), Sum("nn_", alias_name="nn"))
+        .take_all()
+    )  # <= 1e6+1 rows by construction
+    rows.sort(key=lambda r: r["sk"])
+    npos = np.array([r["np"] for r in rows], dtype=np.int64)
+    nneg = np.array([r["nn"] for r in rows], dtype=np.int64)
+    P, N = int(npos.sum()), int(nneg.sum())
+    if P == 0 or N == 0:
+        auc = None
+    else:
+        below = np.concatenate(([0], np.cumsum(nneg)[:-1]))
+        num = int((npos * (2 * below + nneg)).sum())  # 2x rank-sum numerator
+        auc = float(round6(num / (2.0 * P * N)))
+    return pa.table(
+        {
+            "auc": pa.array([auc], pa.float64()),
+            "n_pos": pa.array([P], pa.int64()),
+            "n_neg": pa.array([N], pa.int64()),
+        }
+    )
+
+
+def _docs_lr_auc_sql() -> str:
+    from .queries_text import DOCS_QUALITY_LR_SQL
+
+    return f"""
+WITH lr AS ({DOCS_QUALITY_LR_SQL.strip()}),
+k AS (
+    SELECT CAST(round(lr.q_score * 1000000) AS BIGINT) AS sk,
+           CAST(count(*) FILTER (d.lang = 'en') AS BIGINT) AS np,
+           CAST(count(*) FILTER (d.lang <> 'en') AS BIGINT) AS nn
+    FROM lr JOIN documents d USING (doc_id)
+    GROUP BY sk
+),
+c AS (
+    SELECT np, nn,
+           CAST(coalesce(sum(nn) OVER (
+               ORDER BY sk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS below
+    FROM k
+)
+SELECT ROUND(CAST(sum(np * (2 * below + nn)) AS BIGINT)
+             / (2.0 * (SELECT sum(np) FROM k) * (SELECT sum(nn) FROM k)), 6)
+           AS auc,
+       CAST((SELECT sum(np) FROM k) AS BIGINT) AS n_pos,
+       CAST((SELECT sum(nn) FROM k) AS BIGINT) AS n_neg
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Mutual information between event_type and day-of-week
+# --------------------------------------------------------------------------
+
+
+def q_events_mi_type_dow(sf_dir: str):
+    """Pointwise mutual information of (event_type, day-of-week): per
+    cell the joint count and ``pmi = ln(n*N / (nx*ny))`` — the
+    categorical-association check behind seasonality features (dow
+    follows DuckDB ``dayofweek``: 0 = Sunday).
+
+    Counts stay integer through the fold; each pmi is one double
+    division of exact int64 products (cell x total <= N^2, int64-safe to
+    ~3e9 rows per side — beyond that the twin SQL overflows identically,
+    so the contract stays symmetric) and one log, identical on both
+    engines, rounded to 6 decimals."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+    _US_DAY = 86_400_000_000
+
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "dow": pa.array([], pa.int64()),
+            "pn": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        dow = (us // _US_DAY + 4) % 7  # 1970-01-01 is a Thursday (=4)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "dow": pa.array(dow, pa.int64()),
+                }
+            )
+            .group_by(["event_type", "dow"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "dow", "pn"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("pn", alias_name="n"))
+        .take_all()
+    )  # O(|types| x 7)
+    et = [r["event_type"] for r in rows]
+    dw = np.array([r["dow"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    N = int(n.sum())
+    nx: dict[str, int] = {}
+    ny: dict[int, int] = {}
+    for e, d, c in zip(et, dw, n):
+        nx[e] = nx.get(e, 0) + int(c)
+        ny[int(d)] = ny.get(int(d), 0) + int(c)
+    nxa = np.array([nx[e] for e in et], dtype=np.int64)
+    nya = np.array([ny[int(d)] for d in dw], dtype=np.int64)
+    pmi = round6(np.log((n.astype(np.float64) * N) / (nxa.astype(np.float64) * nya)))
+    return pa.table(
+        {
+            "event_type": pa.array(et, pa.string()),
+            "dow": pa.array(dw, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        }
+    )
+
+
+EVENTS_MI_TYPE_DOW_SQL = """
+WITH j AS (
+    SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM j),
+x AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nx FROM j GROUP BY 1),
+y AS (SELECT dow, CAST(sum(n) AS BIGINT) AS ny FROM j GROUP BY 1)
+SELECT j.event_type, j.dow, j.n,
+       ROUND(ln((CAST(j.n AS DOUBLE) * t.N)
+                / (CAST(x.nx AS DOUBLE) * y.ny)), 6) AS pmi
+FROM j
+CROSS JOIN t
+JOIN x ON j.event_type = x.event_type
+JOIN y ON j.dow = y.dow
+"""
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding
+# --------------------------------------------------------------------------
+
+
+def q_events_target_encode_loo(sf_dir: str):
+    """Leave-one-out target encoding of ``event_type`` by mean ``value``:
+    each row is encoded with the mean of ALL OTHER rows of its category
+    (``(sum - v_i) / (n - 1)``) — the leakage-free variant of
+    ``features_target_encode`` used when the encode feeds the same rows
+    it was fit on. Singleton categories encode NULL.
+
+    Plan: tiny per-type (sum, count) fold in exact cents (vocabulary-
+    sized), then ONE streamed encode pass with the folded stats riding
+    the task closure — event rows are never shuffled or collected."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        mask = pc.is_valid(t["value"])
+        t = t.filter(mask) if pc.any(pc.invert(mask)).as_py() else t
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "c": pa.array(_cents(np.asarray(t["value"].combine_chunks())), pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(cents_col, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("c", alias_name="s"), Count(alias_name="n"))
+        .take_all()
+    )  # O(|event_type|) — a small vocabulary
+    vocab = pa.array([r["event_type"] for r in stats], pa.string())
+    vsum = np.array([int(r["s"]) for r in stats], dtype=np.int64)
+    vcnt = np.array([int(r["n"]) for r in stats], dtype=np.int64)
+
+    def encode(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "enc": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        mask = pc.is_valid(t["value"])
+        t = t.filter(mask) if pc.any(pc.invert(mask)).as_py() else t
+        if t.num_rows == 0:
+            return empty
+        et = t["event_type"].combine_chunks()
+        c = _cents(np.asarray(t["value"].combine_chunks()))
+        idx = np.asarray(pc.index_in(et, value_set=vocab).cast(pa.int64()))
+        s = vsum[idx]
+        n = vcnt[idx]
+        multi = n > 1
+        enc = np.full(len(c), np.nan)
+        enc[multi] = round6(
+            (s[multi] - c[multi]) / (100.0 * (n[multi] - 1))
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": et,
+                "enc": pa.array(
+                    np.where(multi, enc, np.nan), pa.float64(), mask=~multi
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EVENTS_TARGET_ENCODE_LOO_SQL = """
+WITH e AS (
+    SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL
+),
+s AS (
+    SELECT event_id, event_type, c,
+           CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS ts,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS tn
+    FROM e
+)
+SELECT event_id, event_type,
+       CASE WHEN tn > 1
+            THEN ROUND((ts - c) / (100.0 * (tn - 1)), 6)
+            ELSE NULL END AS enc
+FROM s
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "events_ks_drift": (q_events_ks_drift, EVENTS_KS_DRIFT_SQL),
+    "events_welch_t": (q_events_welch_t, EVENTS_WELCH_T_SQL),
+    "docs_lr_auc": (q_docs_lr_auc, _docs_lr_auc_sql()),
+    "events_mi_type_dow": (q_events_mi_type_dow, EVENTS_MI_TYPE_DOW_SQL),
+    "events_target_encode_loo": (
+        q_events_target_encode_loo,
+        EVENTS_TARGET_ENCODE_LOO_SQL,
+    ),
+}

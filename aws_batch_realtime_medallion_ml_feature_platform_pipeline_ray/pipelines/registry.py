@@ -52,4 +52,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_signals
 
     reg.update(queries_signals.REGISTRY)
+    from . import queries_eval
+
+    reg.update(queries_eval.REGISTRY)
     return reg
