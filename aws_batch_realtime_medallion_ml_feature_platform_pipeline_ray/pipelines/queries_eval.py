@@ -594,6 +594,332 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Calibration curve of the frozen LR quality classifier
+# --------------------------------------------------------------------------
+
+
+def q_docs_lr_calibration(sf_dir: str):
+    """Reliability curve for the frozen LR quality score against the
+    ``lang = 'en'`` proxy label: per score decile, count, mean predicted
+    score, and observed positive rate — the companion diagnostic to
+    ``docs_lr_auc`` (AUC measures ranking; calibration measures whether
+    0.8 means 80%).
+
+    Exactness: scores are summed as exact int64 micro-units (the score
+    is already 6-decimal), so the per-bin mean is ONE double division;
+    10 bins, O(10) driver arithmetic, zero keyed exchanges."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import text as T
+    from .queries_text import LR_B, LR_W_AVGLEN, LR_W_LOGTOK, LR_W_STOP
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    empty = pa.table(
+        {
+            "bin": pa.array([], pa.int64()),
+            "pn": pa.array([], pa.int64()),
+            "ps": pa.array([], pa.int64()),
+            "pp": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        m = T.quality_metrics(t["text"].combine_chunks())
+        z = (
+            LR_B
+            + LR_W_LOGTOK * np.log(1.0 + m["n_tokens"].astype(np.float64))
+            + LR_W_AVGLEN * m["avg_token_len"]
+            + LR_W_STOP * m["stopword_ratio"]
+        )
+        s = round6(1.0 / (1.0 + np.exp(-z)))
+        sk = round_half_away(s * 1e6).astype(np.int64)
+        b = np.minimum(sk // 100_000, 9)  # decile bin, score 1.0 -> bin 9
+        pos = np.asarray(
+            pc.equal(t["lang"].combine_chunks(), "en").cast(pa.int64())
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "bin": pa.array(b, pa.int64()),
+                    "pn": pa.array(np.ones(len(b), dtype=np.int64), pa.int64()),
+                    "ps": pa.array(sk, pa.int64()),
+                    "pp": pa.array(pos, pa.int64()),
+                }
+            )
+            .group_by("bin")
+            .aggregate([("pn", "sum"), ("ps", "sum"), ("pp", "sum")])
+        )
+        return g.rename_columns(["bin", "pn", "ps", "pp"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("ps", alias_name="s"),
+            Sum("pp", alias_name="p"),
+        )
+        .take_all()
+    )  # <= 10 rows
+    rows.sort(key=lambda r: r["bin"])
+    b = np.array([r["bin"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    s = np.array([r["s"] for r in rows], dtype=np.int64)
+    p = np.array([r["p"] for r in rows], dtype=np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(b, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "mean_score": pa.array(round6(s / (n * 1e6)), pa.float64()),
+            "pos_rate": pa.array(round6(p / n.astype(np.float64)), pa.float64()),
+        }
+    )
+
+
+def _docs_lr_calibration_sql() -> str:
+    from .queries_text import DOCS_QUALITY_LR_SQL
+
+    return f"""
+WITH lr AS ({DOCS_QUALITY_LR_SQL.strip()}),
+k AS (
+    SELECT least(CAST(round(lr.q_score * 1000000) AS BIGINT) // 100000, 9)
+               AS bin,
+           CAST(round(lr.q_score * 1000000) AS BIGINT) AS sk,
+           CAST(d.lang = 'en' AS BIGINT) AS pos
+    FROM lr JOIN documents d USING (doc_id)
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(sum(sk) AS BIGINT) / (count(*) * 1000000.0), 6) AS mean_score,
+       ROUND(CAST(sum(pos) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+FROM k GROUP BY bin
+"""
+
+
+# --------------------------------------------------------------------------
+# Pareto front (skyline) for data selection
+# --------------------------------------------------------------------------
+
+
+def q_docs_pareto_front(sf_dir: str):
+    """Skyline data selection: the documents NOT dominated on
+    (n_chars, quality score) — i.e. no other doc is >= on both axes and
+    strictly better on one. The Pareto front is the standard shortlist
+    when two curation signals trade off (longer docs vs higher quality).
+
+    Plan: a per-distinct-``n_chars`` max-score fold (O(distinct lengths),
+    bounded by the max document length, NOT the corpus size), a driver
+    suffix-max over descending length, then ONE streamed filter pass
+    with the tiny front map riding the closure. Dominance needs only
+    ``maxY(x > x_i) < y_i`` and ``maxY(x = x_i) = y_i`` — duplicated
+    (x, y) points do not dominate each other and all stay on the front."""
+    from ray.data.aggregate import Max
+
+    from ..functions import text as T
+    from .queries_text import LR_B, LR_W_AVGLEN, LR_W_LOGTOK, LR_W_STOP
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
+
+    def with_sk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "sk": pa.array([], pa.int64()),
+                }
+            )
+        m = T.quality_metrics(t["text"].combine_chunks())
+        z = (
+            LR_B
+            + LR_W_LOGTOK * np.log(1.0 + m["n_tokens"].astype(np.float64))
+            + LR_W_AVGLEN * m["avg_token_len"]
+            + LR_W_STOP * m["stopword_ratio"]
+        )
+        sk = round_half_away(round6(1.0 / (1.0 + np.exp(-z))) * 1e6).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "n_chars": t["n_chars"].combine_chunks().cast(pa.int64()),
+                "sk": pa.array(sk, pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(with_sk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def maxy_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n_chars": pa.array([], pa.int64()), "my": pa.array([], pa.int64())}
+            )
+        g = t.group_by("n_chars").aggregate([("sk", "max")])
+        return g.rename_columns(["n_chars", "my"])
+
+    stats = (
+        scored.map_batches(maxy_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(Max("my", alias_name="maxy"))
+        .take_all()
+    )  # O(distinct n_chars) — bounded by max doc length
+    stats.sort(key=lambda r: r["n_chars"])
+    xs = np.array([r["n_chars"] for r in stats], dtype=np.int64)
+    my = np.array([r["maxy"] for r in stats], dtype=np.int64)
+    # suffix max over larger x: above[i] = max maxy over x > xs[i]
+    above = np.concatenate(
+        (np.maximum.accumulate(my[::-1])[::-1][1:], [np.iinfo(np.int64).min])
+    )
+
+    def keep_front(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["doc_id", "n_chars", "sk"])
+        x = np.asarray(t["n_chars"].combine_chunks())
+        y = np.asarray(t["sk"].combine_chunks())
+        i = np.searchsorted(xs, x)  # every x is present in xs
+        keep = (above[i] < y) & (my[i] == y)
+        return t.filter(pa.array(keep)).select(["doc_id", "n_chars", "sk"])
+
+    out = scored.map_batches(keep_front, batch_format="pyarrow", zero_copy_batch=True)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "q_score_micro": t["sk"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _docs_pareto_front_sql() -> str:
+    from .queries_text import DOCS_QUALITY_LR_SQL
+
+    return f"""
+WITH lr AS ({DOCS_QUALITY_LR_SQL.strip()}),
+pts AS (
+    SELECT d.doc_id, d.n_chars,
+           CAST(round(lr.q_score * 1000000) AS BIGINT) AS q_score_micro
+    FROM lr JOIN documents d USING (doc_id)
+)
+SELECT p.doc_id, p.n_chars, p.q_score_micro
+FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.n_chars >= p.n_chars AND q.q_score_micro >= p.q_score_micro
+      AND (q.n_chars > p.n_chars OR q.q_score_micro > p.q_score_micro)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact-k uniform sample per group
+# --------------------------------------------------------------------------
+
+KPG_K = 25
+KPG_SALT = 401
+
+
+def q_docs_sample_k_per_lang(sf_dir: str):
+    """Exactly-k uniform sample WITHOUT replacement per language — the
+    per-stratum version of ``docs_sample_weighted_k`` (equal-size
+    eval/debug slices per language regardless of corpus skew). Rank is
+    the hash-deterministic uint64 ``splitmix64(doc_id + salt)``, ties
+    impossible (doc_id is unique), so the sample is re-run and
+    partitioning stable with no RNG state.
+
+    Plan: ZERO shuffles — per-batch per-lang bottom-k (segmented lexsort
+    over the batch's lang codes), then a single-block final cut moves
+    O(k x |langs| x blocks) rows."""
+    from ..stages.keyed import splitmix64
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "hk": pa.array([], pa.uint64()),
+        }
+    )
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        langs = np.asarray(t["lang"].combine_chunks())
+        hk = splitmix64(ids.astype(np.uint64) + np.uint64(KPG_SALT))
+        uniq, inv = np.unique(langs, return_inverse=True)
+        order = np.lexsort((hk, inv))
+        inv_s = inv[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1))
+        cum = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(order)])))
+        )
+        sel = order[cum < KPG_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "lang": pa.array(langs[sel], pa.string()),
+                "hk": pa.array(hk[sel], pa.uint64()),
+            }
+        )
+
+    cands = ds.map_batches(bottomk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(t["doc_id"].combine_chunks())
+        langs = np.asarray(t["lang"].combine_chunks())
+        hk = np.asarray(t["hk"].combine_chunks())
+        uniq, inv = np.unique(langs, return_inverse=True)
+        order = np.lexsort((hk, inv))
+        inv_s = inv[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1))
+        cum = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(order)])))
+        )
+        sel = order[cum < KPG_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "lang": pa.array(langs[sel], pa.string()),
+                "rk": pa.array(cum[cum < KPG_K] + 1, pa.int64()),
+            }
+        )
+
+    return cands.repartition(1).map_batches(
+        final_cut, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _docs_sample_k_per_lang_sql() -> str:
+    from .queries_relational import splitmix64_hash_sql
+
+    return f"""
+WITH {splitmix64_hash_sql('doc_id', 'documents', KPG_SALT, '__g')},
+r AS (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY __gh) AS BIGINT)
+               AS rk
+    FROM __g5
+)
+SELECT doc_id, lang, rk FROM r WHERE rk <= {KPG_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_ks_drift": (q_events_ks_drift, EVENTS_KS_DRIFT_SQL),
     "events_welch_t": (q_events_welch_t, EVENTS_WELCH_T_SQL),
@@ -602,5 +928,11 @@ REGISTRY: dict[str, tuple] = {
     "events_target_encode_loo": (
         q_events_target_encode_loo,
         EVENTS_TARGET_ENCODE_LOO_SQL,
+    ),
+    "docs_lr_calibration": (q_docs_lr_calibration, _docs_lr_calibration_sql()),
+    "docs_pareto_front": (q_docs_pareto_front, _docs_pareto_front_sql()),
+    "docs_sample_k_per_lang": (
+        q_docs_sample_k_per_lang,
+        _docs_sample_k_per_lang_sql(),
     ),
 }

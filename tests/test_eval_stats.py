@@ -153,3 +153,79 @@ def test_loo_encode_is_leakage_free(ray_session):
         assert np.isclose(
             j.loc[idx, "enc"], others.mean() / 100.0, atol=2e-6
         )
+
+
+def test_lr_calibration_matches_pandas(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_eval import (
+        q_docs_lr_calibration,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_text import (
+        q_docs_quality_score_lr,
+    )
+
+    out = q_docs_lr_calibration(SF).to_pandas().set_index("bin")
+    scores = q_docs_quality_score_lr(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "lang"]]
+    j = scores.merge(docs, on="doc_id")
+    j["bin"] = np.minimum((j["q_score"] * 10).astype(int), 9)
+    for b, g in j.groupby("bin"):
+        assert int(out.loc[b, "n"]) == len(g)
+        assert np.isclose(out.loc[b, "mean_score"], g["q_score"].mean(), atol=2e-6)
+        assert np.isclose(
+            out.loc[b, "pos_rate"], (g["lang"] == "en").mean(), atol=2e-6
+        )
+    assert out["n"].sum() == len(j)
+
+
+def test_pareto_front_matches_bruteforce(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_eval import (
+        q_docs_pareto_front,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_text import (
+        q_docs_quality_score_lr,
+    )
+
+    out = q_docs_pareto_front(SF).to_pandas()
+    scores = q_docs_quality_score_lr(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "n_chars"]]
+    j = scores.merge(docs, on="doc_id")
+    x = j["n_chars"].to_numpy()
+    y = np.round(j["q_score"].to_numpy() * 1e6).astype(np.int64)
+    front = []
+    for i in range(len(j)):
+        dom = (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+        if not dom.any():
+            front.append(int(j["doc_id"].iloc[i]))
+    assert sorted(out["doc_id"]) == sorted(front)
+    # front must be non-empty and an antichain: sorted by x asc -> y strictly desc
+    f = out.sort_values(["n_chars", "q_score_micro"])
+    assert len(f) >= 1
+    xs = f["n_chars"].to_numpy()
+    ys = f["q_score_micro"].to_numpy()
+    strict_x = np.diff(xs) > 0
+    assert (np.diff(ys)[strict_x] < 0).all()
+
+
+def test_sample_k_per_lang_exact_k_and_uniform(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_eval import (
+        KPG_K,
+        KPG_SALT,
+        q_docs_sample_k_per_lang,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.keyed import (
+        splitmix64,
+    )
+
+    out = q_docs_sample_k_per_lang(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "lang"]]
+    sizes = docs.groupby("lang").size()
+    got = out.groupby("lang").size()
+    for lang, n in sizes.items():
+        assert got.get(lang, 0) == min(KPG_K, n)
+    # reference: bottom-k by the same hash per lang
+    hk = splitmix64(docs["doc_id"].to_numpy().astype(np.uint64) + np.uint64(KPG_SALT))
+    docs = docs.assign(hk=hk)
+    for lang, g in docs.groupby("lang"):
+        want = set(g.nsmallest(KPG_K, "hk")["doc_id"])
+        have = set(out.loc[out["lang"] == lang, "doc_id"])
+        assert have == want
