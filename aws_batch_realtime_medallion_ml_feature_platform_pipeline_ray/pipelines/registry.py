@@ -55,4 +55,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_eval
 
     reg.update(queries_eval.REGISTRY)
+    from . import queries_sessions
+
+    reg.update(queries_sessions.REGISTRY)
     return reg
