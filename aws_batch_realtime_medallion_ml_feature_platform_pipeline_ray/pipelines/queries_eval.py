@@ -920,6 +920,208 @@ SELECT doc_id, lang, rk FROM r WHERE rk <= {KPG_K}
 """
 
 
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B uplift
+# --------------------------------------------------------------------------
+
+CUPED_SALT = 727
+
+
+def q_events_cuped(sf_dir: str):
+    """A/B experiment readout with CUPED variance reduction (Deng et al.
+    2013): users are hash-assigned to two arms, the post-period per-user
+    metric ``y`` is adjusted by the pre-period covariate ``x``
+    (``y - theta (x - x̄)`` with pooled ``theta = cov(x,y)/var(x)``), and
+    the readout is the raw and adjusted uplift — the standard analysis a
+    feature platform runs on every experiment flag.
+
+    Plan: per-user (x, y) cent sums via ONE exact keyed fold, then each
+    whole partition collapses to TWO rows of int64 moment partials
+    (n, Σx, Σy, Σxx, Σxy per arm — magnitudes are headroom-guarded and
+    raise loudly instead of wrapping), a tiny groupby fold, and the
+    closed-form CUPED arithmetic on the O(2) result with
+    arbitrary-precision ints up to the few final double ops — mirrored
+    HUGEINT-for-HUGEINT by the SQL twin."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.keyed import fold_by_keys, splitmix64
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "x": pa.array([], pa.int64()),
+                "y": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        mask = pc.is_valid(t["value"])
+        t = t.filter(mask) if pc.any(pc.invert(mask)).as_py() else t
+        if t.num_rows == 0:
+            return empty
+        us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        c = _cents(np.asarray(t["value"].combine_chunks()))
+        pre = us < _SPLIT_US
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "x": pa.array(np.where(pre, c, 0), pa.int64()),
+                "y": pa.array(np.where(pre, 0, c), pa.int64()),
+            }
+        )
+
+    per_user = fold_by_keys(
+        ds.map_batches(user_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        sums=("x", "y"),
+        num_parts=8,
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "arm": pa.array([], pa.int64()),
+                **{c: pa.array([], pa.int64()) for c in ["n", "sx", "sy", "sxx", "sxy"]},
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks())
+        x = np.asarray(t["x"].combine_chunks())
+        y = np.asarray(t["y"].combine_chunks())
+        arm = (splitmix64(uid.astype(np.uint64) + np.uint64(CUPED_SALT))
+               % np.uint64(2)).astype(np.int64)
+        mx = int(max(np.abs(x).max(initial=0), 1))
+        my = int(max(np.abs(y).max(initial=0), 1))
+        # vectorized int64 dot is exact only with headroom; otherwise fall
+        # back to arbitrary-precision python ints (slower, never wrong)
+        fast = len(x) * mx * max(mx, my) < (1 << 62)
+        out = {"arm": [], "n": [], "sx": [], "sy": [], "sxx": [], "sxy": []}
+        for a in (0, 1):
+            m = arm == a
+            if not m.any():
+                continue
+            xa, ya = x[m], y[m]
+            out["arm"].append(a)
+            out["n"].append(int(m.sum()))
+            out["sx"].append(int(xa.sum()))
+            out["sy"].append(int(ya.sum()))
+            if fast:
+                out["sxx"].append(int(np.dot(xa, xa)))
+                out["sxy"].append(int(np.dot(xa, ya)))
+            else:
+                xl, yl = xa.tolist(), ya.tolist()
+                out["sxx"].append(sum(v * v for v in xl))
+                out["sxy"].append(sum(u * v for u, v in zip(xl, yl)))
+        for c in ("sxx", "sxy"):
+            if any(abs(v) >= 1 << 62 for v in out[c]):
+                raise OverflowError(
+                    "cuped: moment partial exceeds int64 headroom — "
+                    "shrink the metric unit or raise num_parts"
+                )
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    folded = (
+        per_user.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("arm")
+        .aggregate(
+            *[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxx", "sxy"]]
+        )
+        .take_all()
+    )  # exactly <= 2 rows
+    stats = {int(r["arm"]): r for r in folded}
+    if 0 not in stats or 1 not in stats:
+        return pa.table(
+            {
+                "n_a": pa.array([stats.get(0, {}).get("n", 0)], pa.int64()),
+                "n_b": pa.array([stats.get(1, {}).get("n", 0)], pa.int64()),
+                "theta": pa.array([None], pa.float64()),
+                "uplift_raw": pa.array([None], pa.float64()),
+                "uplift_cuped": pa.array([None], pa.float64()),
+            }
+        )
+    a, b = stats[0], stats[1]
+    N = int(a["n"]) + int(b["n"])
+    Sx = int(a["sx"]) + int(b["sx"])
+    Sy = int(a["sy"]) + int(b["sy"])
+    Sxx = int(a["sxx"]) + int(b["sxx"])
+    Sxy = int(a["sxy"]) + int(b["sxy"])
+    cov_num = N * Sxy - Sx * Sy  # exact python ints (HUGEINT twin)
+    var_num = N * Sxx - Sx * Sx
+    theta = None if var_num == 0 else float(cov_num) / float(var_num)
+    mya = int(a["sy"]) / float(int(a["n"])) / 100.0
+    myb = int(b["sy"]) / float(int(b["n"])) / 100.0
+    mxa = int(a["sx"]) / float(int(a["n"])) / 100.0
+    mxb = int(b["sx"]) / float(int(b["n"])) / 100.0
+    raw = myb - mya
+    cuped = None if theta is None else (myb - mya) - theta * (mxb - mxa)
+    r6 = lambda v: None if v is None else float(round6(np.array([v]))[0])
+    return pa.table(
+        {
+            "n_a": pa.array([int(a["n"])], pa.int64()),
+            "n_b": pa.array([int(b["n"])], pa.int64()),
+            "theta": pa.array([r6(theta)], pa.float64()),
+            "uplift_raw": pa.array([r6(raw)], pa.float64()),
+            "uplift_cuped": pa.array([r6(cuped)], pa.float64()),
+        }
+    )
+
+
+def _events_cuped_sql() -> str:
+    from .queries_relational import splitmix64_hash_sql
+
+    return f"""
+WITH pu0 AS (
+    SELECT user_id,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (ts < {_SPLIT_SQL}), 0) AS BIGINT) AS x,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (ts >= {_SPLIT_SQL}), 0) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+{splitmix64_hash_sql('user_id', 'pu0', CUPED_SALT, '__c')},
+pu AS (SELECT user_id, x, y, CAST(__ch % 2 AS BIGINT) AS arm FROM __c5),
+m AS (
+    SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x::HUGEINT) AS HUGEINT) AS sx,
+           CAST(sum(y::HUGEINT) AS HUGEINT) AS sy,
+           CAST(sum(x::HUGEINT * x) AS HUGEINT) AS sxx,
+           CAST(sum(x::HUGEINT * y) AS HUGEINT) AS sxy
+    FROM pu GROUP BY arm
+),
+p AS (
+    SELECT (SELECT n + 0 FROM m WHERE arm = 0) AS na,
+           (SELECT n + 0 FROM m WHERE arm = 1) AS nb,
+           (SELECT sx FROM m WHERE arm = 0) AS sxa,
+           (SELECT sx FROM m WHERE arm = 1) AS sxb,
+           (SELECT sy FROM m WHERE arm = 0) AS sya,
+           (SELECT sy FROM m WHERE arm = 1) AS syb
+),
+t AS (
+    SELECT ((SELECT sum(n) FROM m) * (SELECT sum(sxy) FROM m)
+            - (SELECT sum(sx) FROM m) * (SELECT sum(sy) FROM m)) AS cov_num,
+           ((SELECT sum(n) FROM m) * (SELECT sum(sxx) FROM m)
+            - (SELECT sum(sx) FROM m) * (SELECT sum(sx) FROM m)) AS var_num
+)
+SELECT CAST(p.na AS BIGINT) AS n_a, CAST(p.nb AS BIGINT) AS n_b,
+       ROUND(CAST(t.cov_num AS DOUBLE) / CAST(t.var_num AS DOUBLE), 6)
+           AS theta,
+       ROUND(CAST(p.syb AS DOUBLE) / CAST(p.nb AS DOUBLE) / 100.0
+             - CAST(p.sya AS DOUBLE) / CAST(p.na AS DOUBLE) / 100.0, 6)
+           AS uplift_raw,
+       ROUND((CAST(p.syb AS DOUBLE) / CAST(p.nb AS DOUBLE) / 100.0
+              - CAST(p.sya AS DOUBLE) / CAST(p.na AS DOUBLE) / 100.0)
+             - (CAST(t.cov_num AS DOUBLE) / CAST(t.var_num AS DOUBLE))
+               * (CAST(p.sxb AS DOUBLE) / CAST(p.nb AS DOUBLE) / 100.0
+                  - CAST(p.sxa AS DOUBLE) / CAST(p.na AS DOUBLE) / 100.0), 6)
+           AS uplift_cuped
+FROM p, t
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_ks_drift": (q_events_ks_drift, EVENTS_KS_DRIFT_SQL),
     "events_welch_t": (q_events_welch_t, EVENTS_WELCH_T_SQL),
@@ -935,4 +1137,5 @@ REGISTRY: dict[str, tuple] = {
         q_docs_sample_k_per_lang,
         _docs_sample_k_per_lang_sql(),
     ),
+    "events_cuped": (q_events_cuped, _events_cuped_sql()),
 }

@@ -229,3 +229,46 @@ def test_sample_k_per_lang_exact_k_and_uniform(ray_session):
         want = set(g.nsmallest(KPG_K, "hk")["doc_id"])
         have = set(out.loc[out["lang"] == lang, "doc_id"])
         assert have == want
+
+
+def test_cuped_matches_numpy_reference(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_eval import (
+        CUPED_SALT,
+        q_events_cuped,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.keyed import (
+        splitmix64,
+    )
+
+    out = q_events_cuped(SF).to_pandas()
+    ev = _events().dropna(subset=["value"])
+    c = _cents(ev["value"])
+    pre = (ev["ts"] < SPLIT).to_numpy()
+    pu = (
+        pd.DataFrame(
+            {
+                "u": ev["user_id"].to_numpy(),
+                "x": np.where(pre, c, 0),
+                "y": np.where(pre, 0, c),
+            }
+        )
+        .groupby("u")
+        .sum()
+    )
+    arm = (
+        splitmix64(pu.index.to_numpy().astype(np.uint64) + np.uint64(CUPED_SALT))
+        % np.uint64(2)
+    ).astype(int)
+    x = pu["x"].to_numpy(float) / 100.0
+    y = pu["y"].to_numpy(float) / 100.0
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    adj = y - theta * (x - x.mean())
+    raw = y[arm == 1].mean() - y[arm == 0].mean()
+    cuped = adj[arm == 1].mean() - adj[arm == 0].mean()
+    assert int(out["n_a"][0]) == int((arm == 0).sum())
+    assert int(out["n_b"][0]) == int((arm == 1).sum())
+    assert np.isclose(out["theta"][0], theta, atol=5.1e-7)  # round6 grain
+    assert np.isclose(out["uplift_raw"][0], raw, atol=1e-4)
+    assert np.isclose(out["uplift_cuped"][0], cuped, atol=1e-4)
+    # the CUPED adjustment must reduce per-user metric variance
+    assert adj.var() <= y.var() + 1e-12
