@@ -58,4 +58,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_sessions
 
     reg.update(queries_sessions.REGISTRY)
+    from . import queries_sequence
+
+    reg.update(queries_sequence.REGISTRY)
     return reg
