@@ -37,7 +37,11 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # regime a 100 TB run lives in.
 SCALING_CONVS = 160_000
 SCALING_AVG_TURNS = 100
-SCALING_PARTS = 128   # fixed across cpu levels so total work is identical
+SCALING_PARTS = 256   # fixed across cpu levels so total work is identical
+                      # (256 = 8x hi-level cores: measured 15.9->14.7 s at
+                      # 32 CPUs and 52.8->50.7 s at 8 CPUs vs 128 — finer
+                      # partitions smooth the reduce-wave tail at both
+                      # levels; 384 adds nothing, blocks=256 regresses)
 SCALING_BLOCKS = 128  # input blocks feeding the shuffle map side
 SCALING_REPS = 1      # timed reps per child (more rounds > more reps)
 
