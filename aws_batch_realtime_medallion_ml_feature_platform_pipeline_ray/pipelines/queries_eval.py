@@ -93,16 +93,21 @@ def _side_count_partial(t: pa.Table) -> pa.Table:
 
 
 def _fold_side_counts(ds) -> list[dict]:
-    from ray.data.aggregate import Sum
+    # distinct-cents keys scale with the metric's value domain (tens of
+    # thousands here) — that's a data-scaling fold, so route through the
+    # keyed exchange + segmented reduceat (fold_by_keys), not
+    # Dataset.groupby (measured 3.6 s -> sub-second at sf0.1/32 CPUs,
+    # same degradation basket_rules hit on its 1.2 M-group fold)
+    from ..stages.keyed import fold_by_keys
 
-    rows = (
-        ds.map_batches(
-            _side_count_partial, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("k")
-        .aggregate(Sum("r", alias_name="n_ref"), Sum("c", alias_name="n_cur"))
-        .take_all()
-    )  # O(distinct cents) — bounded by the metric's value domain
+    partials = ds.map_batches(
+        _side_count_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    folded = fold_by_keys(partials, ["k"], sums=("r", "c"), num_parts=8)
+    rows = [
+        {"k": r["k"], "n_ref": r["r"], "n_cur": r["c"]}
+        for r in folded.take_all()
+    ]  # O(distinct cents) — bounded by the metric's value domain
     rows.sort(key=lambda x: x["k"])
     return rows
 
