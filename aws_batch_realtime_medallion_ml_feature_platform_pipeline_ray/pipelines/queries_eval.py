@@ -128,6 +128,16 @@ def q_events_ks_drift(sf_dir: str):
     abs-max — the identical expression chain on both engines, rounded
     to 6 decimals."""
     rows = _fold_side_counts(_events(sf_dir, columns=["ts", "value"]))
+    if not rows:
+        # all values NULL / empty table: the twin's cum CTE is empty and
+        # the cross join yields ZERO rows — mirror that
+        return pa.table(
+            {
+                "ks": pa.array([], pa.float64()),
+                "n_ref": pa.array([], pa.int64()),
+                "n_cur": pa.array([], pa.int64()),
+            }
+        )
     n_ref = sum(r["n_ref"] for r in rows)
     n_cur = sum(r["n_cur"] for r in rows)
     if n_ref == 0 or n_cur == 0:
@@ -225,26 +235,31 @@ def q_events_welch_t(sf_dir: str):
     )
     n1, s1, q1 = agg["n1"] or 0, agg["s1"] or 0, agg["q1"] or 0
     n2, s2, q2 = agg["n2"] or 0, agg["s2"] or 0, agg["q2"] or 0
-    if n1 < 2 or n2 < 2:
-        t_stat = df = m1 = m2 = None
-    else:
+    # degenerate-window semantics MIRROR DuckDB: x/0.0 is NULL, so means
+    # survive n=1 windows, t/df go NULL when a variance term divides by
+    # zero (n<2) or the pooled standard error is exactly zero
+    t_stat = df = m1 = m2 = None
+    m1c = s1 / float(n1) if n1 > 0 else None
+    m2c = s2 / float(n2) if n2 > 0 else None
+    if m1c is not None:
+        m1 = float(round6(m1c / 100.0))
+    if m2c is not None:
+        m2 = float(round6(m2c / 100.0))
+    if n1 >= 2 and n2 >= 2:
         # cents domain throughout; the mean difference is /100 at the end.
         # EVERY line below mirrors the SQL twin token for token.
-        m1c = s1 / float(n1)
-        m2c = s2 / float(n2)
         v1 = (q1 - s1 * (s1 / float(n1))) / float(n1 - 1)
         v2 = (q2 - s2 * (s2 / float(n2))) / float(n2 - 1)
         se1 = v1 / float(n1)
         se2 = v2 / float(n2)
-        t_stat = float(round6((m1c - m2c) / np.sqrt(se1 + se2)))
-        df = float(
-            round6(
-                (se1 + se2) * (se1 + se2)
-                / (se1 * se1 / float(n1 - 1) + se2 * se2 / float(n2 - 1))
+        if se1 + se2 > 0.0:  # sqrt(0) divisor -> NULL in the twin
+            t_stat = float(round6((m1c - m2c) / np.sqrt(se1 + se2)))
+            df = float(
+                round6(
+                    (se1 + se2) * (se1 + se2)
+                    / (se1 * se1 / float(n1 - 1) + se2 * se2 / float(n2 - 1))
+                )
             )
-        )
-        m1 = float(round6(m1c / 100.0))
-        m2 = float(round6(m2c / 100.0))
     return pa.table(
         {
             "n_ref": pa.array([n1], pa.int64()),
@@ -311,8 +326,7 @@ def q_docs_lr_auc(sf_dir: str):
     x2 avoids the half-rank fraction) and ONE final double division."""
     from ray.data.aggregate import Sum
 
-    from ..functions import text as T
-    from .queries_text import LR_B, LR_W_AVGLEN, LR_W_LOGTOK, LR_W_STOP
+    from .queries_text import lr_micro_scores
 
     ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
 
@@ -327,15 +341,7 @@ def q_docs_lr_auc(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        m = T.quality_metrics(t["text"].combine_chunks())
-        z = (
-            LR_B
-            + LR_W_LOGTOK * np.log(1.0 + m["n_tokens"].astype(np.float64))
-            + LR_W_AVGLEN * m["avg_token_len"]
-            + LR_W_STOP * m["stopword_ratio"]
-        )
-        s = round6(1.0 / (1.0 + np.exp(-z)))
-        sk = round_half_away(s * 1e6).astype(np.int64)
+        sk = lr_micro_scores(t["text"].combine_chunks())
         pos = pc.equal(t["lang"].combine_chunks(), "en").cast(pa.int64())
         posn = np.asarray(pos).astype(np.int64)
         g = (
@@ -616,8 +622,7 @@ def q_docs_lr_calibration(sf_dir: str):
     10 bins, O(10) driver arithmetic, zero keyed exchanges."""
     from ray.data.aggregate import Sum
 
-    from ..functions import text as T
-    from .queries_text import LR_B, LR_W_AVGLEN, LR_W_LOGTOK, LR_W_STOP
+    from .queries_text import lr_micro_scores
 
     ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
 
@@ -633,15 +638,7 @@ def q_docs_lr_calibration(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        m = T.quality_metrics(t["text"].combine_chunks())
-        z = (
-            LR_B
-            + LR_W_LOGTOK * np.log(1.0 + m["n_tokens"].astype(np.float64))
-            + LR_W_AVGLEN * m["avg_token_len"]
-            + LR_W_STOP * m["stopword_ratio"]
-        )
-        s = round6(1.0 / (1.0 + np.exp(-z)))
-        sk = round_half_away(s * 1e6).astype(np.int64)
+        sk = lr_micro_scores(t["text"].combine_chunks())
         b = np.minimum(sk // 100_000, 9)  # decile bin, score 1.0 -> bin 9
         pos = np.asarray(
             pc.equal(t["lang"].combine_chunks(), "en").cast(pa.int64())
@@ -723,8 +720,7 @@ def q_docs_pareto_front(sf_dir: str):
     (x, y) points do not dominate each other and all stay on the front."""
     from ray.data.aggregate import Max
 
-    from ..functions import text as T
-    from .queries_text import LR_B, LR_W_AVGLEN, LR_W_LOGTOK, LR_W_STOP
+    from .queries_text import lr_micro_scores
 
     ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
 
@@ -737,16 +733,7 @@ def q_docs_pareto_front(sf_dir: str):
                     "sk": pa.array([], pa.int64()),
                 }
             )
-        m = T.quality_metrics(t["text"].combine_chunks())
-        z = (
-            LR_B
-            + LR_W_LOGTOK * np.log(1.0 + m["n_tokens"].astype(np.float64))
-            + LR_W_AVGLEN * m["avg_token_len"]
-            + LR_W_STOP * m["stopword_ratio"]
-        )
-        sk = round_half_away(round6(1.0 / (1.0 + np.exp(-z))) * 1e6).astype(
-            np.int64
-        )
+        sk = lr_micro_scores(t["text"].combine_chunks())
         return pa.table(
             {
                 "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
@@ -755,7 +742,12 @@ def q_docs_pareto_front(sf_dir: str):
             }
         )
 
-    scored = ds.map_batches(with_sk, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize the slim (doc_id, n_chars, sk) projection: it feeds TWO
+    # consumers (max-score fold + front filter) and a lazy dataset would
+    # re-run the parquet read and the LR tokenization for each
+    scored = ds.map_batches(
+        with_sk, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def maxy_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -830,6 +822,21 @@ KPG_K = 25
 KPG_SALT = 401
 
 
+def _seg_bottomk(langs: np.ndarray, hk: np.ndarray, k: int):
+    """Per-group bottom-k by hash rank: returns (selected row indices,
+    each row's 0-based rank within its group) — the one kernel both the
+    per-batch pass and the final cut run."""
+    _uniq, inv = np.unique(langs, return_inverse=True)
+    order = np.lexsort((hk, inv))
+    inv_s = inv[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1))
+    cum = np.arange(len(order)) - np.repeat(
+        starts, np.diff(np.concatenate((starts, [len(order)])))
+    )
+    keep = cum < k
+    return order[keep], cum[keep]
+
+
 def q_docs_sample_k_per_lang(sf_dir: str):
     """Exactly-k uniform sample WITHOUT replacement per language — the
     per-stratum version of ``docs_sample_weighted_k`` (equal-size
@@ -859,14 +866,7 @@ def q_docs_sample_k_per_lang(sf_dir: str):
         ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
         langs = np.asarray(t["lang"].combine_chunks())
         hk = splitmix64(ids.astype(np.uint64) + np.uint64(KPG_SALT))
-        uniq, inv = np.unique(langs, return_inverse=True)
-        order = np.lexsort((hk, inv))
-        inv_s = inv[order]
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1))
-        cum = np.arange(len(order)) - np.repeat(
-            starts, np.diff(np.concatenate((starts, [len(order)])))
-        )
-        sel = order[cum < KPG_K]
+        sel, _cum = _seg_bottomk(langs, hk, KPG_K)
         return pa.table(
             {
                 "doc_id": pa.array(ids[sel], pa.int64()),
@@ -889,19 +889,12 @@ def q_docs_sample_k_per_lang(sf_dir: str):
         ids = np.asarray(t["doc_id"].combine_chunks())
         langs = np.asarray(t["lang"].combine_chunks())
         hk = np.asarray(t["hk"].combine_chunks())
-        uniq, inv = np.unique(langs, return_inverse=True)
-        order = np.lexsort((hk, inv))
-        inv_s = inv[order]
-        starts = np.concatenate(([0], np.flatnonzero(np.diff(inv_s)) + 1))
-        cum = np.arange(len(order)) - np.repeat(
-            starts, np.diff(np.concatenate((starts, [len(order)])))
-        )
-        sel = order[cum < KPG_K]
+        sel, cum = _seg_bottomk(langs, hk, KPG_K)
         return pa.table(
             {
                 "doc_id": pa.array(ids[sel], pa.int64()),
                 "lang": pa.array(langs[sel], pa.string()),
-                "rk": pa.array(cum[cum < KPG_K] + 1, pa.int64()),
+                "rk": pa.array(cum + 1, pa.int64()),
             }
         )
 
@@ -1021,10 +1014,13 @@ def q_events_cuped(sf_dir: str):
                 xl, yl = xa.tolist(), ya.tolist()
                 out["sxx"].append(sum(v * v for v in xl))
                 out["sxy"].append(sum(u * v for u, v in zip(xl, yl)))
+        # bound each PARTIAL at 2^62/2^10 so the downstream int64 Sum fold
+        # (one partial per keyed partition; far fewer than 1024) cannot
+        # wrap either — the guard must cover the fold, not just this task
         for c in ("sxx", "sxy"):
-            if any(abs(v) >= 1 << 62 for v in out[c]):
+            if any(abs(v) >= 1 << 52 for v in out[c]):
                 raise OverflowError(
-                    "cuped: moment partial exceeds int64 headroom — "
+                    "cuped: moment partial exceeds int64 fold headroom — "
                     "shrink the metric unit or raise num_parts"
                 )
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
@@ -1038,25 +1034,31 @@ def q_events_cuped(sf_dir: str):
         .take_all()
     )  # exactly <= 2 rows
     stats = {int(r["arm"]): r for r in folded}
+    # pooled theta runs over whatever arms exist (the twin's m aggregate
+    # is arm-agnostic); only the per-arm scalars go NULL for a missing arm
+    N = sum(int(r["n"]) for r in folded)
+    Sx = sum(int(r["sx"]) for r in folded)
+    Sy = sum(int(r["sy"]) for r in folded)
+    Sxx = sum(int(r["sxx"]) for r in folded)
+    Sxy = sum(int(r["sxy"]) for r in folded)
+    cov_num = N * Sxy - Sx * Sy  # exact python ints (HUGEINT twin)
+    var_num = N * Sxx - Sx * Sx
+    theta = None if var_num == 0 else float(cov_num) / float(var_num)
     if 0 not in stats or 1 not in stats:
+        # empty arm: the twin's scalar subqueries return NULL, not 0
+        na = stats[0]["n"] if 0 in stats else None
+        nb = stats[1]["n"] if 1 in stats else None
+        r6_ = lambda v: None if v is None else float(round6(np.array([v]))[0])
         return pa.table(
             {
-                "n_a": pa.array([stats.get(0, {}).get("n", 0)], pa.int64()),
-                "n_b": pa.array([stats.get(1, {}).get("n", 0)], pa.int64()),
-                "theta": pa.array([None], pa.float64()),
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "theta": pa.array([r6_(theta)], pa.float64()),
                 "uplift_raw": pa.array([None], pa.float64()),
                 "uplift_cuped": pa.array([None], pa.float64()),
             }
         )
     a, b = stats[0], stats[1]
-    N = int(a["n"]) + int(b["n"])
-    Sx = int(a["sx"]) + int(b["sx"])
-    Sy = int(a["sy"]) + int(b["sy"])
-    Sxx = int(a["sxx"]) + int(b["sxx"])
-    Sxy = int(a["sxy"]) + int(b["sxy"])
-    cov_num = N * Sxy - Sx * Sy  # exact python ints (HUGEINT twin)
-    var_num = N * Sxx - Sx * Sx
-    theta = None if var_num == 0 else float(cov_num) / float(var_num)
     mya = int(a["sy"]) / float(int(a["n"])) / 100.0
     myb = int(b["sy"]) / float(int(b["n"])) / 100.0
     mxa = int(a["sx"]) / float(int(a["n"])) / 100.0

@@ -172,11 +172,12 @@ def q_events_autocorr_7d(sf_dir: str):
         c = series[et]
         y, x = c[7:], c[:-7]  # pairs (d, d-7) over the contiguous grid
         k = len(y)
+        if k == 0:
+            # span <= 7 days: the twin's pair CTE is empty, so the type
+            # produces NO row — mirror that instead of a NULL row
+            continue
         types.append(et)
         n_pairs.append(k)
-        if k == 0:
-            corrs.append(None)
-            continue
         # exact integer moments (python ints — no overflow), one chain
         sx, sy = int(x.sum()), int(y.sum())
         sxx = int(np.dot(x, x))

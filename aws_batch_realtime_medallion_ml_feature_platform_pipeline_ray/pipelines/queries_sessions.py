@@ -152,7 +152,11 @@ def q_events_survival_hazard(sf_dir: str):
 
     def day_col(t: pa.Table) -> pa.Table:
         # day duplicated into fd/ld so ONE fold yields both span ends
-        # (fold_by_keys names outputs after their value column)
+        # (fold_by_keys names outputs after their value column). The
+        # batch's DISTINCT active days ride the same stream as marker
+        # rows keyed user_id = -(day+1) — one parquet read serves both
+        # the span fold and the observed-day set (real user_ids are
+        # non-negative, so the keyspaces cannot collide).
         if t.num_rows == 0:
             return pa.table(
                 {
@@ -162,22 +166,32 @@ def q_events_survival_hazard(sf_dir: str):
                 }
             )
         us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
-        day = pa.array(us // _US_DAY, pa.int64())
+        day = us // _US_DAY
+        uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
+        if (uid < 0).any():
+            raise ValueError("survival: negative user_id collides with day markers")
+        md = np.unique(day)
         return pa.table(
             {
-                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
-                "fd": day,
-                "ld": day,
+                "user_id": pa.array(np.concatenate((uid, -(md + 1))), pa.int64()),
+                "fd": pa.array(np.concatenate((day, md)), pa.int64()),
+                "ld": pa.array(np.concatenate((day, md)), pa.int64()),
             }
         )
 
     days = ds.map_batches(day_col, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: the folded table is O(users + days) — far smaller than
+    # the events read it replaces for the TWO consumers below (diff
+    # partials + observed-day collect); without it each consumer would
+    # re-run the full parquet scan
     spans = fold_by_keys(
         days, ["user_id"], mins=("fd",), maxs=("ld",), num_parts=NUM_PARTS
-    )
+    ).materialize()
 
     def diff_partial(t: pa.Table) -> pa.Table:
-        """(user, first, last) rows -> difference-array + churn partials."""
+        """(user, first, last) rows -> difference-array + churn partials
+        (marker rows excluded)."""
+        t = t.filter(pc.greater_equal(t["user_id"], 0))
         if t.num_rows == 0:
             return pa.table(
                 {
@@ -239,7 +253,8 @@ def q_events_survival_hazard(sf_dir: str):
         )
     # contiguous day grid: cumsum the difference array. The grid includes
     # span-gap days with at_risk > 0 but no events; the SQL twin reports
-    # only distinct EVENT days, so restrict to those (tiny second fold).
+    # only distinct EVENT days, so restrict to those (the marker rows
+    # that rode the span fold — no second events read).
     lo_days = np.arange(dkeys.min(), dkeys.max() + 1, dtype=np.int64)
     alive = np.zeros(len(lo_days), dtype=np.int64)
     churn = np.zeros(len(lo_days), dtype=np.int64)
@@ -248,7 +263,12 @@ def q_events_survival_hazard(sf_dir: str):
     at_risk = np.cumsum(alive)
     from ..functions.numeric import round6
 
-    obs = _distinct_event_days(sf_dir)
+    marker_rows = spans.map_batches(
+        lambda t: t.filter(pc.less(t["user_id"], 0)).select(["fd"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # O(days) marker rows off the already-materialized spans
+    obs = np.array(sorted(r["fd"] for r in marker_rows), dtype=np.int64)
     sel = np.isin(lo_days, obs)
     days_out = lo_days[sel]
     ar = at_risk[sel]
@@ -263,27 +283,6 @@ def q_events_survival_hazard(sf_dir: str):
             "hazard": pa.array(round6(ch / ar.astype(np.float64)), pa.float64()),
         }
     )
-
-
-def _distinct_event_days(sf_dir: str) -> np.ndarray:
-    """Distinct active days: per-batch distinct partials, tiny fold."""
-    from ray.data.aggregate import Count
-
-    ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts"])
-
-    def part(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"day": pa.array([], pa.int64())})
-        us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
-        return pa.table({"day": pa.array(np.unique(us // _US_DAY), pa.int64())})
-
-    rows = (
-        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("day")
-        .aggregate(Count(alias_name="n"))
-        .take_all()
-    )
-    return np.array(sorted(r["day"] for r in rows), dtype=np.int64)
 
 
 EVENTS_SURVIVAL_SQL = """

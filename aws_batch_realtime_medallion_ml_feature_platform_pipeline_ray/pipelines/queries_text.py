@@ -107,6 +107,35 @@ LR_W_AVGLEN = -0.25
 LR_W_STOP = 3.0
 
 
+def lr_quality_scores(texts) -> "np.ndarray":
+    """THE parity-critical frozen-LR expression chain (features → logit →
+    round6 sigmoid), shared by every consumer (scoring apply, AUC,
+    calibration, Pareto front) so a weight or rounding tweak can never
+    desynchronize the copies. Returns the rounded double scores."""
+    import numpy as np
+
+    from ..functions.numeric import round6
+
+    m = T.quality_metrics(texts)
+    z = (
+        LR_B
+        + LR_W_LOGTOK * np.log(1.0 + m["n_tokens"].astype(np.float64))
+        + LR_W_AVGLEN * m["avg_token_len"]
+        + LR_W_STOP * m["stopword_ratio"]
+    )
+    return round6(1.0 / (1.0 + np.exp(-z)))
+
+
+def lr_micro_scores(texts) -> "np.ndarray":
+    """The scores as exact int64 micro-units (score * 1e6) — the
+    bounded-domain histogram/rank key the evaluation operators fold on."""
+    import numpy as np
+
+    from ..functions.numeric import round_half_away
+
+    return round_half_away(lr_quality_scores(texts) * 1e6).astype(np.int64)
+
+
 def q_docs_quality_score_lr(sf_dir: str):
     """Model-scoring APPLY: run a frozen logistic-regression quality
     classifier over every document and emit the calibrated score + keep
@@ -123,16 +152,7 @@ def q_docs_quality_score_lr(sf_dir: str):
     def score(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        m = T.quality_metrics(t["text"].combine_chunks())
-        z = (
-            LR_B
-            + LR_W_LOGTOK * np.log(1.0 + m["n_tokens"].astype(np.float64))
-            + LR_W_AVGLEN * m["avg_token_len"]
-            + LR_W_STOP * m["stopword_ratio"]
-        )
-        from ..functions.numeric import round6
-
-        s = round6(1.0 / (1.0 + np.exp(-z)))
+        s = lr_quality_scores(t["text"].combine_chunks())
         return pa.table(
             {
                 "doc_id": t["doc_id"],

@@ -55,4 +55,4 @@ def test_autocorr_7d_matches_numpy(ray_session):
         else:
             r = np.corrcoef(x, y)[0, 1]
             assert np.isclose(out.loc[et, "autocorr_7d"], r, atol=2e-6)
-        assert -1.0 - 1e-9 <= out.loc[et, "autocorr_7d"] <= 1.0 + 1e-9
+            assert -1.0 - 1e-9 <= out.loc[et, "autocorr_7d"] <= 1.0 + 1e-9
