@@ -1129,6 +1129,112 @@ FROM p, t
 """
 
 
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) check for the experiment assignment
+# --------------------------------------------------------------------------
+
+
+def q_events_srm_check(sf_dir: str):
+    """Sample-ratio-mismatch guardrail for the hash-based A/B assignment
+    (the first thing to check before reading ``events_cuped``): per-arm
+    distinct-user counts, the 50/50 chi-square statistic
+    ``(n_a - n_b)^2 / (n_a + n_b)``, and the standard 95 % flag
+    (chi2 > 3.841459 — a triggered flag means the assignment itself is
+    broken and the uplift is untrustworthy).
+
+    Plan: ONE exact keyed fold dedups users, per-partition O(2) arm-count
+    partials, a two-row groupby; counts stay int64 to the single
+    division."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.keyed import fold_by_keys, splitmix64
+
+    ds = _events(sf_dir, columns=["user_id"])
+
+    def uid_col(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "one": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    users = fold_by_keys(
+        ds.map_batches(uid_col, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        mins=("one",),
+        num_parts=8,
+    )
+
+    def arm_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"arm": pa.array([], pa.int64()), "pn": pa.array([], pa.int64())}
+            )
+        uid = np.asarray(t["user_id"].combine_chunks())
+        arm = (
+            splitmix64(uid.astype(np.uint64) + np.uint64(CUPED_SALT))
+            % np.uint64(2)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "arm": pa.array([0, 1], pa.int64()),
+                "pn": pa.array(
+                    [int((arm == 0).sum()), int((arm == 1).sum())], pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        users.map_batches(arm_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("arm")
+        .aggregate(Sum("pn", alias_name="n"))
+        .take_all()
+    )
+    cnt = {int(r["arm"]): int(r["n"]) for r in rows}
+    na, nb = cnt.get(0, 0), cnt.get(1, 0)
+    if na + nb == 0:
+        chi2 = None
+        flag = None
+    else:
+        d = float(na - nb)
+        raw = d * d / float(na + nb)
+        chi2 = float(round6(np.array([raw]))[0])
+        flag = int(raw > 3.841459)  # twin flags on the UNROUNDED value
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "chi2": pa.array([chi2], pa.float64()),
+            "srm_flag": pa.array([flag], pa.int64()),
+        }
+    )
+
+
+def _events_srm_sql() -> str:
+    from .queries_relational import splitmix64_hash_sql
+
+    return f"""
+WITH u0 AS (SELECT DISTINCT user_id FROM events),
+{splitmix64_hash_sql('user_id', 'u0', CUPED_SALT, '__m')},
+a AS (
+    SELECT CAST(count(*) FILTER (__mh % 2 = 0) AS BIGINT) AS n_a,
+           CAST(count(*) FILTER (__mh % 2 = 1) AS BIGINT) AS n_b
+    FROM __m5
+)
+SELECT n_a, n_b,
+       ROUND(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+       CAST((CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE)) > 3.841459 AS BIGINT) AS srm_flag
+FROM a
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_ks_drift": (q_events_ks_drift, EVENTS_KS_DRIFT_SQL),
     "events_welch_t": (q_events_welch_t, EVENTS_WELCH_T_SQL),
@@ -1145,4 +1251,5 @@ REGISTRY: dict[str, tuple] = {
         _docs_sample_k_per_lang_sql(),
     ),
     "events_cuped": (q_events_cuped, _events_cuped_sql()),
+    "events_srm_check": (q_events_srm_check, _events_srm_sql()),
 }

@@ -241,7 +241,139 @@ FROM m
 """
 
 
+def q_events_ohlc_daily(sf_dir: str):
+    """Daily OHLC candles per event type — open/close (first/last value
+    by (ts, event_id)) and high/low of integer cents: the canonical
+    downsampling aggregate for metric time series.
+
+    Plan: ZERO keyed exchanges — open/close/high/low are all MERGEABLE:
+    each batch collapses to one row per (type, day) carrying (min-stamp,
+    open), (max-stamp, close), lo, hi; the O(types x days x batches)
+    partials are merged at the driver with the same lexicographic
+    (ts, event_id) rule. No positional pass over the full stream."""
+    from ..functions.numeric import round_half_away
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.int64()),
+            "fts": pa.array([], pa.int64()),
+            "fid": pa.array([], pa.int64()),
+            "fo": pa.array([], pa.int64()),
+            "lts": pa.array([], pa.int64()),
+            "lid": pa.array([], pa.int64()),
+            "lc": pa.array([], pa.int64()),
+            "lo": pa.array([], pa.int64()),
+            "hi": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        mask = pc.is_valid(t["value"])
+        t = t.filter(mask) if pc.any(pc.invert(mask)).as_py() else t
+        if t.num_rows == 0:
+            return empty
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks().cast(pa.int64()))
+        cents = round_half_away(
+            np.asarray(t["value"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        code = np.asarray(enc.indices).astype(np.int64)
+        day = ts // _US_DAY
+        key = code * (1 << 20) + (day - day.min())  # composite within batch
+        order = np.lexsort((eid, ts, key))
+        k = key[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
+        ends = np.concatenate((starts[1:], [len(k)])) - 1
+        fi, li = order[starts], order[ends]
+        return pa.table(
+            {
+                "event_type": enc.dictionary.cast(pa.string()).take(
+                    pa.array(code[fi])
+                ),
+                "day": pa.array(day[fi], pa.int64()),
+                "fts": pa.array(ts[fi], pa.int64()),
+                "fid": pa.array(eid[fi], pa.int64()),
+                "fo": pa.array(cents[fi], pa.int64()),
+                "lts": pa.array(ts[li], pa.int64()),
+                "lid": pa.array(eid[li], pa.int64()),
+                "lc": pa.array(cents[li], pa.int64()),
+                "lo": pa.array(
+                    np.minimum.reduceat(cents[order], starts), pa.int64()
+                ),
+                "hi": pa.array(
+                    np.maximum.reduceat(cents[order], starts), pa.int64()
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # O(types x days x batches) tiny partial rows
+    merged: dict[tuple, list] = {}
+    for r in rows:
+        g = (r["event_type"], int(r["day"]))
+        m = merged.get(g)
+        if m is None:
+            merged[g] = [
+                (int(r["fts"]), int(r["fid"]), int(r["fo"])),
+                (int(r["lts"]), int(r["lid"]), int(r["lc"])),
+                int(r["lo"]),
+                int(r["hi"]),
+            ]
+        else:
+            f = (int(r["fts"]), int(r["fid"]), int(r["fo"]))
+            l = (int(r["lts"]), int(r["lid"]), int(r["lc"]))
+            if f[:2] < m[0][:2]:
+                m[0] = f
+            if l[:2] > m[1][:2]:
+                m[1] = l
+            m[2] = min(m[2], int(r["lo"]))
+            m[3] = max(m[3], int(r["hi"]))
+    keys = sorted(merged)
+    return pa.table(
+        {
+            "event_type": pa.array([k[0] for k in keys], pa.string()),
+            "day": pa.array([k[1] for k in keys], pa.int64()),
+            "open_c": pa.array([merged[k][0][2] for k in keys], pa.int64()),
+            "high_c": pa.array([merged[k][3] for k in keys], pa.int64()),
+            "low_c": pa.array([merged[k][2] for k in keys], pa.int64()),
+            "close_c": pa.array([merged[k][1][2] for k in keys], pa.int64()),
+        }
+    )
+
+
+EVENTS_OHLC_SQL = f"""
+WITH e AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // {_US_DAY} AS BIGINT) AS day,
+           CAST(round(value * 100) AS BIGINT) AS c, ts, event_id,
+           row_number() OVER (PARTITION BY event_type, epoch_us(ts) // {_US_DAY}
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY event_type, epoch_us(ts) // {_US_DAY}
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, day,
+       CAST(max(CASE WHEN rn_a = 1 THEN c END) AS BIGINT) AS open_c,
+       CAST(max(c) AS BIGINT) AS high_c,
+       CAST(min(c) AS BIGINT) AS low_c,
+       CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS close_c
+FROM e GROUP BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_type_trigrams": (q_events_type_trigrams, EVENTS_TYPE_TRIGRAMS_SQL),
     "events_autocorr_7d": (q_events_autocorr_7d, EVENTS_AUTOCORR_7D_SQL),
+    "events_ohlc_daily": (q_events_ohlc_daily, EVENTS_OHLC_SQL),
 }

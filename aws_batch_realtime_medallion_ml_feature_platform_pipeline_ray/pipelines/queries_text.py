@@ -1311,6 +1311,81 @@ FROM reach GROUP BY a
 DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
 
 
+def q_docs_dup_cluster_sizes(sf_dir: str):
+    """Dedup observability: the histogram of near-dup cluster sizes
+    (how many clusters of 2 docs, of 3, ...) — the first diagram a
+    curation run reports, and the input to "expected rows removed"
+    estimates. Runs on the CC labels: one exact keyed fold counts each
+    cluster's members (cluster count scales with data → fold_by_keys,
+    not Dataset.groupby), then per-batch histogram partials collapse to
+    O(distinct sizes) rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.keyed import fold_by_keys
+
+    labels = q_docs_dup_clusters(sf_dir)
+
+    def one_col(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"].combine_chunks().cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    sizes = fold_by_keys(
+        labels.map_batches(one_col, batch_format="pyarrow", zero_copy_batch=True),
+        ["cluster_id"],
+        sums=("one",),
+        num_parts=NUM_PARTS,
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"size": pa.array([], pa.int64()), "pn": pa.array([], pa.int64())}
+            )
+        s = np.asarray(t["one"].combine_chunks())
+        u, c = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "size": pa.array(u, pa.int64()),
+                "pn": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        sizes.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("size")
+        .aggregate(Sum("pn", alias_name="n_clusters"))
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "size": t["size"].combine_chunks().cast(pa.int64()),
+                "n_clusters": t["n_clusters"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _dup_cluster_sizes_sql() -> str:
+    return f"""
+WITH labels AS ({_dup_clusters_sql().strip()})
+SELECT CAST(sz AS BIGINT) AS size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1)
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Cluster-level dedup, keep-BEST (not keep-first): the full curation path
 # --------------------------------------------------------------------------
@@ -1421,6 +1496,7 @@ DOCS_DEDUP_KEEP_BEST_SQL = _dedup_keep_best_sql()
 
 REGISTRY: dict[str, tuple] = {
     "docs_dup_clusters": (q_docs_dup_clusters, DOCS_DUP_CLUSTERS_SQL),
+    "docs_dup_cluster_sizes": (q_docs_dup_cluster_sizes, _dup_cluster_sizes_sql()),
     "docs_dedup_keep_best": (q_docs_dedup_keep_best, DOCS_DEDUP_KEEP_BEST_SQL),
     "docs_exact_dedup": (q_docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, DOCS_NGRAM_JACCARD_SQL),

@@ -264,3 +264,24 @@ def test_shingle_hashes_short_docs_batch_invariant():
     # the short doc's shingle set is empty in BOTH batches
     assert off1[1] - off1[0] == 0
     assert off2[1] - off2[0] == 0
+
+
+def test_dup_cluster_sizes_consistent_with_labels(ray_session):
+    """Histogram must be exactly the value_counts of the cluster labels,
+    and total docs across the histogram equals the label-table rows."""
+    import numpy as np
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_text import (
+        q_docs_dup_cluster_sizes,
+        q_docs_dup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    labels = q_docs_dup_clusters(sf).to_pandas()
+    hist = q_docs_dup_cluster_sizes(sf).to_pandas().set_index("size")
+    ref = labels.groupby("cluster_id").size().value_counts()
+    assert len(hist) == len(ref)
+    for size, n in ref.items():
+        assert int(hist.loc[int(size), "n_clusters"]) == int(n)
+    assert int((hist.index * hist["n_clusters"]).sum()) == len(labels)
+    assert (hist.index >= 2).all()  # singletons never enter the pair graph

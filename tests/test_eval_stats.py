@@ -272,3 +272,25 @@ def test_cuped_matches_numpy_reference(ray_session):
     assert np.isclose(out["uplift_cuped"][0], cuped, atol=1e-4)
     # the CUPED adjustment must reduce per-user metric variance
     assert adj.var() <= y.var() + 1e-12
+
+
+def test_srm_counts_match_distinct_users(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_eval import (
+        CUPED_SALT,
+        q_events_srm_check,
+    )
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.keyed import (
+        splitmix64,
+    )
+
+    out = q_events_srm_check(SF).to_pandas()
+    ev = _events()
+    users = np.unique(ev["user_id"].to_numpy())
+    arm = (
+        splitmix64(users.astype(np.uint64) + np.uint64(CUPED_SALT)) % np.uint64(2)
+    ).astype(int)
+    na, nb = int((arm == 0).sum()), int((arm == 1).sum())
+    assert int(out["n_a"][0]) == na and int(out["n_b"][0]) == nb
+    chi2 = (na - nb) ** 2 / (na + nb)
+    assert np.isclose(out["chi2"][0], chi2, atol=5.1e-7)
+    assert int(out["srm_flag"][0]) == int(chi2 > 3.841459)

@@ -56,3 +56,31 @@ def test_autocorr_7d_matches_numpy(ray_session):
             r = np.corrcoef(x, y)[0, 1]
             assert np.isclose(out.loc[et, "autocorr_7d"], r, atol=2e-6)
             assert -1.0 - 1e-9 <= out.loc[et, "autocorr_7d"] <= 1.0 + 1e-9
+
+
+def test_ohlc_daily_matches_pandas(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_sequence import (
+        q_events_ohlc_daily,
+    )
+
+    out = (
+        q_events_ohlc_daily(SF)
+        .to_pandas()
+        .set_index(["event_type", "day"])
+        .sort_index()
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet").dropna(subset=["value"])
+    ev = ev.assign(
+        day=ev["ts"].astype("int64") // 86_400_000_000,
+        c=np.round(ev["value"].to_numpy() * 100).astype(np.int64),
+    ).sort_values(["ts", "event_id"])
+    ref = ev.groupby(["event_type", "day"])["c"].agg(
+        open_c="first", high_c="max", low_c="min", close_c="last"
+    )
+    assert len(out) == len(ref)
+    for g in ref.index:
+        for col in ["open_c", "high_c", "low_c", "close_c"]:
+            assert int(out.loc[g, col]) == int(ref.loc[g, col]), (g, col)
+    # invariant: low <= open, close <= high
+    assert (out["low_c"] <= out[["open_c", "close_c"]].min(axis=1)).all()
+    assert (out["high_c"] >= out[["open_c", "close_c"]].max(axis=1)).all()
