@@ -372,8 +372,102 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_events_max_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the ``value`` series (largest drop
+    from a running peak, in exact cents) plus the series length — the
+    classic risk/engagement-decay feature that needs a running-max scan,
+    not an algebraic aggregate.
+
+    Plan: ONE user_id-keyed exchange; within each sorted partition the
+    running peak is a single segmented maximum-accumulate
+    (stages/salted helper), drawdown/max are pure int64 numpy — no
+    per-user Python."""
+    from ray.data.aggregate import Max
+
+    from ..functions.numeric import round_half_away
+    from ..stages.keyed import fold_by_keys
+    from ..stages.salted import _segmented_maximum_accumulate
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "max_dd_c": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        mask = pc.is_valid(tbl["value"])
+        tbl = tbl.filter(mask) if pc.any(pc.invert(mask)).as_py() else tbl
+        if tbl.num_rows == 0:
+            return empty
+        uid = np.asarray(tbl["user_id"].combine_chunks().cast(pa.int64()))
+        ts = np.asarray(tbl["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(tbl["event_id"].combine_chunks().cast(pa.int64()))
+        c = round_half_away(
+            np.asarray(tbl["value"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, cs = uid[order], c[order]
+        seg = np.zeros(len(u), dtype=bool)
+        seg[0] = True
+        seg[1:] = u[1:] != u[:-1]
+        # all rows of a user share this partition, so the running peak is
+        # complete — partials per user are (max drawdown, count)
+        peak = _segmented_maximum_accumulate(cs, seg)
+        dd = peak - cs
+        starts = np.flatnonzero(seg)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "max_dd_c": pa.array(
+                    np.maximum.reduceat(dd, starts), pa.int64()
+                ),
+                "one": pa.array(
+                    np.diff(np.concatenate((starts, [len(u)]))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", fn, num_parts=NUM_PARTS).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "max_dd_c": t["max_dd_c"],
+                "n": t["one"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+EVENTS_MAX_DRAWDOWN_SQL = """
+WITH e AS (
+    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id
+    FROM events WHERE value IS NOT NULL
+),
+w AS (
+    SELECT user_id,
+           CAST(max(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS dd
+    FROM e
+)
+SELECT user_id, CAST(max(dd) AS BIGINT) AS max_dd_c,
+       CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "events_type_trigrams": (q_events_type_trigrams, EVENTS_TYPE_TRIGRAMS_SQL),
     "events_autocorr_7d": (q_events_autocorr_7d, EVENTS_AUTOCORR_7D_SQL),
     "events_ohlc_daily": (q_events_ohlc_daily, EVENTS_OHLC_SQL),
+    "events_max_drawdown": (q_events_max_drawdown, EVENTS_MAX_DRAWDOWN_SQL),
 }

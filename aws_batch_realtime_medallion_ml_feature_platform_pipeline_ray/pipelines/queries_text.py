@@ -1386,6 +1386,102 @@ GROUP BY 1
 """
 
 
+def q_docs_soft_dedup_weights(sf_dir: str):
+    """SoftDeDup: instead of DROPPING near-duplicates, keep every
+    document and downweight cluster members by ``1 / cluster_size``
+    (so each duplicated content unit contributes ~one document of
+    training loss). Docs outside any near-dup pair keep weight 1.
+
+    Scale shape on top of the CC labels: one exact keyed member-count
+    fold (cluster count scales with data), one cogroup that routes each
+    labeled doc to its cluster partition for the weight, then a streamed
+    left-union with the unlabeled remainder — no driver materialization
+    of doc rows."""
+    from ..stages.keyed import cogroup_by_key, fold_by_keys
+
+    labels = q_docs_dup_clusters(sf_dir)
+
+    def one_col(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"].combine_chunks().cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    sizes = fold_by_keys(
+        labels.map_batches(one_col, batch_format="pyarrow", zero_copy_batch=True),
+        ["cluster_id"],
+        sums=("one",),
+        num_parts=NUM_PARTS,
+    )
+
+    def weight_part(lab: pa.Table, sz: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "weight": pa.array([], pa.float64())}
+        )
+        if lab.num_rows == 0:
+            return empty
+        cid = lab["cluster_id"].combine_chunks().cast(pa.int64())
+        idx = pc.index_in(cid, value_set=sz["cluster_id"].combine_chunks())
+        n = np.asarray(pc.take(sz["one"].combine_chunks(), idx))
+        return pa.table(
+            {
+                "doc_id": lab["doc_id"].combine_chunks().cast(pa.int64()),
+                "weight": pa.array(
+                    round6(1.0 / n.astype(np.float64)), pa.float64()
+                ),
+            }
+        )
+
+    clustered = cogroup_by_key(
+        labels, sizes, "cluster_id", weight_part, num_parts=NUM_PARTS
+    )
+
+    # unlabeled docs (not in any pair): weight 1 — anti-join via a second
+    # cogroup on doc_id against the labeled ids
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def rest_part(d: pa.Table, lab: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "weight": pa.array([], pa.float64())}
+        )
+        if d.num_rows == 0:
+            return empty
+        ids = d["doc_id"].combine_chunks().cast(pa.int64())
+        seen = pc.is_in(ids, value_set=lab["doc_id"].combine_chunks().cast(pa.int64()))
+        keep = pc.invert(seen)
+        ids = pc.filter(ids, keep)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "weight": pa.array(np.ones(len(ids)), pa.float64()),
+            }
+        )
+
+    rest = cogroup_by_key(docs, labels, "doc_id", rest_part, num_parts=NUM_PARTS)
+    return clustered.union(rest)
+
+
+def _soft_dedup_sql() -> str:
+    return f"""
+WITH labels AS ({_dup_clusters_sql().strip()}),
+sz AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1)
+SELECT d.doc_id,
+       ROUND(1.0 / coalesce(sz.n, 1), 6) AS weight
+FROM documents d
+LEFT JOIN labels l ON d.doc_id = l.doc_id
+LEFT JOIN sz ON l.cluster_id = sz.cluster_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Cluster-level dedup, keep-BEST (not keep-first): the full curation path
 # --------------------------------------------------------------------------
@@ -1497,6 +1593,7 @@ DOCS_DEDUP_KEEP_BEST_SQL = _dedup_keep_best_sql()
 REGISTRY: dict[str, tuple] = {
     "docs_dup_clusters": (q_docs_dup_clusters, DOCS_DUP_CLUSTERS_SQL),
     "docs_dup_cluster_sizes": (q_docs_dup_cluster_sizes, _dup_cluster_sizes_sql()),
+    "docs_soft_dedup_weights": (q_docs_soft_dedup_weights, _soft_dedup_sql()),
     "docs_dedup_keep_best": (q_docs_dedup_keep_best, DOCS_DEDUP_KEEP_BEST_SQL),
     "docs_exact_dedup": (q_docs_exact_dedup, DOCS_EXACT_DEDUP_SQL),
     "docs_ngram_jaccard": (q_docs_ngram_jaccard, DOCS_NGRAM_JACCARD_SQL),

@@ -285,3 +285,32 @@ def test_dup_cluster_sizes_consistent_with_labels(ray_session):
         assert int(hist.loc[int(size), "n_clusters"]) == int(n)
     assert int((hist.index * hist["n_clusters"]).sum()) == len(labels)
     assert (hist.index >= 2).all()  # singletons never enter the pair graph
+
+
+def test_soft_dedup_weights_conserve_mass(ray_session):
+    """Every doc appears exactly once; cluster members carry 1/size so a
+    cluster's total weight is 1; unclustered docs weigh 1."""
+    import numpy as np
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_text import (
+        q_docs_dup_clusters,
+        q_docs_soft_dedup_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    w = q_docs_soft_dedup_weights(sf).to_pandas()
+    labels = q_docs_dup_clusters(sf).to_pandas()
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    assert len(w) == len(docs)
+    assert w["doc_id"].is_unique
+    j = w.merge(labels, on="doc_id", how="left")
+    un = j[j["cluster_id"].isna()]
+    assert np.allclose(un["weight"], 1.0)
+    cl = j.dropna(subset=["cluster_id"])
+    per_cluster = cl.groupby("cluster_id")["weight"].sum()
+    assert np.allclose(per_cluster, 1.0, atol=1e-4)
+    sizes = cl.groupby("cluster_id").size()
+    for cid, g in cl.groupby("cluster_id"):
+        assert np.allclose(g["weight"], 1.0 / sizes[cid], atol=1e-6)

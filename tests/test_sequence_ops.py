@@ -84,3 +84,20 @@ def test_ohlc_daily_matches_pandas(ray_session):
     # invariant: low <= open, close <= high
     assert (out["low_c"] <= out[["open_c", "close_c"]].min(axis=1)).all()
     assert (out["high_c"] >= out[["open_c", "close_c"]].max(axis=1)).all()
+
+
+def test_max_drawdown_matches_pandas(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_sequence import (
+        q_events_max_drawdown,
+    )
+
+    out = q_events_max_drawdown(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet").dropna(subset=["value"])
+    ev = ev.assign(c=np.round(ev["value"].to_numpy() * 100).astype(np.int64))
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        dd = (g["c"].cummax() - g["c"]).max()
+        assert int(out.loc[uid, "max_dd_c"]) == int(dd)
+        assert int(out.loc[uid, "n"]) == len(g)
+    assert len(out) == ev["user_id"].nunique()
+    assert (out["max_dd_c"] >= 0).all()
