@@ -61,4 +61,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_sequence
 
     reg.update(queries_sequence.REGISTRY)
+    from . import queries_timeline
+
+    reg.update(queries_timeline.REGISTRY)
     return reg
