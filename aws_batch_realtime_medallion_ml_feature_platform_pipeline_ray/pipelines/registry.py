@@ -64,4 +64,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_timeline
 
     reg.update(queries_timeline.REGISTRY)
+    from . import queries_r2f
+
+    reg.update(queries_r2f.REGISTRY)
     return reg
