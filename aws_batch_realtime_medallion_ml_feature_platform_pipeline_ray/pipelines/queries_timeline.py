@@ -229,22 +229,14 @@ FROM r JOIN ct USING (conv_id)
 # events_peak_concurrency — sweep-line max concurrent sessions per day
 # ---------------------------------------------------------------------------
 
-def q_events_peak_concurrency(sf_dir: str):
-    """Max number of simultaneously-live sessions per day.
-
-    Sessions are the engine's B11 gap sessions (same
-    ``SESSION_GAP_US``); each occupies the half-open interval
-    ``[first_ts, last_ts + 1)`` so single-turn sessions still count.
-    Every session collapses to a +1 point at its start and a -1 point at
-    its (exclusive) end; points fold exactly by timestamp; the running
-    live count before each timestamp is the engine's distributed
-    block-offset prefix scan (``with_global_rank`` with the signed net
-    as weight — rank-1 = Σ net of strictly earlier timestamps), and the
-    peak AT a timestamp is that plus the starts landing on it. A final
-    low-cardinality day fold takes the max."""
-    from ray.data.aggregate import Max
-
-    from ..stages.globalorder import with_global_rank
+def _ranked_sweep(sf_dir: str):
+    """Shared sweep-line prologue: gap sessions → ±1 points → exact fold
+    by timestamp → distributed prefix scans (one sort). Returns a
+    dataset with columns (t, ns, ne, net, run1, rnk): ``run1 - 1`` is
+    the live-session count immediately BEFORE ``t`` (weighted scan) and
+    ``rnk`` is the dense point index (unweighted scan — the candidate
+    key the neighbor-pair stage needs)."""
+    from ..stages.globalorder import with_global_scans
 
     ds = read_events_as_transcripts(sf_dir)
 
@@ -303,10 +295,28 @@ def q_events_peak_concurrency(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    ranked = with_global_rank(
-        with_net, ["t"], descending=[False], rank_col="run1",
-        weight_col="net",
+    return with_global_scans(
+        with_net, ["t"], descending=[False],
+        specs=[("run1", "net"), ("rnk", None)],
     )
+
+
+def q_events_peak_concurrency(sf_dir: str):
+    """Max number of simultaneously-live sessions per day.
+
+    Sessions are the engine's B11 gap sessions (same
+    ``SESSION_GAP_US``); each occupies the half-open interval
+    ``[first_ts, last_ts + 1)`` so single-turn sessions still count.
+    Every session collapses to a +1 point at its start and a -1 point at
+    its (exclusive) end; points fold exactly by timestamp; the running
+    live count before each timestamp is the engine's distributed
+    block-offset prefix scan (``with_global_rank`` with the signed net
+    as weight — rank-1 = Σ net of strictly earlier timestamps), and the
+    peak AT a timestamp is that plus the starts landing on it. A final
+    low-cardinality day fold takes the max."""
+    from ray.data.aggregate import Max
+
+    ranked = _ranked_sweep(sf_dir)
 
     def peaks(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -378,6 +388,131 @@ sc AS (
 )
 SELECT t // {_US_PER_DAY} AS day, MAX(peak)::BIGINT AS peak_concurrency
 FROM sc GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_concurrency_hist — time spent at each live-session level
+# ---------------------------------------------------------------------------
+
+def q_events_concurrency_hist(sf_dir: str):
+    """Time-in-state histogram of session concurrency: for each live-
+    session count ≥ 1, the total microseconds the system spent at that
+    level — the capacity-planning integral under the sweep line (peak
+    says how high, this says for how long).
+
+    Reuses the shared sweep prologue; the level AFTER each point is
+    ``run1 - 1 + net``, and the duration to the NEXT point is a global
+    lead obtained from the engine's sorted-neighborhood pair stage
+    (``neighbor_pairs`` with window=1 — the same rank-bucket exchange
+    that powers fuzzy blocking doubles as a distributed ``lead()``).
+    A final low-cardinality fold sums per level."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.globalorder import neighbor_pairs
+
+    ranked = _ranked_sweep(sf_dir)
+
+    def with_level(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"t": pa.array([], pa.int64()),
+                 "lvl": pa.array([], pa.int64()),
+                 "rnk": pa.array([], pa.int64())}
+            )
+        run_before = np.asarray(t["run1"].combine_chunks()) - 1
+        net = np.asarray(t["net"].combine_chunks())
+        return pa.table(
+            {
+                "t": t["t"].combine_chunks(),
+                "lvl": pa.array(run_before + net),
+                "rnk": t["rnk"].combine_chunks(),
+            }
+        )
+
+    leveled = ranked.map_batches(
+        with_level, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # the DENSE rank (not the weighted level scan) keys the pair stage —
+    # consecutive points differ by exactly 1 regardless of their nets
+    pairs = neighbor_pairs(
+        leveled, rank_col="rnk", window=1, carry_cols=["t", "lvl"],
+        num_parts=NUM_PARTS,
+    )
+
+    def durations(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lvl": pa.array([], pa.int64()),
+                 "p_us": pa.array([], pa.int64())}
+            )
+        ta = np.asarray(t["t_a"].combine_chunks())
+        tb = np.asarray(t["t_b"].combine_chunks())
+        lv = np.asarray(t["lvl_a"].combine_chunks())
+        keep = lv >= 1
+        return pa.table(
+            {
+                "lvl": pa.array(lv[keep]),
+                "p_us": pa.array((tb - ta)[keep]),
+            }
+        )
+
+    out = (
+        pairs.map_batches(durations, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("lvl")
+        .aggregate(Sum("p_us", alias_name="total_us"))
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "concurrency": t["lvl"].cast(pa.int64()),
+                "total_us": t["total_us"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_CONCURRENCY_HIST_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE},
+g AS (
+    SELECT conv_id, ts, turn_idx,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > {S.SESSION_GAP_US}
+             THEN 1 ELSE 0 END AS brk
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+s AS (
+    SELECT conv_id, ts,
+        SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+),
+sess AS (
+    SELECT conv_id, sid, min(epoch_us(ts)) AS st,
+           max(epoch_us(ts)) + 1 AS en
+    FROM s GROUP BY 1, 2
+),
+pts AS (
+    SELECT st AS t, 1::BIGINT AS ns, 0::BIGINT AS ne FROM sess
+    UNION ALL
+    SELECT en, 0, 1 FROM sess
+),
+p2 AS (SELECT t, SUM(ns)::BIGINT AS ns, SUM(ne)::BIGINT AS ne
+       FROM pts GROUP BY 1),
+sc AS (
+    SELECT t,
+        CAST(SUM(ns - ne) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS lvl
+    FROM p2
+),
+iv AS (SELECT lvl, lead(t) OVER (ORDER BY t) - t AS dur FROM sc)
+SELECT lvl AS concurrency, CAST(SUM(dur) AS BIGINT) AS total_us
+FROM iv WHERE dur IS NOT NULL AND lvl >= 1
+GROUP BY 1
 """
 
 
@@ -624,6 +759,10 @@ REGISTRY: dict[str, tuple] = {
     "events_peak_concurrency": (
         q_events_peak_concurrency,
         EVENTS_PEAK_CONCURRENCY_SQL,
+    ),
+    "events_concurrency_hist": (
+        q_events_concurrency_hist,
+        EVENTS_CONCURRENCY_HIST_SQL,
     ),
     "events_interp_daily": (q_events_interp_daily, EVENTS_INTERP_SQL),
     "train_temporal_cv": (q_train_temporal_cv, TRAIN_TEMPORAL_CV_SQL),

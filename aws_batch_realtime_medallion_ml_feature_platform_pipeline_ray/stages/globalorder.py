@@ -48,6 +48,25 @@ def with_global_rank(
     ``1 + Σ weights of strictly-smaller rows``) — the weighted prefix
     that turns a distinct-value/count table into per-value MIN ranks of
     the underlying row population (exact distributed ECDF)."""
+    return with_global_scans(
+        ds, keys, descending=descending, specs=[(rank_col, weight_col)]
+    )
+
+
+def with_global_scans(
+    ds,
+    keys: list[str],
+    *,
+    descending: list[bool],
+    specs: list[tuple[str, str | None]],
+):
+    """Several exact global prefix scans over ONE range-partitioned sort.
+
+    ``specs`` is a list of ``(rank_col, weight_col | None)``: each entry
+    adds a column holding ``1 + Σ weights of strictly-smaller rows``
+    (``None`` weight = plain row numbering). One sort, one O(#blocks)
+    driver scan for ALL specs — e.g. a sweep line needs BOTH the signed
+    running level (weighted) and a dense adjacency rank (unweighted)."""
     s = ds.sort(keys, descending=descending).materialize()
 
     def block_stat(t: pa.Table) -> pa.Table:
@@ -55,20 +74,21 @@ def with_global_rank(
             return pa.table(
                 {
                     **{k: t[k].slice(0, 0) for k in keys},
-                    "__cnt": pa.array([], pa.int64()),
+                    **{
+                        f"__cnt{i}": pa.array([], pa.int64())
+                        for i in range(len(specs))
+                    },
                 }
             )
-        cnt = (
-            t.num_rows
-            if weight_col is None
-            else int(np.asarray(t[weight_col].combine_chunks()).sum())
-        )
-        return pa.table(
-            {
-                **{k: t[k].slice(0, 1) for k in keys},
-                "__cnt": pa.array([cnt], pa.int64()),
-            }
-        )
+        cols = {k: t[k].slice(0, 1) for k in keys}
+        for i, (_rc, wc) in enumerate(specs):
+            cnt = (
+                t.num_rows
+                if wc is None
+                else int(np.asarray(t[wc].combine_chunks()).sum())
+            )
+            cols[f"__cnt{i}"] = pa.array([cnt], pa.int64())
+        return pa.table(cols)
 
     stats = s.map_batches(
         block_stat, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
@@ -82,17 +102,24 @@ def with_global_rank(
     order = sdf.sort_values(
         keys, ascending=[not d for d in descending], ignore_index=True
     )
-    offsets = np.concatenate(
-        [[0], np.cumsum(order["__cnt"].to_numpy(np.int64))[:-1]]
-    )
-    off_by_first = {
-        tuple(row): int(off)
-        for row, off in zip(order[keys].itertuples(index=False), offsets)
-    }
+    off_by_first: dict[tuple, tuple[int, ...]] = {}
+    per_spec_offsets = []
+    for i in range(len(specs)):
+        per_spec_offsets.append(
+            np.concatenate(
+                [[0], np.cumsum(order[f"__cnt{i}"].to_numpy(np.int64))[:-1]]
+            )
+        )
+    for j, row in enumerate(order[keys].itertuples(index=False)):
+        off_by_first[tuple(row)] = tuple(
+            int(per_spec_offsets[i][j]) for i in range(len(specs))
+        )
 
     def add_rank(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.append_column(rank_col, pa.array([], pa.int64()))
+            for rc, _wc in specs:
+                t = t.append_column(rc, pa.array([], pa.int64()))
+            return t
         first = tuple(t[k][0].as_py() for k in keys)
         if first not in off_by_first:
             # batching diverged between the two passes — fail loudly
@@ -100,13 +127,15 @@ def with_global_rank(
             raise RuntimeError(
                 f"global-rank block boundary drift: no offset for {first}"
             )
-        base = off_by_first[first]
-        if weight_col is None:
-            local = np.arange(t.num_rows, dtype=np.int64)
-        else:
-            w = np.asarray(t[weight_col].combine_chunks()).astype(np.int64)
-            local = np.concatenate(([0], np.cumsum(w)[:-1]))
-        return t.append_column(rank_col, pa.array(base + 1 + local))
+        bases = off_by_first[first]
+        for (rc, wc), base in zip(specs, bases):
+            if wc is None:
+                local = np.arange(t.num_rows, dtype=np.int64)
+            else:
+                w = np.asarray(t[wc].combine_chunks()).astype(np.int64)
+                local = np.concatenate(([0], np.cumsum(w)[:-1]))
+            t = t.append_column(rc, pa.array(base + 1 + local))
+        return t
 
     return s.map_batches(
         add_rank, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
