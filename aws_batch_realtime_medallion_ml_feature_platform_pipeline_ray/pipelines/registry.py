@@ -67,4 +67,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r2f
 
     reg.update(queries_r2f.REGISTRY)
+    from . import queries_r2g
+
+    reg.update(queries_r2g.REGISTRY)
     return reg
