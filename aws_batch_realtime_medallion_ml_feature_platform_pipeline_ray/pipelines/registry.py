@@ -70,4 +70,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r2g
 
     reg.update(queries_r2g.REGISTRY)
+    from . import queries_r2h
+
+    reg.update(queries_r2h.REGISTRY)
     return reg
