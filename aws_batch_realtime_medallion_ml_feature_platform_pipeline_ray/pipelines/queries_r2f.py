@@ -344,19 +344,15 @@ WHERE tv.t_idx - tr.turn_idx BETWEEN 0 AND {CREDIT_WINDOW}
 PMI_MIN_COUNT = 5
 
 
-def q_docs_pmi_bigrams(sf_dir: str):
-    """PMI collocation scores for adjacent token pairs:
-    ``ln(c_ab · N / (c_a · c_b))`` where c_ab is the bigram count, c_a /
-    c_b the left/right marginal counts and N the total bigram mass —
-    the association layer on top of ``docs_bigram_lm``'s count layer
-    (only pairs with c_ab ≥ {PMI_MIN_COUNT} are scored).
-
-    Plan: per-batch bigram tf partials (the token stream never
-    shuffles) → exchange keyed by w1 (pair counts + left marginals are
-    segment sums in place) → exchange keyed by w2 (right marginals
-    likewise) → ``materialize()`` of the vocabulary²-bounded pair table
-    so N is ONE tiny aggregate over it, then the log scoring map. The
-    pinned table scales with vocabulary, never with the corpus."""
+def bigram_pair_marginals(sf_dir: str):
+    """The shared collocation count plan (PMI, log-likelihood ratio, …):
+    per-batch bigram tf partials (the token stream never shuffles) →
+    exchange keyed by w1 (pair counts + left marginals are segment sums
+    in place) → exchange keyed by w2 (right marginals likewise) →
+    ``materialize()`` of the vocabulary²-bounded pair table so N is ONE
+    tiny aggregate over it. The pinned table scales with vocabulary,
+    never with the corpus. Returns ``(pairs_dataset, n_total)`` where
+    pairs has columns (w1, w2, c_ab, c_a, c_b)."""
     from .queries_extra import _bigram_tf_partial
 
     ds = read_parquet_sized(
@@ -431,6 +427,17 @@ def q_docs_pmi_bigrams(sf_dir: str):
         pairs1, "w2", by_w2, num_parts=NUM_PARTS
     ).materialize()  # vocabulary^2-bounded, never corpus-scale
     n_total = int(pairs.sum("c_ab"))
+    return pairs, n_total
+
+
+def q_docs_pmi_bigrams(sf_dir: str):
+    """PMI collocation scores for adjacent token pairs:
+    ``ln(c_ab · N / (c_a · c_b))`` where c_ab is the bigram count, c_a /
+    c_b the left/right marginal counts and N the total bigram mass —
+    the association layer on top of ``docs_bigram_lm``'s count layer
+    (only pairs with c_ab ≥ {PMI_MIN_COUNT} are scored). Counts come
+    from the shared :func:`bigram_pair_marginals` plan."""
+    pairs, n_total = bigram_pair_marginals(sf_dir)
 
     def score(t: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -73,4 +73,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r2h
 
     reg.update(queries_r2h.REGISTRY)
+    from . import queries_r2i
+
+    reg.update(queries_r2i.REGISTRY)
     return reg
