@@ -76,4 +76,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r2i
 
     reg.update(queries_r2i.REGISTRY)
+    from . import queries_r2j
+
+    reg.update(queries_r2j.REGISTRY)
     return reg
