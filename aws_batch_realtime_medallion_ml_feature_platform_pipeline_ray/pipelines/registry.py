@@ -79,4 +79,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r2j
 
     reg.update(queries_r2j.REGISTRY)
+    from . import queries_r2k
+
+    reg.update(queries_r2k.REGISTRY)
     return reg
