@@ -82,4 +82,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r2k
 
     reg.update(queries_r2k.REGISTRY)
+    from . import queries_r2l
+
+    reg.update(queries_r2l.REGISTRY)
     return reg
