@@ -85,4 +85,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r2l
 
     reg.update(queries_r2l.REGISTRY)
+    from . import queries_r2m
+
+    reg.update(queries_r2m.REGISTRY)
     return reg

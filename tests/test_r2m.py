@@ -1,0 +1,137 @@
+"""Block-boundary invariance + properties for the round-2m operators
+(KWIC, subsequence support, truncation/quantization recall, describe,
+GDPR cascade audit)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+CASES = [
+    ("q_docs_kwic", ["doc_id", "pos"]),
+    ("q_events_subseq_support", ["n_users"]),
+    ("q_eval_dim_truncation", ["q_id"]),
+    ("q_eval_quant_recall", ["q_id"]),
+    ("q_events_describe", ["event_type"]),
+    ("q_gdpr_cascade_audit", ["entity"]),
+]
+
+
+def _get(fn_name):
+    import importlib
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r2m"
+    )
+    return getattr(m, fn_name)
+
+
+@pytest.mark.parametrize("fn,key", CASES, ids=[c[0] for c in CASES])
+def test_tiny_blocks_same_answer(ray_session, fn, key):
+    from ray.data.context import DataContext
+
+    q = _get(fn)
+
+    def run():
+        r = q(SF)
+        r = r.to_pandas() if hasattr(r, "to_pandas") else r
+        return r.sort_values(key, ignore_index=True)
+
+    base = run()
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = run()
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, tiny[base.columns])
+
+
+def test_kwic_context_widths(ray_session):
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r2m import (
+        KWIC_CTX,
+        KWIC_TARGET,
+    )
+
+    df = _get("q_docs_kwic")(SF).to_pandas()
+    assert len(df) > 0
+    # contexts never exceed CTX tokens and never contain the separator
+    # at the edges
+    for col in ["left_ctx", "right_ctx"]:
+        n_words = df[col].str.split().map(len)
+        blank = df[col] == ""
+        assert (n_words[~blank] <= KWIC_CTX).all()
+    # position 1 has empty left context
+    first = df[df["pos"] == 1]
+    assert (first["left_ctx"] == "").all()
+    # the target token itself is not part of either context of its row
+    import duckdb
+
+    one = df.iloc[0]
+    text = duckdb.connect().execute(
+        f"SELECT text FROM '{SF}/documents.parquet' WHERE doc_id = ?",
+        [int(one["doc_id"])],
+    ).fetchone()[0]
+    toks = text.split(" ")
+    assert toks[int(one["pos"]) - 1] == KWIC_TARGET
+
+
+def test_subseq_support_bounds(ray_session):
+    df = _get("q_events_subseq_support")(SF).to_pandas()
+    n, m = int(df["n_users"].iloc[0]), int(df["n_matched"].iloc[0])
+    assert 0 <= m <= n
+    s = float(df["support"].iloc[0])
+    assert 0.0 <= s <= 1.0
+    # subsequence support can't exceed the 2-step prefix support
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    two = con.execute("""
+        WITH a AS (SELECT user_id, min(ts) t1 FROM events
+                   WHERE event_type='signup' GROUP BY 1)
+        SELECT count(DISTINCT e.user_id) FROM events e JOIN a USING(user_id)
+        WHERE e.event_type='click' AND e.ts > a.t1""").fetchone()[0]
+    assert m <= two
+
+
+def test_recall_evals_bounds_and_truncation_hurts_more(ray_session):
+    tr = _get("q_eval_dim_truncation")(SF).to_pandas()
+    qt = _get("q_eval_quant_recall")(SF).to_pandas()
+    for df in (tr, qt):
+        assert len(df) == 5
+        assert ((df["recall"] >= 0) & (df["recall"] <= 1)).all()
+    # int8 quantization is nearly lossless; 4x dim truncation is not —
+    # quant recall should be at least as good on average
+    assert qt["recall"].mean() >= tr["recall"].mean() - 1e-9
+
+
+def test_describe_order_statistics(ray_session):
+    df = _get("q_events_describe")(SF).to_pandas()
+    assert (df["min_c"] <= df["p25_c"]).all()
+    assert (df["p25_c"] <= df["p50_c"]).all()
+    assert (df["p50_c"] <= df["p75_c"]).all()
+    assert (df["p75_c"] <= df["max_c"]).all()
+    assert (df["std"] >= 0).all()
+
+
+def test_gdpr_cascade_counts(ray_session):
+    import duckdb
+
+    df = (
+        _get("q_gdpr_cascade_audit")(SF)
+        .to_pandas()
+        .set_index("entity")["matched_rows"]
+    )
+    con = duckdb.connect()
+    n_cust = con.execute(
+        f"SELECT count(*) FROM '{SF}/customer.parquet' "
+        "WHERE c_custkey % 97 = 3"
+    ).fetchone()[0]
+    assert int(df["customer"]) == n_cust
+    # cascade monotonicity: each order has >= 1 lineitem in TPC-H-style
+    # data, so lineitem impact >= orders impact when orders exist
+    if int(df["orders"]) > 0:
+        assert int(df["lineitem"]) >= int(df["orders"])
