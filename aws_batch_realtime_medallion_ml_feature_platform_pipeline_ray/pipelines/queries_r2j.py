@@ -263,9 +263,12 @@ def q_docs_vocab_overlap(sf_dir: str):
     comparison behind mixture design and contamination checks.
 
     Plan: per-batch distinct (term, lang) partials → ONE vocabulary-keyed
-    exchange where each term's language set is partition-local → per-term
-    pair expansion (|langs|² bounded by the fixed lang vocabulary) →
-    tiny pair/size groupbys."""
+    exchange where each term's language set is partition-local and
+    collapses to a BITMASK (langs are a fixed small vocabulary, fetched
+    by one tiny distinct pass) → per-partition (mask, n_terms) counts —
+    at most 2^|langs| rows total — from which every pairwise
+    intersection and vocabulary size falls out by mask arithmetic. No
+    per-term Python, no per-pair expansion."""
     from ray.data.aggregate import Sum
 
     from .queries_extra import _tf_partial
@@ -274,12 +277,32 @@ def q_docs_vocab_overlap(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
 
+    # fixed-cardinality language vocabulary: one tiny distinct pass
+    # (O(|langs| x blocks) rows reach the driver, never corpus-scale)
+    lang_rows = (
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .map_batches(
+            lambda t: pa.table(
+                {"lang": pc.unique(t["lang"].combine_chunks())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("lang")
+        .count()
+        .to_pandas()
+    )
+    langs = sorted(lang_rows["lang"].tolist())
+    if len(langs) > 62:
+        raise ValueError("vocab-overlap bitmask supports <= 62 languages")
+    lang_bit = {l: i for i, l in enumerate(langs)}
+
     def tl_partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
         empty = pa.table(
             {"term": pa.array([], pa.string()),
-             "lang": pa.array([], pa.string())}
+             "bit": pa.array([], pa.int64())}
         )
         if t.num_rows == 0:
             return empty
@@ -290,150 +313,93 @@ def q_docs_vocab_overlap(sf_dir: str):
         idx = pc.index_in(
             tf["doc_id"], value_set=t["doc_id"].combine_chunks()
         )
-        lang = t["lang"].combine_chunks().take(idx.combine_chunks())
+        lang = np.asarray(
+            t["lang"].combine_chunks().take(idx.combine_chunks())
+            .cast(pa.large_string())
+        )
+        # vectorized lang -> bit: factorize, then map the few uniques
+        l_inv, l_uniq = pd.factorize(lang)
+        local_bit = np.array([lang_bit[l] for l in l_uniq], dtype=np.int64)
+        bits = np.int64(1) << local_bit[l_inv]
         term = np.asarray(tf["term"].combine_chunks().cast(pa.large_string()))
-        lg = np.asarray(lang.cast(pa.large_string()))
-        key = pd.MultiIndex.from_arrays([term, lg])
+        key = pd.MultiIndex.from_arrays([term, bits])
         _, first = np.unique(key, return_index=True)
-        take = pa.array(np.sort(first))
+        take = np.sort(first)
         return pa.table(
             {
-                "term": tf["term"].combine_chunks().take(take),
-                "lang": lang.take(take),
+                "term": tf["term"].combine_chunks().take(pa.array(take)),
+                "bit": pa.array(bits[take]),
             }
         )
 
     rows = ds.map_batches(tl_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
 
-    pair_schema = {
-        "lang_a": pa.string(),
-        "lang_b": pa.string(),
-        "p_inter": pa.int64(),
-    }
-    size_schema = {"lang": pa.string(), "p_v": pa.int64()}
-
-    def per_term(part: pa.Table) -> pa.Table:
+    def mask_counts(part: pa.Table) -> pa.Table:
         import pandas as pd
 
         empty = pa.table(
-            {
-                "lang_a": pa.array([], pa.string()),
-                "lang_b": pa.array([], pa.string()),
-                "p_inter": pa.array([], pa.int64()),
-                "lang": pa.array([], pa.string()),
-                "p_v": pa.array([], pa.int64()),
-            }
+            {"mask": pa.array([], pa.int64()),
+             "p_terms": pa.array([], pa.int64())}
         )
         if part.num_rows == 0:
             return empty
         term = np.asarray(part["term"].combine_chunks().cast(pa.large_string()))
-        lang = np.asarray(part["lang"].combine_chunks().cast(pa.large_string()))
-        # global distinct within the partition (terms are partition-local)
-        key = pd.MultiIndex.from_arrays([term, lang])
-        _, first = np.unique(key, return_index=True)
-        term, lang = term[first], lang[first]
-        # per-lang vocab sizes
-        l_inv, l_uniq = pd.factorize(lang)
-        vsz = np.zeros(len(l_uniq), np.int64)
-        np.add.at(vsz, l_inv, 1)
-        # pair expansion per term: sort by term, emit all lang pairs
-        t_inv, t_uniq = pd.factorize(term)
+        bit = np.asarray(part["bit"].combine_chunks())
+        t_inv, _ = pd.factorize(term)
         order = np.argsort(t_inv, kind="stable")
-        ti, li = t_inv[order], l_inv[order]
+        ti, bi = t_inv[order], bit[order]
         starts = np.flatnonzero(
             np.concatenate(([True], ti[1:] != ti[:-1]))
         )
-        ends = np.append(starts[1:], len(ti))
-        pa_list, pb_list = [], []
-        for s, e in zip(starts, ends):  # |langs| <= fixed vocab (~5)
-            ls = np.sort(li[s:e])
-            if len(ls) < 2:
-                continue
-            ia, ib = np.triu_indices(len(ls), k=1)
-            pa_list.append(ls[ia])
-            pb_list.append(ls[ib])
-        if pa_list:
-            pa_arr = np.concatenate(pa_list)
-            pb_arr = np.concatenate(pb_list)
-            pk = pa_arr * np.int64(len(l_uniq)) + pb_arr
-            pk_inv, pk_uniq = pd.factorize(pk)
-            cnt = np.bincount(pk_inv).astype(np.int64)
-            la = (pk_uniq // len(l_uniq)).astype(np.int64)
-            lb = (pk_uniq % len(l_uniq)).astype(np.int64)
-            pairs = pa.table(
-                {
-                    "lang_a": pa.array(l_uniq[la]).cast(pa.string()),
-                    "lang_b": pa.array(l_uniq[lb]).cast(pa.string()),
-                    "p_inter": pa.array(cnt),
-                    "lang": pa.array([None] * len(cnt), pa.string()),
-                    "p_v": pa.array([0] * len(cnt), pa.int64()),
-                }
-            )
-        else:
-            pairs = empty
-        sizes = pa.table(
-            {
-                "lang_a": pa.array([None] * len(l_uniq), pa.string()),
-                "lang_b": pa.array([None] * len(l_uniq), pa.string()),
-                "p_inter": pa.array([0] * len(l_uniq), pa.int64()),
-                "lang": pa.array(l_uniq).cast(pa.string()),
-                "p_v": pa.array(vsz),
-            }
+        mask = np.bitwise_or.reduceat(bi, starts)
+        mu, cnt = np.unique(mask, return_counts=True)
+        return pa.table(
+            {"mask": pa.array(mu), "p_terms": pa.array(cnt.astype(np.int64))}
         )
-        return pa.concat_tables([pairs, sizes])
 
-    both = map_partitions_by_key(rows, "term", per_term, num_parts=NUM_PARTS)
-    mat = both.materialize()  # vocab-pair bounded
-
-    def _pairs_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_null(t["lang"]))
-
-    def _sizes_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_valid(t["lang"]))
-
-    pair_counts = (
-        mat.map_batches(_pairs_only, batch_format="pyarrow",
-                        zero_copy_batch=True)
-        .groupby(["lang_a", "lang_b"])
-        .aggregate(Sum("p_inter", alias_name="inter"))
-    ).to_pandas()
-    sizes = (
-        mat.map_batches(_sizes_only, batch_format="pyarrow",
-                        zero_copy_batch=True)
-        .groupby("lang")
-        .aggregate(Sum("p_v", alias_name="v"))
-    ).to_pandas()
-    vmap = dict(zip(sizes["lang"], sizes["v"].astype(int)))
-    # canonical pair order: lang_a < lang_b (factorize codes were
-    # partition-local, so normalize by name here)
-    la = pair_counts["lang_a"].to_numpy()
-    lb = pair_counts["lang_b"].to_numpy()
-    swap = la > lb
-    la2 = np.where(swap, lb, la)
-    lb2 = np.where(swap, la, lb)
-    import pandas as pd
-
-    agg = (
-        pd.DataFrame(
-            {"lang_a": la2, "lang_b": lb2,
-             "inter": pair_counts["inter"].astype(int)}
-        )
-        .groupby(["lang_a", "lang_b"], as_index=False)["inter"]
-        .sum()
+    folded = (
+        map_partitions_by_key(rows, "term", mask_counts, num_parts=NUM_PARTS)
+        .groupby("mask")
+        .aggregate(Sum("p_terms", alias_name="n"))
+        .to_pandas()  # <= 2^|langs| rows
     )
-    va = agg["lang_a"].map(vmap).astype(int)
-    vb = agg["lang_b"].map(vmap).astype(int)
-    inter = agg["inter"].astype(int)
+    masks = folded["mask"].to_numpy(np.int64)
+    cnts = folded["n"].to_numpy(np.int64)
+    la_out, lb_out, va_out, vb_out, inter_out = [], [], [], [], []
+    vsz = {
+        l: int(cnts[(masks >> b) & 1 == 1].sum())
+        for l, b in lang_bit.items()
+    }
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            both = ((masks >> lang_bit[a]) & 1 == 1) & (
+                (masks >> lang_bit[b]) & 1 == 1
+            )
+            inter = int(cnts[both].sum())
+            if inter == 0:
+                continue  # mirror the inner-join twin
+            la_out.append(a)
+            lb_out.append(b)
+            va_out.append(vsz[a])
+            vb_out.append(vsz[b])
+            inter_out.append(inter)
+    va = np.array(va_out, dtype=np.int64)
+    vb = np.array(vb_out, dtype=np.int64)
+    inter = np.array(inter_out, dtype=np.int64)
     union = va + vb - inter
-    jac = round6(inter.to_numpy() / union.to_numpy().astype(np.float64))
+    jac = (
+        round6(inter / union.astype(np.float64))
+        if len(inter)
+        else np.array([], dtype=np.float64)
+    )
     return pa.table(
         {
-            "lang_a": pa.array(agg["lang_a"], pa.string()),
-            "lang_b": pa.array(agg["lang_b"], pa.string()),
-            "v_a": pa.array(va.to_numpy(), pa.int64()),
-            "v_b": pa.array(vb.to_numpy(), pa.int64()),
-            "n_shared": pa.array(inter.to_numpy(), pa.int64()),
+            "lang_a": pa.array(la_out, pa.string()),
+            "lang_b": pa.array(lb_out, pa.string()),
+            "v_a": pa.array(va),
+            "v_b": pa.array(vb),
+            "n_shared": pa.array(inter),
             "jaccard": pa.array(jac, pa.float64()),
         }
     )
