@@ -661,8 +661,9 @@ def q_small_qty_revenue(sf_dir: str):
     def qty_partial(t: pa.Table) -> pa.Table:
         qc = _cents(np.asarray(t["l_quantity"].combine_chunks()))
         pk = np.asarray(t["l_partkey"].combine_chunks())
-        (p,), (s,) = _seg_sum([pk], [qc])
-        (_,), (n,) = _seg_sum([pk], [np.ones(len(pk), dtype=np.int64)])
+        (p,), (s, n) = _seg_sum(
+            [pk], [qc, np.ones(len(pk), dtype=np.int64)]
+        )
         return pa.table(
             {"partkey": pa.array(p), "sum_qty_c": pa.array(s),
              "n_li": pa.array(n)}

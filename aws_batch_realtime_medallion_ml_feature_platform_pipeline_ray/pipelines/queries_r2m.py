@@ -455,7 +455,14 @@ def q_events_describe(sf_dir: str):
     """pandas ``describe()`` per event type over ``value`` cents: n,
     mean, std (population), min, p25/p50/p75 (ANSI percentile_disc:
     smallest element with cume_dist ≥ p), max. ONE type-keyed exchange;
-    quantiles are O(1) picks from the per-type sorted array."""
+    quantiles are O(1) picks from the per-type sorted array.
+
+    100-TB caveat: EXACT order statistics need each type's full value
+    set in one partition, and event types are a tiny vocabulary — at
+    corpus scale one partition holds ~1/|types| of the lake. This is
+    inherent to exact disc quantiles; the scale path is the fixed-bin
+    histogram quantile (``events_value_pctl_hist``), which this
+    operator complements for small-group exactness."""
     ds = read_parquet_sized(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     ).map_batches(
