@@ -674,3 +674,62 @@ REGISTRY = {
     "events_describe": (q_events_describe, EVENTS_DESCRIBE_SQL),
     "gdpr_cascade_audit": (q_gdpr_cascade_audit, GDPR_CASCADE_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# ipc_ingest — Arrow-IPC landing zone via the custom datasource
+# ---------------------------------------------------------------------------
+
+IPC_SEED = 91
+
+
+def _ipc_dir(sf_dir: str = "") -> str:
+    """Deterministic IPC fixture (plus a parquet TWIN of the same table
+    for the DuckDB oracle), created once under /tmp."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..sources.ipc import write_ipc
+    from ..sources.transcripts import generate_transcripts
+
+    d = "/tmp/medallion_fixture/default/ipc"
+    marker = os.path.join(d, "_complete.json")
+    if not os.path.exists(marker):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        tbl = generate_transcripts(n_convs=60, avg_turns=20, seed=IPC_SEED)
+        write_ipc(tbl, d, rows_per_file=2000)
+        pq.write_table(tbl, os.path.join(d, "twin.parquet"))
+        with open(marker, "w") as f:
+            f.write("{}")
+    return d
+
+
+def q_ipc_ingest(sf_dir: str):
+    """Arrow-IPC ingest through the engine's CUSTOM Ray Data datasource
+    (sources/ipc.py): record batches stream out of each file as blocks;
+    canonical column projection on top. The oracle reads a parquet twin
+    of the same generated table — exact round trip."""
+    from ..sources.ipc import read_ipc
+
+    ds = read_ipc(_ipc_dir(sf_dir))
+    return ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text", "tool",
+                            "ts"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _ipc_oracle_sql() -> str:
+    d = _ipc_dir()
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool,
+       CAST(ts AS TIMESTAMP) AS ts
+FROM read_parquet('{d}/twin.parquet')
+"""
+
+
+REGISTRY["ipc_ingest"] = (q_ipc_ingest, _ipc_oracle_sql())

