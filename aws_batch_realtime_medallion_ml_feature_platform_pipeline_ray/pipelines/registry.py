@@ -88,4 +88,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r2m
 
     reg.update(queries_r2m.REGISTRY)
+    from . import queries_r2n
+
+    reg.update(queries_r2n.REGISTRY)
     return reg
