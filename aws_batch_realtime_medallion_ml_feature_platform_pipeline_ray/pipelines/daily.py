@@ -15,16 +15,14 @@ of those lake passes is gone.
 
 from __future__ import annotations
 
-import glob
 import json
-import os
-import shutil
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from .medallion import gold_dt_fragments
+from ..state import fsio as F
 from .queries_relational import split_bucket_str
 from ..sources.reads import read_parquet_sized
 
@@ -51,11 +49,9 @@ def split_column(t: pa.Table, train_pct: int = TRAIN_PCT) -> pa.Table:
 
 def _dir_row_count(d: str) -> int:
     """Row count from parquet footers only — no data pages read."""
-    import pyarrow.parquet as pq
-
     return sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        F.parquet_rows(f)
+        for f in F.glob(F.join(d, "**", "*.parquet"), recursive=True)
     )
 
 
@@ -71,23 +67,23 @@ def run_daily(
     """Build train/validation/inference datasets from the gold layer."""
     import ray.data as rd
 
-    gold_dir = os.path.join(out_root, "gold")
+    gold_dir = F.join(out_root, "gold")
     files, _ = gold_dt_fragments(gold_dir, dt_start, dt_end)
-    datasets_root = os.path.join(out_root, "datasets")
+    datasets_root = F.join(out_root, "datasets")
 
     # ---- train/validation: ONE pass over the pruned fragments ----------
-    split_root = os.path.join(datasets_root, "_splits")
-    if os.path.isdir(split_root):
-        shutil.rmtree(split_root)  # overwrite semantics (build_datasets.py:68)
+    split_root = F.join(datasets_root, "_splits")
+    if F.isdir(split_root):
+        F.rmtree(split_root)  # overwrite semantics (build_datasets.py:68)
     if not files:
         # empty lake / dt range matching no fragments: write empty
         # datasets + metadata instead of crashing in read_parquet([])
         counts = {}
         for which in ("train", "validation", "inference"):
-            out_dir = os.path.join(datasets_root, which)
-            if os.path.isdir(out_dir):
-                shutil.rmtree(out_dir)
-            os.makedirs(out_dir, exist_ok=True)
+            out_dir = F.join(datasets_root, which)
+            if F.isdir(out_dir):
+                F.rmtree(out_dir)
+            F.makedirs(out_dir, exist_ok=True)
             counts[which] = 0
         meta = {
             "created_at": created_at,
@@ -97,10 +93,8 @@ def run_daily(
             "feature_version": feature_version,
             "label": f"is_long := utf8_length(text) > {LABEL_THRESHOLD}",
         }
-        meta_path = os.path.join(datasets_root, "metadata.json")
-        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
-        with open(meta_path, "w") as f:
-            json.dump(meta, f, indent=1)
+        meta_path = F.join(datasets_root, "metadata.json")
+        F.write_text_atomic(meta_path, json.dumps(meta, indent=1))
         return meta
     ds = read_parquet_sized(files)
 
@@ -116,16 +110,16 @@ def run_daily(
 
     counts = {}
     for which in ("train", "validation"):
-        out_dir = os.path.join(datasets_root, which)
-        if os.path.isdir(out_dir):
-            shutil.rmtree(out_dir)
-        src = os.path.join(split_root, f"split={which}")
-        if os.path.isdir(src):
-            os.replace(src, out_dir)
+        out_dir = F.join(datasets_root, which)
+        if F.isdir(out_dir):
+            F.rmtree(out_dir)
+        src = F.join(split_root, f"split={which}")
+        if F.isdir(src):
+            F.replace(src, out_dir)
         else:
-            os.makedirs(out_dir, exist_ok=True)
+            F.makedirs(out_dir, exist_ok=True)
         counts[which] = _dir_row_count(out_dir)
-    shutil.rmtree(split_root, ignore_errors=True)
+    F.rmtree(split_root, ignore_errors=True)
 
     # ---- inference: last N dt fragments only (M10), labels+dt dropped --
     _, all_dts = gold_dt_fragments(gold_dir)
@@ -133,16 +127,16 @@ def run_daily(
     inf_files, _ = gold_dt_fragments(
         gold_dir, recent[0] if recent else None, recent[-1] if recent else None
     )
-    inf_dir = os.path.join(datasets_root, "inference")
-    if os.path.isdir(inf_dir):
-        shutil.rmtree(inf_dir)
+    inf_dir = F.join(datasets_root, "inference")
+    if F.isdir(inf_dir):
+        F.rmtree(inf_dir)
     if inf_files:
         inf = read_parquet_sized(inf_files).map_batches(
             drop_hive_part, batch_format="pyarrow", zero_copy_batch=True
         )
         inf.drop_columns(["dt", "text"]).write_parquet(inf_dir)
     else:
-        os.makedirs(inf_dir, exist_ok=True)
+        F.makedirs(inf_dir, exist_ok=True)
     counts["inference"] = _dir_row_count(inf_dir)
 
     meta = {
@@ -153,8 +147,6 @@ def run_daily(
         "feature_version": feature_version,
         "label": f"is_long := utf8_length(text) > {LABEL_THRESHOLD}",
     }
-    meta_path = os.path.join(datasets_root, "metadata.json")
-    os.makedirs(os.path.dirname(meta_path), exist_ok=True)
-    with open(meta_path, "w") as f:
-        json.dump(meta, f, indent=1)
+    meta_path = F.join(datasets_root, "metadata.json")
+    F.write_text_atomic(meta_path, json.dumps(meta, indent=1))
     return meta

@@ -28,10 +28,10 @@ skipped; kill-and-rerun converges to the same bytes.
 
 from __future__ import annotations
 
-import glob
 import json
-import os
 import time
+
+from ..state import fsio as F
 
 import numpy as np
 import pyarrow as pa
@@ -132,9 +132,9 @@ def run_stream(
     import ray
     import ray.data as rd
 
-    silver_root = os.path.join(out_root, "silver")
-    gold_root = os.path.join(out_root, "gold")
-    online_root = os.path.join(out_root, "online")
+    silver_root = F.join(out_root, "silver")
+    gold_root = F.join(out_root, "gold")
+    online_root = F.join(out_root, "online")
     # dedup happens explicitly on the silver history read-back, so the
     # fused pass can skip its own dedup step
     cfg = gold_cfg or GoldConfig(dedup=False)
@@ -185,7 +185,7 @@ def run_stream(
         ts_arr = g["ts"].combine_chunks()
         dt = pc.strftime(ts_arr, format="%Y-%m-%d")
         g = g.append_column("dt", dt)
-        silver_file = os.path.join(silver_root, f"part={key}", f"run-{run_id}.parquet")
+        silver_file = F.join(silver_root, f"part={key}", f"run-{run_id}.parquet")
         silver_cols = [f.name for f in S.SILVER] + ["ingest_ts"]
         silver_tbl = g.select(silver_cols)
         M.atomic_write_table(silver_tbl, silver_file)
@@ -209,16 +209,15 @@ def run_stream(
 
         # ---- gold: recompute this partition from FULL silver history ----
         t1 = time.perf_counter()
-        part_dir = os.path.join(silver_root, f"part={key}")
-        files = sorted(glob.glob(os.path.join(part_dir, "run-*.parquet")))
-        import pyarrow.parquet as pq
+        part_dir = F.join(silver_root, f"part={key}")
+        files = sorted(F.glob(F.join(part_dir, "run-*.parquet")))
 
-        hist = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+        hist = pa.concat_tables([F.read_table(f) for f in files], promote_options="default")
         # cross-run dedup: keep first (ts, ingest_ts) per (conv_id, turn_idx)
         hist = dedup_first(hist, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
         gold_tbl = gold_features_partition(hist, cfg)
         gold_files = write_gold_partition(
-            gold_tbl, os.path.join(gold_root, f"part={key}")
+            gold_tbl, F.join(gold_root, f"part={key}")
         )
 
         # ---- online: latest feature row per conv (S7 upsert semantics),
@@ -258,9 +257,11 @@ def run_stream(
     )
 
     # persist the partitioning so keyed online lookups can route by hash
-    os.makedirs(online_root, exist_ok=True)
-    with open(os.path.join(online_root, "_meta.json"), "w") as f:
-        json.dump({"num_parts": num_parts, "key": "conv_id"}, f)
+    F.makedirs(online_root, exist_ok=True)
+    F.write_text_atomic(
+        F.join(online_root, "_meta.json"),
+        json.dumps({"num_parts": num_parts, "key": "conv_id"}),
+    )
 
     silver_ms = [
         m for m in M.load_manifests(silver_root, RUN_STAGE_SILVER) if m.run_id == run_id
@@ -275,9 +276,8 @@ def run_stream(
         gold=M.summarize(gold_ms),
         online=FP.summarize_puts(gold_ms),
     )
-    run_manifest = os.path.join(out_root, f"run-{run_id}.json")
-    with open(run_manifest, "w") as f:
-        json.dump(result, f, indent=1)
+    run_manifest = F.join(out_root, f"run-{run_id}.json")
+    F.write_text_atomic(run_manifest, json.dumps(result, indent=1))
     return result
 
 
@@ -291,8 +291,6 @@ def write_gold_partition(gold_tbl: pa.Table, part_dir: str) -> list[str]:
     atomically, then stale ``dt=`` dirs (dates no longer present after a
     late-turn recompute) and any legacy flat file are removed. Returns the
     written file paths."""
-    import shutil
-
     import pyarrow.compute as _pc
 
     new_files: list[str] = []
@@ -300,7 +298,7 @@ def write_gold_partition(gold_tbl: pa.Table, part_dir: str) -> list[str]:
     # C8 durability: a full-history recompute must not resurrect dt=
     # fragments a retention run already expired — honor the persisted
     # cutoff so expiry sticks across later stream runs
-    cutoff = _retention_cutoff(os.path.dirname(part_dir))
+    cutoff = _retention_cutoff(F.dirname(part_dir))
     if cutoff is not None and gold_tbl.num_rows:
         gold_tbl = gold_tbl.filter(
             _pc.greater_equal(gold_tbl["dt"], pa.scalar(cutoff))
@@ -321,7 +319,7 @@ def write_gold_partition(gold_tbl: pa.Table, part_dir: str) -> list[str]:
 
         def write_one(i_dt):
             i, dt = i_dt
-            f = os.path.join(part_dir, f"dt={dt}", "data.parquet")
+            f = F.join(part_dir, f"dt={dt}", "data.parquet")
             M.atomic_write_table(sorted_tbl.slice(int(starts[i]), int(counts[i])), f)
             return f, str(dt)
 
@@ -329,22 +327,22 @@ def write_gold_partition(gold_tbl: pa.Table, part_dir: str) -> list[str]:
             for f, dt in ex.map(write_one, enumerate(dts)):
                 new_files.append(f)
                 new_dts.add(dt)
-    legacy = os.path.join(part_dir, "data.parquet")
-    if os.path.exists(legacy):
-        os.remove(legacy)
-    for d in glob.glob(os.path.join(part_dir, "dt=*")):
-        if os.path.basename(d)[3:] not in new_dts:
-            shutil.rmtree(d)
+    legacy = F.join(part_dir, "data.parquet")
+    if F.exists(legacy):
+        F.remove(legacy)
+    for d in F.glob(F.join(part_dir, "dt=*")):
+        if F.basename(d)[3:] not in new_dts:
+            F.rmtree(d)
     return new_files
 
 
 def _retention_cutoff(gold_root: str) -> str | None:
     """The persisted retention cutoff (max keep_from_dt of all expire
     runs), or None when no retention is configured."""
-    p = os.path.join(gold_root, "_retention.json")
-    if not os.path.exists(p):
+    p = F.join(gold_root, "_retention.json")
+    if not F.exists(p):
         return None
-    with open(p) as f:
+    with F.open_(p) as f:
         return json.load(f).get("keep_from_dt")
 
 
@@ -352,12 +350,11 @@ def _persist_retention_cutoff(gold_root: str, keep_from_dt: str) -> None:
     cur = _retention_cutoff(gold_root)
     if cur is not None and cur >= keep_from_dt:
         return
-    os.makedirs(gold_root, exist_ok=True)
-    p = os.path.join(gold_root, "_retention.json")
-    tmp = p + f".tmp-{uuid_hex()[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({"keep_from_dt": keep_from_dt}, f)
-    os.replace(tmp, p)
+    F.makedirs(gold_root, exist_ok=True)
+    F.write_text_atomic(
+        F.join(gold_root, "_retention.json"),
+        json.dumps({"keep_from_dt": keep_from_dt}),
+    )
 
 
 def gold_dt_fragments(
@@ -369,8 +366,8 @@ def gold_dt_fragments(
     the pruned set) — no data bytes are read."""
     out: list[str] = []
     dts: set[str] = set()
-    for f in glob.glob(os.path.join(gold_root, "part=*", "dt=*", "*.parquet")):
-        dt = os.path.basename(os.path.dirname(f))[3:]
+    for f in F.glob(F.join(gold_root, "part=*", "dt=*", "*.parquet")):
+        dt = F.basename(F.dirname(f))[3:]
         if dt_start is not None and dt < dt_start:
             continue
         if dt_end is not None and dt > dt_end:
@@ -389,29 +386,26 @@ def expire_gold_partitions(out_root: str, *, keep_from_dt: str) -> dict:
     a partial delete converges); an ``expire`` manifest records every
     removed fragment (dt, rows, file) so lineage stays auditable after
     the bytes are gone."""
-    import shutil
 
-    import pyarrow.parquet as _pq
-
-    gold_root = os.path.join(out_root, "gold")
+    gold_root = F.join(out_root, "gold")
     # persist the cutoff FIRST so retention survives later full-history
     # gold recomputes (write_gold_partition filters dt < cutoff)
     _persist_retention_cutoff(gold_root, keep_from_dt)
     removed: list[dict] = []
-    for d in sorted(glob.glob(os.path.join(gold_root, "part=*", "dt=*"))):
-        dt = os.path.basename(d)[3:]
+    for d in sorted(F.glob(F.join(gold_root, "part=*", "dt=*"))):
+        dt = F.basename(d)[3:]
         if dt >= keep_from_dt:
             continue
         rows = 0
-        for f in glob.glob(os.path.join(d, "*.parquet")):
+        for f in F.glob(F.join(d, "*.parquet")):
             try:
-                rows += _pq.ParquetFile(f).metadata.num_rows
+                rows += F.parquet_rows(f)
             except Exception:
                 pass  # half-written leftover: still expired below
         removed.append(
-            {"fragment": os.path.relpath(d, gold_root), "dt": dt, "rows": rows}
+            {"fragment": F.relpath(d, gold_root), "dt": dt, "rows": rows}
         )
-        shutil.rmtree(d)
+        F.rmtree(d)
     if removed:  # a no-op re-run must not overwrite the audit record
         # unique run_id per invocation: a SECOND expire with the same
         # cutoff (late backfill wrote new old-dt fragments) must append
@@ -460,29 +454,26 @@ def compact_silver(
     to the driver."""
     import ray
 
-    import pyarrow.parquet as _pq
 
-    silver_root = os.path.join(out_root, "silver")
+    silver_root = F.join(out_root, "silver")
     rid = run_id or uuid_hex()
-    part_dirs = sorted(glob.glob(os.path.join(silver_root, "part=*")))
+    part_dirs = sorted(F.glob(F.join(silver_root, "part=*")))
 
     @ray.remote
     def compact_one(part_dir: str) -> dict:
         import time as _time
 
-        import pyarrow.parquet as pq2
-
         t0 = _time.perf_counter()
-        key = os.path.basename(part_dir)[5:]
-        files = sorted(glob.glob(os.path.join(part_dir, "run-*.parquet")))
+        key = F.basename(part_dir)[5:]
+        files = sorted(F.glob(F.join(part_dir, "run-*.parquet")))
         if len(files) < min_files:
             return {"part": key, "files_in": len(files), "skipped": True}
         tbl = pa.concat_tables(
-            [pq2.read_table(f) for f in files], promote_options="default"
+            [F.read_table(f) for f in files], promote_options="default"
         )
         rows_in = tbl.num_rows
         tbl = dedup_first(tbl, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
-        out = os.path.join(part_dir, f"run-compact-{rid}.parquet")
+        out = F.join(part_dir, f"run-compact-{rid}.parquet")
         M.atomic_write_table(tbl, out)
         # manifest BEFORE the source deletes: from the instant a source can
         # be missing, a newer silver_compact manifest already supersedes the
@@ -513,7 +504,7 @@ def compact_silver(
         )
         for f in files:
             if f != out:
-                os.remove(f)
+                F.remove(f)
         return {
             "part": key,
             "files_in": len(files),
@@ -562,24 +553,23 @@ def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
     describes the current bytes. ``run_id`` narrows missing/row checks
     to one run's manifests; the orphan scan always considers every
     manifest's claims."""
-    import pyarrow.parquet as _pq
 
     missing: list[dict] = []
     mismatched: list[dict] = []
     claimed: set[str] = set()
     # fragments removed by C8 retention are expected absences; their
     # audited row counts reconcile the manifest totals below
-    gold_root = os.path.join(out_root, "gold")
+    gold_root = F.join(out_root, "gold")
     expired_rows: dict[str, int] = {}
     for em in M.load_manifests(out_root, "expire"):
         for r in em.extra.get("removed", []):
-            d = os.path.realpath(os.path.join(gold_root, r["fragment"]))
+            d = F.canon(F.join(gold_root, r["fragment"]))
             expired_rows[d] = expired_rows.get(d, 0) + int(r["rows"])
 
     def expired_dir_of(path: str) -> str | None:
-        rp = os.path.realpath(path)
+        rp = F.canon(path)
         for d in expired_rows:
-            if rp.startswith(d + os.sep) or rp == d:
+            if rp.startswith(d + "/") or rp == d:
                 return d
         return None
 
@@ -587,20 +577,20 @@ def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
     # contribute file claims (so older runs' silver appends are never
     # "orphans"), but only live ones are parity-checked
     all_manifests: list[tuple] = []
-    silver_root = os.path.join(out_root, "silver")
+    silver_root = F.join(out_root, "silver")
     for stage, root in (
         ("silver", silver_root),
         ("silver_compact", silver_root),
-        ("gold", os.path.join(out_root, "gold")),
+        ("gold", F.join(out_root, "gold")),
     ):
         for m in M.load_manifests(root, stage):
-            mtime = os.path.getmtime(
+            mtime = F.getmtime(
                 M.manifest_path(root, m.stage, m.partition_key, m.run_id)
             )
             all_manifests.append((m, mtime))
             for f in m.files:
-                if os.path.exists(f):
-                    claimed.add(os.path.realpath(f))
+                if F.exists(f):
+                    claimed.add(F.canon(f))
     # gold overwrites per partition: keep only the newest manifest per key;
     # compaction rewrites silver per partition: silver/compact manifests
     # older than the newest silver_compact manifest are superseded
@@ -635,7 +625,7 @@ def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
         any_missing = False
         expired_seen: set[str] = set()
         for f in m.files:
-            if not os.path.exists(f):
+            if not F.exists(f):
                 d = expired_dir_of(f)
                 if d is not None:
                     if d not in expired_seen:  # dir rows counted once
@@ -647,7 +637,7 @@ def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
                     {"stage": m.stage, "partition": m.partition_key, "file": f}
                 )
                 continue
-            rows_found += _pq.ParquetFile(f).metadata.num_rows
+            rows_found += F.parquet_rows(f)
         # row parity over surviving files: manifest total minus the rows
         # the expire audit accounts for must equal what is on disk
         if not any_missing and rows_found != m.rows_out - rows_expired:
@@ -662,9 +652,9 @@ def reconcile_lake(out_root: str, run_id: str | None = None) -> dict:
     orphans = [
         f
         for layer in ("silver", "gold")
-        for f in glob.glob(os.path.join(out_root, layer, "part=*", "**", "*.parquet"),
-                           recursive=True)
-        if os.path.realpath(f) not in claimed
+        for f in F.glob(F.join(out_root, layer, "part=*", "**", "*.parquet"),
+                        recursive=True)
+        if F.canon(f) not in claimed
     ]
     return {
         "manifests_checked": len(manifests),
@@ -697,7 +687,7 @@ def read_gold(out_root: str):
     """Gold layer as a Dataset (partition-pruned read for downstream)."""
     import ray.data as rd
 
-    return read_parquet_sized(os.path.join(out_root, "gold"))
+    return read_parquet_sized(F.join(out_root, "gold"))
 
 
 def _snapshot_part_datasets(out_root: str, as_of: float, per_group):
@@ -714,20 +704,18 @@ def _snapshot_part_datasets(out_root: str, as_of: float, per_group):
     from ..state.manifest import snapshot_files
 
     files = snapshot_files(
-        os.path.join(out_root, "silver"), RUN_STAGE_SILVER, as_of
+        F.join(out_root, "silver"), RUN_STAGE_SILVER, as_of
     )
     if not files:
         return None
     by_part: dict[str, list[str]] = {}
     for f in files:
-        by_part.setdefault(os.path.basename(os.path.dirname(f)), []).append(f)
+        by_part.setdefault(F.basename(F.dirname(f)), []).append(f)
 
     @ray.remote
     def run_group(fs: list[str]) -> pa.Table:
-        import pyarrow.parquet as pq
-
         tbl = pa.concat_tables(
-            [pq.read_table(f) for f in fs], promote_options="default"
+            [F.read_table(f) for f in fs], promote_options="default"
         )
         return per_group(dedup_first(tbl, ["conv_id", "turn_idx"], ["ts", "ingest_ts"]))
 
@@ -761,7 +749,7 @@ def read_silver_snapshot(out_root: str, as_of: float, *, dedup: bool = True):
         from ..state.manifest import snapshot_files
 
         files = snapshot_files(
-            os.path.join(out_root, "silver"), RUN_STAGE_SILVER, as_of
+            F.join(out_root, "silver"), RUN_STAGE_SILVER, as_of
         )
         if not files:
             return rd.from_arrow(SILVER.empty_table())
@@ -793,12 +781,10 @@ def gold_snapshot(out_root: str, as_of: float, *, gold_cfg: GoldConfig | None = 
 
 
 def read_online(out_root: str) -> pa.Table:
-    import pyarrow.parquet as pq
-
-    files = sorted(glob.glob(os.path.join(out_root, "online", "part=*", "data.parquet")))
+    files = sorted(F.glob(F.join(out_root, "online", "part=*", "data.parquet")))
     if not files:  # pre-bootstrap / wiped lake: empty typed table
         return pa.table({f.name: pa.array([], f.type) for f in S.GOLD})
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    return pa.concat_tables([F.read_table(f) for f in files])
 
 
 def lookup_online(out_root: str, conv_ids: list[str]) -> pa.Table:
@@ -808,22 +794,20 @@ def lookup_online(out_root: str, conv_ids: list[str]) -> pa.Table:
     partitioning meta, read ONLY those partitions' files, and filter with
     a vectorized ``pc.is_in``. Cost is O(|ids| / num_parts) files touched,
     independent of lake size."""
-    import pyarrow.parquet as pq
-
     from ..stages.keyed import hash_key
 
-    online_root = os.path.join(out_root, "online")
-    with open(os.path.join(online_root, "_meta.json")) as f:
+    online_root = F.join(out_root, "online")
+    with F.open_(F.join(online_root, "_meta.json")) as f:
         meta = json.load(f)
     num_parts = int(meta["num_parts"])
     ids_arr = pa.array(conv_ids, pa.string())
     parts = np.unique(hash_key(ids_arr) % np.uint64(num_parts)).astype(np.int64)
     tables = []
     for p in parts:
-        f = os.path.join(online_root, f"part={int(p):05d}", "data.parquet")
-        if not os.path.exists(f):
+        f = F.join(online_root, f"part={int(p):05d}", "data.parquet")
+        if not F.exists(f):
             continue
-        t = pq.read_table(f)
+        t = F.read_table(f)
         tables.append(t.filter(pc.is_in(t["conv_id"], value_set=ids_arr)))
     if not tables:
         return pa.table({f.name: pa.array([], f.type) for f in S.GOLD})
@@ -842,19 +826,19 @@ def bootstrap_lake(out_root: str) -> dict:
         name: [{"name": f.name, "type": str(f.type)} for f in sch]
         for name, sch in layers.items()
     }
-    os.makedirs(out_root, exist_ok=True)
-    schema_path = os.path.join(out_root, "_schemas.json")
-    with open(schema_path, "w") as f:
-        json.dump(reg, f, indent=1)
-    online_root = os.path.join(out_root, "online")
+    F.makedirs(out_root, exist_ok=True)
+    schema_path = F.join(out_root, "_schemas.json")
+    F.write_text_atomic(schema_path, json.dumps(reg, indent=1))
+    online_root = F.join(out_root, "online")
     # existence-guarded like _meta.json: re-running bootstrap on a
     # populated lake must never wipe live online rows in partition 0
-    online_seed = os.path.join(online_root, "part=00000", "data.parquet")
-    if not os.path.exists(online_seed):
+    online_seed = F.join(online_root, "part=00000", "data.parquet")
+    if not F.exists(online_seed):
         empty = pa.table({f.name: pa.array([], f.type) for f in S.GOLD})
         M.atomic_write_table(empty, online_seed)
-    meta_path = os.path.join(online_root, "_meta.json")
-    if not os.path.exists(meta_path):
-        with open(meta_path, "w") as f:
-            json.dump({"num_parts": 1, "key": "conv_id"}, f)
+    meta_path = F.join(online_root, "_meta.json")
+    if not F.exists(meta_path):
+        F.write_text_atomic(
+            meta_path, json.dumps({"num_parts": 1, "key": "conv_id"})
+        )
     return {"schemas": schema_path, "layers": sorted(reg), "status": "Created"}

@@ -30,7 +30,7 @@ from ..stages.keyed import map_partitions_by_key
 from ..functions import windows as W
 from ..functions.numeric import round6
 
-NUM_PARTS = 16  # hash partitions for sf-scale correctness runs
+NUM_PARTS = None  # None = derive from cluster CPUs + input bytes (stages/keyed.derive_num_parts)
 
 EVENT_ROLES = ("click", "purchase")  # per-role rolling-count analog on events
 

@@ -22,7 +22,7 @@ from .queries_relational import splitmix64_bucket_sql
 from .queries_text import DOCS_NGRAM_JACCARD_SQL
 from ..functions.numeric import round6, round_half_away
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 
 def _docs(sf_dir: str, columns=None):

@@ -52,7 +52,7 @@ from ..functions.numeric import round6, round_half_away
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import fold_by_keys, map_partitions_by_key
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 GINI_HEADROOM = 1 << 62
 

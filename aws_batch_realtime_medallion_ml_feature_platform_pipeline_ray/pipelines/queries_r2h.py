@@ -72,7 +72,7 @@ from ..functions.numeric import div_trunc, round6, round_half_away
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import cogroup_by_key, fold_by_keys
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 # --- analytics-parity constants -------------------------------------------
 MKT_REGION = "ASIA"  # customer region filter (Q8 shape)
@@ -110,8 +110,11 @@ def _years(ts: np.ndarray) -> np.ndarray:
 
 def _seg_sum(keys: list[np.ndarray], vals: list[np.ndarray]):
     """Composite-key segmented sum: lexsort + reduceat. Returns
-    (unique key columns, summed value columns)."""
+    (unique key columns, summed value columns). Empty input yields
+    empty outputs of the same dtypes (the house empty-block guard)."""
     order = np.lexsort(keys[::-1])
+    if len(order) == 0:
+        return [k[:0] for k in keys], [v[:0] for v in vals]
     ks = [k[order] for k in keys]
     head = np.zeros(len(order), dtype=bool)
     head[0] = True
@@ -1324,9 +1327,11 @@ def q_events_xcorr_lagged(sf_dir: str):
     y[d - d0] = tiny["xb"].to_numpy(np.int64)
     lags, nn, rr = [], [], []
     for lag in range(XCORR_MAX_LAG + 1):
-        xs = x[: span - lag]
-        ys = y[lag:]
-        n = len(xs)
+        # max(.., 0): a lag beyond the span yields an empty pair series
+        # (x[:negative] would otherwise wrap and mismatch y[lag:])
+        n = max(span - lag, 0)
+        xs = x[:n]
+        ys = y[lag : lag + n]
         lags.append(lag)
         nn.append(n)
         if n == 0:
@@ -1389,14 +1394,18 @@ s AS (
            CAST(sum(x * y) AS BIGINT) AS sxy
     FROM p GROUP BY 1
 )
-SELECT lag, n AS n_days,
-       CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+SELECT l.lag, COALESCE(s.n, 0) AS n_days,
+       CASE WHEN s.n IS NULL
+              OR n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
             ELSE ROUND((n * sxy - sx * sy)
                        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
        END AS r
-FROM s
+FROM lags l LEFT JOIN s ON s.lag = l.lag
 """
+# The LEFT JOIN from the lags CTE keeps a (lag, n_days=0, r NULL) row for
+# lags exceeding the active-day span, mirroring the Ray side on short-span
+# inputs (the inner-join twin silently dropped those groups; ADVICE r2).
 
 
 # ---------------------------------------------------------------------------

@@ -59,7 +59,7 @@ from ..functions.numeric import round6
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import map_partitions_by_key
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 LLR_MIN_COUNT = 5
 ZIPF_TOP = 1000

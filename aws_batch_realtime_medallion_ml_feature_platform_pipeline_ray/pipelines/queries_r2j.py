@@ -49,7 +49,7 @@ from ..functions.numeric import round6
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import cogroup_by_key, map_partitions_by_key
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 DELAY_DAYS = 60
 RATE_SPLIT = "2024-01-16"  # reference window [min, SPLIT), current [SPLIT, max]
@@ -853,6 +853,11 @@ def q_events_rate_ratio(sf_dir: str):
     ds = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts"])
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("n1", "n2", "dmin", "dmax")}
+            )
         us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
         d = us // 86_400_000_000
         ref = d < split_day

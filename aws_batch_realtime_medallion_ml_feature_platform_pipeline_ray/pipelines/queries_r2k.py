@@ -43,7 +43,7 @@ from ..functions.numeric import div_trunc, round6, round_half_away
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import cogroup_by_key, fold_by_keys, map_partitions_by_key
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 BOT_RPM = 2  # peak events-per-minute that flags a user
 PB_PARTS = 64  # partition-balance audit bucket count
@@ -69,6 +69,10 @@ def q_events_cohort_ltv(sf_dir: str):
     )
 
     def first_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in ("user_id", "d0")}
+            )
         uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
         us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
         d = us // 86_400_000_000
@@ -435,6 +439,11 @@ def q_events_bot_flags(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("user_id", "minute", "pn")}
+            )
         uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
         us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
         minute = us // 60_000_000
@@ -656,6 +665,16 @@ def q_events_weekend_lift(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "p_we": pa.array([], pa.int64()),
+                    "p_wd": pa.array([], pa.int64()),
+                    "dmin": pa.array([], pa.int64()),
+                    "dmax": pa.array([], pa.int64()),
+                }
+            )
         us = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
         d = us // 86_400_000_000
         dow = (d + 4) % 7

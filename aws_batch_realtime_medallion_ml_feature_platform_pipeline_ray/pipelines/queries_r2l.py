@@ -44,7 +44,7 @@ from ..functions.numeric import div_trunc, round6, round_half_away
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import cogroup_by_key, fold_by_keys, map_partitions_by_key
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 LDIV_L = 3
 LDIV_VBUCKET_C = 5000

@@ -39,7 +39,7 @@ from ..functions.numeric import round6, round_half_away
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import cogroup_by_key, map_partitions_by_key
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 KWIC_TARGET = "join"
 KWIC_CTX = 2
@@ -685,25 +685,47 @@ IPC_SEED = 91
 
 def _ipc_dir(sf_dir: str = "") -> str:
     """Deterministic IPC fixture (plus a parquet TWIN of the same table
-    for the DuckDB oracle), created once under /tmp."""
+    for the DuckDB oracle), created once under /tmp.
+
+    Concurrency-safe across processes (e.g. bench --scaling's 8- and
+    32-CPU subprocesses racing at registry import): the build happens
+    under an exclusive flock, into a temp dir renamed into place
+    (atomic on the same filesystem), and the completion marker is
+    written before the rename so a visible directory is always whole."""
+    import fcntl
     import os
     import shutil
+    import tempfile
 
     import pyarrow.parquet as pq
 
     from ..sources.ipc import write_ipc
     from ..sources.transcripts import generate_transcripts
 
-    d = "/tmp/medallion_fixture/default/ipc"
+    parent = "/tmp/medallion_fixture/default"
+    d = os.path.join(parent, "ipc")
     marker = os.path.join(d, "_complete.json")
-    if not os.path.exists(marker):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-        tbl = generate_transcripts(n_convs=60, avg_turns=20, seed=IPC_SEED)
-        write_ipc(tbl, d, rows_per_file=2000)
-        pq.write_table(tbl, os.path.join(d, "twin.parquet"))
-        with open(marker, "w") as f:
-            f.write("{}")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(parent, exist_ok=True)
+    with open(os.path.join(parent, ".ipc.lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        if not os.path.exists(marker):  # re-check under the lock
+            tmp = tempfile.mkdtemp(dir=parent, prefix=".ipc_build_")
+            try:
+                tbl = generate_transcripts(
+                    n_convs=60, avg_turns=20, seed=IPC_SEED
+                )
+                write_ipc(tbl, tmp, rows_per_file=2000)
+                pq.write_table(tbl, os.path.join(tmp, "twin.parquet"))
+                with open(os.path.join(tmp, "_complete.json"), "w") as f:
+                    f.write("{}")
+                if os.path.isdir(d):  # stale markerless partial
+                    shutil.rmtree(d)
+                os.rename(tmp, d)
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
     return d
 
 

@@ -31,7 +31,7 @@ from ..functions.numeric import round6
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import fold_by_keys, map_partitions_by_key
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 
 # ---------------------------------------------------------------------------
@@ -51,6 +51,10 @@ def q_events_user_growth(sf_dir: str):
     )
 
     def first_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in ("user_id", "d0")}
+            )
         uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
         d = np.asarray(t["ts"].combine_chunks().cast(pa.int64())) \
             // 86_400_000_000

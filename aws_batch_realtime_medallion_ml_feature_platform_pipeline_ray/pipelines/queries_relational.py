@@ -13,7 +13,7 @@ from ..stages.keyed import map_partitions_by_key
 from ..sources.reads import read_parquet_sized
 from ..functions.numeric import round_half_away
 
-NUM_PARTS = 16
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 
 def _orders_by_cust_date(sf_dir: str):

@@ -25,7 +25,7 @@ from ..functions.numeric import round6
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import map_partitions_by_key
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 _US_DAY = 86_400_000_000
 
 

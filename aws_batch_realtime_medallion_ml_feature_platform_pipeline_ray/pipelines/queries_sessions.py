@@ -35,7 +35,7 @@ from ..sources.transcripts import TRANSCRIPTS_SQL_CTE, read_events_as_transcript
 from ..stages.keyed import fold_by_keys, map_partitions_by_key
 from .queries import _conv_order, _turn_idx
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 CAP_US = 2 * 3_600 * 1_000_000  # max capped-session length: 2 hours
 

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 from ..stages.keyed import map_partitions_by_key
 from ..functions.numeric import div_trunc, round_half_away
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 _US_PER_DAY = 86_400_000_000
 

@@ -21,11 +21,11 @@ import pyarrow.compute as pc
 
 from ..functions.windows import segment_bounds
 from ..sources.reads import read_parquet_sized
-from ..stages.asof import asof_join_broadcast
+from ..stages.asof import asof_join_broadcast, asof_join_partitioned
 from ..stages.keyed import map_partitions_by_key
 from ..stages.salted import _segmented_maximum_accumulate
 
-NUM_PARTS = 16
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 
 # ---------------------------------------------------------------------------
@@ -64,13 +64,36 @@ def _purchases_by_user_ts(sf_dir: str):
 
 
 def q_asof_join_forward(sf_dir: str):
-    """Forward as-of join: for every event, the user's EARLIEST purchase
-    at or after ``ts`` (next-purchase label: its timestamp, tie count and
-    value). Same broadcast plan as the backward join — the right side is
-    the per-entity purchase state table (bounded, pre-aggregated
-    distributed, collected only for the ``ray.put`` broadcast); the probe
-    is one global ``np.searchsorted`` with ``side="left"`` on the
-    segment-offset axis (stages/asof.py, direction="forward")."""
+    """Forward as-of join, BOTH-SIDES-LARGE plan: for every event, the
+    user's EARLIEST purchase at or after ``ts`` (next-purchase label: its
+    timestamp, tie count and value). The right side (per-(user, ts)
+    purchase state) grows with the data, so it stays distributed: ONE
+    co-partitioning hash shuffle by ``user_id`` (stages/keyed.py
+    cogroup), then the same vectorized segment-offset ``searchsorted``
+    probe per partition with ``side="left"`` (stages/asof.py,
+    direction="forward"). No driver collect anywhere — the broadcast
+    small-state fast path lives on as ``asof_join_forward_bcast``."""
+    return asof_join_partitioned(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        ),
+        _purchases_by_user_ts(sf_dir),
+        key="user_id",
+        ts="next_ts",
+        attach_cols=["next_ts", "n_nx", "next_value"],
+        left_ts="ts",
+        num_parts=NUM_PARTS,
+        direction="forward",
+    )
+
+
+def q_asof_join_forward_bcast(sf_dir: str):
+    """Forward as-of join, broadcast fast path (right side known small —
+    e.g. a bounded per-entity state snapshot): pre-aggregated
+    distributed, collected ONLY for the one ``ray.put``; per-batch probe
+    identical to the partitioned plan. Use ``asof_join_forward`` when the
+    right side scales with the data."""
     right = pa.Table.from_pandas(
         _purchases_by_user_ts(sf_dir).to_pandas(), preserve_index=False
     )
@@ -107,20 +130,51 @@ ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.next_ts
 # nearest as-of: closest-in-time state alignment
 # ---------------------------------------------------------------------------
 
+def _purchases_renamed_near(sf_dir: str):
+    """Right side with nearest-join column names, still a Dataset —
+    select by NAME first so the rename cannot silently mis-bind if the
+    shared helper ever reorders/extends its output columns."""
+    return _purchases_by_user_ts(sf_dir).map_batches(
+        lambda t: t.select(["user_id", "next_ts", "n_nx", "next_value"])
+        .rename_columns(["user_id", "near_ts", "n_near", "near_value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_asof_join_nearest(sf_dir: str):
     """Nearest as-of join (pandas ``merge_asof(direction='nearest')``,
-    sensor/clock alignment semantics): for every event, the user's
-    purchase state row minimizing ``|ts' - ts|``; an exact tie picks the
-    EARLIER (backward) row — deterministic and leakage-conservative. Same
-    broadcast plan; the probe is the backward + forward searchsorted pair
-    with a vectorized distance pick (stages/asof.py,
-    direction="nearest") — still O(log n) per left row, no extra pass."""
+    sensor/clock alignment semantics), BOTH-SIDES-LARGE plan: for every
+    event, the user's purchase state row minimizing ``|ts' - ts|``; an
+    exact tie picks the EARLIER (backward) row — deterministic and
+    leakage-conservative. The right side stays distributed through the
+    one co-partitioning shuffle; per partition the probe is the backward
+    + forward searchsorted pair with a vectorized distance pick
+    (stages/asof.py, direction="nearest") — still O(log n) per left row,
+    no driver collect. Broadcast fast path: ``asof_join_nearest_bcast``."""
+    return asof_join_partitioned(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        ),
+        _purchases_renamed_near(sf_dir),
+        key="user_id",
+        ts="near_ts",
+        attach_cols=["near_ts", "n_near", "near_value"],
+        left_ts="ts",
+        num_parts=NUM_PARTS,
+        direction="nearest",
+    )
+
+
+def q_asof_join_nearest_bcast(sf_dir: str):
+    """Nearest as-of join, broadcast fast path (small bounded right
+    side): one ``ray.put`` of the state table, per-batch probe identical
+    to the partitioned plan."""
     right = (
         pa.Table.from_pandas(
             _purchases_by_user_ts(sf_dir).to_pandas(), preserve_index=False
         )
-        # select by NAME first so the rename cannot silently mis-bind if the
-        # shared helper ever reorders/extends its output columns
         .select(["user_id", "next_ts", "n_nx", "next_value"])
         .rename_columns(["user_id", "near_ts", "n_near", "near_value"])
     )
@@ -657,7 +711,9 @@ REGISTRY: dict[str, tuple] = {
     "events_twa": (q_events_twa, EVENTS_TWA_SQL),
     "events_rolling_median": (q_events_rolling_median, EVENTS_ROLLING_MEDIAN_SQL),
     "asof_join_forward": (q_asof_join_forward, ASOF_FORWARD_SQL),
+    "asof_join_forward_bcast": (q_asof_join_forward_bcast, ASOF_FORWARD_SQL),
     "asof_join_nearest": (q_asof_join_nearest, ASOF_NEAREST_SQL),
+    "asof_join_nearest_bcast": (q_asof_join_nearest_bcast, ASOF_NEAREST_SQL),
     "features_cummax": (q_features_cummax, FEATURES_CUMMAX_SQL),
     "events_holdout_split": (q_events_holdout_split, EVENTS_HOLDOUT_SQL),
     "events_dedup_window": (q_events_dedup_window, EVENTS_DEDUP_WINDOW_SQL),

@@ -24,7 +24,7 @@ from ..stages.featurize import dedup_first
 from ..stages.keyed import cogroup_by_key, map_partitions_by_key
 from ..functions.numeric import round6
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 
 def _docs(sf_dir: str, columns=None):

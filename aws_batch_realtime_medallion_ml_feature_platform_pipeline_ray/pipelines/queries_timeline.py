@@ -54,7 +54,7 @@ from ..sources.transcripts import TRANSCRIPTS_SQL_CTE, read_events_as_transcript
 from ..stages.keyed import fold_by_keys, map_partitions_by_key
 from .queries import _conv_order
 
-NUM_PARTS = 8
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 
 _US_PER_DAY = 86_400_000_000
 

@@ -43,7 +43,19 @@ def _total_bytes(paths) -> int:
     total = 0
     for p in paths:
         p = os.fspath(p)
-        if os.path.isdir(p):
+        if "://" in p:  # URI lake roots (state/fsio.py): size via fsspec
+            import fsspec
+
+            fs, sp = fsspec.core.url_to_fs(p)
+            try:
+                if fs.isdir(sp):
+                    for f in fs.glob(sp.rstrip("/") + "/**/*.parquet"):
+                        total += int(fs.info(f).get("size") or 0)
+                elif fs.exists(sp):
+                    total += int(fs.info(sp).get("size") or 0)
+            except Exception:
+                pass  # unknown size: the CPU floor decides block count
+        elif os.path.isdir(p):
             for f in glob.iglob(os.path.join(p, "**", "*.parquet"), recursive=True):
                 total += os.path.getsize(f)
         elif os.path.exists(p):
@@ -67,4 +79,23 @@ def read_parquet_sized(paths, *, columns=None, **kwargs):
     if "override_num_blocks" not in kwargs:
         nb = num_blocks_for(_total_bytes(paths))
         kwargs["override_num_blocks"] = nb
+    # Ray strips the URI scheme only from the FIRST entry of a path list
+    # (pyarrow normalize_path then rejects the rest) — resolve the
+    # filesystem ourselves and hand Ray scheme-free paths.
+    if (
+        not isinstance(paths, (str, os.PathLike))
+        and "filesystem" not in kwargs
+    ):
+        plist = [os.fspath(p) for p in paths]
+        if plist and "://" in plist[0]:
+            import fsspec
+            import pyarrow.fs as pafs
+
+            fs_spec, _ = fsspec.core.url_to_fs(plist[0])
+            try:
+                pa_fs, _ = pafs.FileSystem.from_uri(plist[0])
+            except Exception:  # scheme pyarrow lacks: wrap the fsspec fs
+                pa_fs = pafs.PyFileSystem(pafs.FSSpecHandler(fs_spec))
+            kwargs["filesystem"] = pa_fs
+            paths = [fs_spec._strip_protocol(p) for p in plist]
     return rd.read_parquet(paths, columns=columns, **kwargs)

@@ -4,20 +4,24 @@ Hash-to-min style label propagation with per-partition local closure:
 
 - ``labels`` maps every node to the smallest node id known to be in its
   component (rows double as *edges* of the label graph).
-- Each round, every node's label is sent over the original edges to its
-  neighbors (one cogroup exchange), the label rows are also routed to
-  their rep's partition (swap), and each hash partition then runs a
-  fully VECTORIZED local transitive closure (iterated min + pointer
-  jumping in code space) over every (node, rep) row it holds.
+- Each round runs THREE keyed exchanges plus a coalesce: every node's
+  label is sent over the original edges to its neighbors (send, one
+  cogroup), the label rows are also routed to their rep's partition
+  (swap, rides the merge exchange), a GLOBAL pointer-jumping cogroup
+  delivers rep(rep(u)) back to u (jump), and the 4-way union is
+  repartition-coalesced before materializing so block counts stay flat
+  across rounds. Each hash partition then runs a fully VECTORIZED local
+  transitive closure (iterated min + pointer jumping in code space)
+  over every (node, rep) row it holds.
 
 The local closure is the accelerator: instead of shaving one hop per
-round (O(component diameter) rounds) or one explicit shortcut
-(O(log d) rounds at 3+ exchanges each), each partition collapses every
-locally-visible chain in one numpy pass, so real graphs converge in a
-handful of rounds at exactly TWO keyed exchanges per round. This is the
-hash-to-min recipe (Rastogi et al., "Finding Connected Components in
-Map-Reduce in Logarithmic Rounds") adapted to the engine's one-shuffle
-keyed pass.
+round (O(component diameter) rounds), each partition collapses every
+locally-visible chain in one numpy pass, and the global jump halves
+CROSS-partition chain depth per round, so even high-diameter graphs
+(kNN meshes) converge in O(log d) rounds. This is the hash-to-min
+recipe (Rastogi et al., "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds") plus explicit pointer jumping, adapted to the
+engine's one-shuffle keyed pass.
 
 Scale shape: the edge set is materialized ONCE (O(duplicate pairs),
 bounded by the dup rate, spillable) and streams through each round's
@@ -102,12 +106,18 @@ def _closure_part(part: pa.Table, x_col: str, y_col: str) -> pa.Table:
 def connected_components(
     pairs,
     *,
-    num_parts: int,
+    num_parts: int | None = None,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
 ):
     """Labels every node of the undirected pair graph with the smallest
-    node id in its component. Returns a Dataset of (node, rep)."""
+    node id in its component. Returns a Dataset of (node, rep).
+    ``num_parts=None`` derives the count from the cluster
+    (stages/keyed.derive_num_parts)."""
+    if num_parts is None:
+        from .keyed import derive_num_parts
+
+        num_parts = derive_num_parts()
 
     def to_adj(t: pa.Table) -> pa.Table:
         a = np.asarray(t[a_col].combine_chunks())

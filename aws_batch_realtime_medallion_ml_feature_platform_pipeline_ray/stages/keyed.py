@@ -46,6 +46,58 @@ def tune_shuffle_context() -> None:
     except ImportError:  # older/newer Ray without the enum: keep default
         pass
 
+# Target bytes per hash partition for the derived partition count: small
+# enough that a whole partition (an Arrow table handed to one task) fits a
+# worker heap with headroom, large enough that per-task overhead amortizes.
+TARGET_PART_BYTES = 128 << 20
+_PARTS_PER_CPU = 3  # floor: ~3x cluster cores keeps every core busy
+_MAX_PARTS = 1 << 20
+
+
+def derive_num_parts(input_bytes: int | None = None) -> int:
+    """Partition count derived from the CLUSTER and (optionally) the DATA
+    instead of a per-module constant: ``max(3 x cluster CPUs,
+    input_bytes / 128 MiB)``, capped at 2^20.
+
+    The CPU floor keeps all cores busy with pipelining headroom at any
+    scale; the bytes term takes over at cluster scale (100 TB → ~800 K
+    partitions) so one partition never outgrows a worker heap.
+    Correctness is partition-count-invariant throughout the engine
+    (block-invariance suites), so the derived count only affects
+    performance. Falls back to ``os.cpu_count()`` when Ray is not
+    initialised (pure-local unit tests)."""
+    cpus = 0
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        pass
+    if not cpus:
+        import os
+
+        cpus = os.cpu_count() or 8
+    parts = _PARTS_PER_CPU * cpus
+    if input_bytes:
+        parts = max(parts, -(-int(input_bytes) // TARGET_PART_BYTES))
+    return min(parts, _MAX_PARTS)
+
+
+def _bytes_hint(ds) -> int | None:
+    """Best-effort input size WITHOUT executing the dataset: Ray can
+    infer size metadata for read ops (Parquet footer stats) and
+    propagates it through size-preserving transforms; anything unknown
+    returns None and the CPU floor decides. Deliberately NOT
+    ``Dataset.size_bytes()``, which executes the plan when metadata is
+    missing."""
+    try:
+        n = ds._logical_plan.dag.infer_metadata().size_bytes
+        return int(n) if n else None
+    except Exception:
+        return None
+
+
 _SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
 _SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
 
@@ -78,7 +130,7 @@ def map_partitions_by_key(
     key: str,
     fn: Callable[[pa.Table], pa.Table],
     *,
-    num_parts: int,
+    num_parts: int | None = None,
     extra_cols_fn: Callable[[pa.Table], pa.Table] | None = None,
 ):
     """Hash-partition ``ds`` by ``key`` and apply ``fn`` to each whole
@@ -86,8 +138,14 @@ def map_partitions_by_key(
 
     ``fn`` must be self-contained per partition: all rows of any ``key``
     value land in exactly one call.
+
+    ``num_parts=None`` derives the count from cluster CPUs and (when Ray
+    can infer it from read metadata) the input bytes — see
+    :func:`derive_num_parts`.
     """
     tune_shuffle_context()
+    if num_parts is None:
+        num_parts = derive_num_parts(_bytes_hint(ds))
     tagged = ds.map_batches(
         lambda t, k=key, p=num_parts: add_partition_col(
             t if extra_cols_fn is None else extra_cols_fn(t), k, p
@@ -109,7 +167,7 @@ def fold_by_keys(
     sums: tuple[str, ...] | list[str] = (),
     mins: tuple[str, ...] | list[str] = (),
     maxs: tuple[str, ...] | list[str] = (),
-    num_parts: int,
+    num_parts: int | None = None,
     part_key: str | None = None,
 ):
     """Exact distributed fold (sum/min/max) for HIGH-cardinality keys.
@@ -185,7 +243,7 @@ def fold_sum_by_keys(
     keys: list[str],
     value_cols: list[str],
     *,
-    num_parts: int,
+    num_parts: int | None = None,
     part_key: str | None = None,
 ):
     """Sum-only convenience wrapper over :func:`fold_by_keys`."""
@@ -203,7 +261,7 @@ def cogroup_by_key(
     key: str,
     fn: Callable[[pa.Table, pa.Table], pa.Table],
     *,
-    num_parts: int,
+    num_parts: int | None = None,
     left_schema=None,
     right_schema=None,
 ):
@@ -220,6 +278,9 @@ def cogroup_by_key(
     schema captured from the pre-transform dataset.
     """
     tune_shuffle_context()
+    if num_parts is None:
+        lb, rb = _bytes_hint(left), _bytes_hint(right)
+        num_parts = derive_num_parts((lb or 0) + (rb or 0) or None)
     l_schema = left.schema() or left_schema  # ray Schema (names + types)
     r_schema = right.schema() or right_schema
     if l_schema is None or r_schema is None:

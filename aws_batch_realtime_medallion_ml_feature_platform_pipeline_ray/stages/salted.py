@@ -61,27 +61,41 @@ _SUM_COLS = (
 _INTERNAL = (SHARD_COL, _RIDX, _B) + _SUM_COLS
 
 
-def detect_hot_keys(ds, key: str, threshold: int) -> pa.Array:
+def detect_hot_keys(ds, key: str, threshold: int, *,
+                    num_parts: int | None = None) -> pa.Array:
     """Exact heavy-hitter detection in two cheap passes: per-batch
     ``value_counts`` (pre-aggregation inside map_batches — the combiner
-    pattern) → tiny ``groupby(key).sum`` shuffle over (key, cnt) pairs →
-    filter ``>= threshold``. Payload into the shuffle is one row per
-    distinct key per block, never one per input row."""
+    pattern) → the engine's keyed exchange (stages/keyed.py) folding the
+    (key, cnt) partials per hash partition with an Arrow-native
+    ``group_by`` → filter ``>= threshold`` INSIDE the partition.
+
+    Per-key counts are a data-scaling fold (distinct ``conv_id`` grows
+    with the corpus), so this deliberately avoids
+    ``Dataset.groupby(key).sum()`` — measured at 65-78 s vs <1 s for the
+    keyed-exchange fold on ~1.2 M groups (see stages/keyed.fold_by_keys).
+    Payload into the shuffle is one row per distinct key per block, never
+    one per input row; the driver collect is the HOT key list only
+    (bounded by rows/threshold, tiny by construction)."""
+    from .keyed import map_partitions_by_key
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(batch[key].combine_chunks())
         return pa.table({key: vc.field("values"), "cnt": vc.field("counts")})
 
-    counts = (
-        ds.select_columns([key])
-        .map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key)
-        .sum("cnt")
+    partials = ds.select_columns([key]).map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
     )
-    hot = counts.map_batches(
-        lambda t, th=threshold: t.filter(pc.greater_equal(t["sum(cnt)"], th)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+
+    def fold_and_filter(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        g = part.group_by([key]).aggregate([("cnt", "sum")])
+        return pa.table(
+            {key: g[key], "cnt": g["cnt_sum"].cast(pa.int64())}
+        ).filter(pc.greater_equal(g["cnt_sum"], threshold))
+
+    hot = map_partitions_by_key(
+        partials, key, fold_and_filter, num_parts=num_parts
     ).select_columns([key])
     tbl = hot.take_all()
     if not tbl:
@@ -511,7 +525,7 @@ def gold_features_salted(
     ds,
     cfg: GoldConfig | None = None,
     *,
-    num_parts: int,
+    num_parts: int | None = None,
     hot_threshold: int = 2_000_000,
     hot_parts: int | None = None,
     bucket_us: int | None = None,
@@ -523,6 +537,10 @@ def gold_features_salted(
     plan (identical output)."""
     cfg = cfg or GoldConfig()
     tune_shuffle_context()
+    if num_parts is None:
+        from .keyed import _bytes_hint, derive_num_parts
+
+        num_parts = derive_num_parts(_bytes_hint(ds))
     max_delta = max(cfg.w_short, cfg.w_distinct, cfg.w_long)
     bucket_us = bucket_us or max(max_delta, cfg.gap_us)
     if bucket_us < max(max_delta, cfg.gap_us):

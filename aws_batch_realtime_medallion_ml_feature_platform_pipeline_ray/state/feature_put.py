@@ -25,12 +25,11 @@ batch exception (ingest_features.py:92-94).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from . import fsio as F
 from . import manifest as M
 
 # injectable for tests (flaky-writer / no-sleep)
@@ -90,14 +89,14 @@ def put_partition(
             try:
                 _write_table(
                     err_tbl,
-                    os.path.join(online_root, "_errors", f"part={key}", err_name),
+                    F.join(online_root, "_errors", f"part={key}", err_name),
                 )
                 break
             except OSError:
                 if attempt < max_retries:
                     sleep(_no_sleep_backoff(attempt))
 
-    dest = os.path.join(online_root, f"part={key}", "data.parquet")
+    dest = F.join(online_root, f"part={key}", "data.parquet")
     n_ok = ok_tbl.num_rows
     if n_ok:
         last_exc = None

@@ -19,6 +19,8 @@ import time
 import uuid
 from dataclasses import asdict, dataclass, field
 
+from . import fsio as F
+
 
 @dataclass
 class PartitionManifest:
@@ -40,36 +42,35 @@ class PartitionManifest:
 
 
 def manifest_dir(root: str) -> str:
-    return os.path.join(root, "_manifests")
+    return F.join(root, "_manifests")
 
 
 def manifest_path(root: str, stage: str, partition_key: str, run_id: str | None) -> str:
     name = f"{stage}__{partition_key}" + (f"__{run_id}" if run_id else "") + ".json"
-    return os.path.join(manifest_dir(root), name)
+    return F.join(manifest_dir(root), name)
 
 
 def write_manifest(root: str, m: PartitionManifest) -> None:
-    os.makedirs(manifest_dir(root), exist_ok=True)
+    F.makedirs(manifest_dir(root), exist_ok=True)
     if m.commit_ts < 0:
         m.commit_ts = time.time()
     path = manifest_path(root, m.stage, m.partition_key, m.run_id)
-    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(asdict(m), f)
-    os.replace(tmp, path)  # atomic: a manifest exists only if complete
+    # temp + rename locally; direct atomic object PUT on URI filesystems
+    # — either way a manifest exists only if complete
+    F.write_text_atomic(path, json.dumps(asdict(m)))
 
 
 def load_manifests(root: str, stage: str | None = None) -> list[PartitionManifest]:
     d = manifest_dir(root)
-    if not os.path.isdir(d):
+    if not F.isdir(d):
         return []
     out = []
-    for name in sorted(os.listdir(d)):
+    for name in sorted(F.listdir(d)):
         if not name.endswith(".json"):
             continue
         if stage is not None and not name.startswith(stage + "__"):
             continue
-        with open(os.path.join(d, name)) as f:
+        with F.open_(F.join(d, name)) as f:
             out.append(PartitionManifest(**json.load(f)))
     return out
 
@@ -106,14 +107,10 @@ def backfill_targets(root: str, stage: str, late_min_ts: str) -> set[str]:
 
 
 def atomic_write_table(tbl, path: str) -> None:
-    """Write a parquet file atomically (temp + rename) so partial outputs
-    never count as complete."""
-    import pyarrow.parquet as pq
-
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-    pq.write_table(tbl, tmp, compression="snappy")
-    os.replace(tmp, path)
+    """Write a parquet file atomically (temp + rename locally; direct
+    single-object PUT on URI filesystems, which is atomic per object) so
+    partial outputs never count as complete."""
+    F.write_table_atomic(tbl, path)
 
 
 class StageTimer:
@@ -212,7 +209,7 @@ def snapshot_files(root: str, stage: str, as_of: float) -> list[str]:
             if m.commit_ts <= floor_legacy:
                 continue
             files.extend(f for f in m.files if f not in superseded)
-    missing = [f for f in files if not os.path.exists(f)]
+    missing = [f for f in files if not F.exists(f)]
     if missing:
         raise SnapshotUnavailableError(
             f"snapshot as_of={as_of} needs {len(missing)} file(s) removed "

@@ -154,3 +154,59 @@ def test_small_qty_threshold_is_strict(ray_session):
     total = int(df["total_price_c100"].iloc[0])
     assert (n == 0) == (total == 0)
     assert int(df["avg_yearly_c100"].iloc[0]) == total // 7
+
+
+def test_xcorr_short_span_matches_sql_twin(ray_session, tmp_path):
+    """Regression (ADVICE r2): when the active day span <= XCORR_MAX_LAG,
+    the Ray side emits a (lag, n_days=0, r NULL) row per overflowing lag;
+    the SQL twin must keep those groups too (LEFT JOIN from the lags CTE)
+    so row counts agree on short-span data."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import importlib
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray"
+        ".pipelines.queries_r2h"
+    )
+    # 3 active days << XCORR_MAX_LAG=7 — lags 3.. have zero-length series
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    for day, (na, nb) in enumerate([(3, 1), (0, 2), (5, 4)]):
+        for i in range(na):
+            rows.append((m.XCORR_A, base + np.timedelta64(day, "D") + np.timedelta64(i, "s")))
+        for i in range(nb):
+            rows.append((m.XCORR_B, base + np.timedelta64(day, "D") + np.timedelta64(100 + i, "s")))
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    ray_df = (
+        m.q_events_xcorr_lagged(str(tmp_path))
+        .to_pandas()
+        .sort_values("lag", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    sql_df = (
+        con.execute(m.EVENTS_XCORR_LAGGED_SQL)
+        .df()
+        .sort_values("lag", ignore_index=True)
+    )
+    assert len(ray_df) == m.XCORR_MAX_LAG + 1 == len(sql_df)
+    pd.testing.assert_frame_equal(
+        ray_df[["lag", "n_days"]].astype("int64"),
+        sql_df[["lag", "n_days"]].astype("int64"),
+    )
+    assert np.array_equal(
+        ray_df["r"].to_numpy(float), sql_df["r"].to_numpy(float),
+        equal_nan=True,
+    )

@@ -136,3 +136,37 @@ def test_salted_gap_exceeds_windows(ray_session):
     tbl = generate_transcripts(60, 40, seed=41, dup_frac=0.02,
                                mean_gap_s=86400.0 * 2)
     _assert_salted_matches(ray_session, tbl, cfg, 150)
+
+
+def test_detect_hot_keys_uses_keyed_exchange(ray_session, monkeypatch):
+    """Guard (VERDICT r2): per-key counts are a data-scaling fold and must
+    ride the engine's keyed exchange (groupby on the int32 __part column),
+    never ``Dataset.groupby(conv_id)`` whose sort-based grouping cliffs at
+    millions of distinct keys."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.keyed import (
+        PART_COL,
+    )
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(
+                [f"c{i}" for i in range(50)] + ["hot"] * 500, pa.string()
+            ),
+            "x": pa.array(range(550), pa.int64()),
+        }
+    )
+    seen = []
+    orig = Dataset.groupby
+
+    def spy(self, key, *a, **k):
+        seen.append(key)
+        return orig(self, key, *a, **k)
+
+    monkeypatch.setattr(Dataset, "groupby", spy)
+    hot = detect_hot_keys(rd.from_arrow(tbl).repartition(6), "conv_id", 400)
+    assert hot.to_pylist() == ["hot"]
+    assert seen and all(k == PART_COL for k in seen), seen
