@@ -3,12 +3,15 @@
 A 100 TB training-data pipeline carries media as Parquet ``binary``
 columns with typed metadata beside them; decode / feature-extract /
 resize / frame-sample run as actor-pool ``map_batches`` stages (decoder
-built once per actor in ``__init__``). The real decoders (PIL / librosa /
-ffmpeg) are NOT in this container, so the decode step is STUBBED:
-:func:`decode_real` raises ``NotImplementedError`` and the pipeline uses a
-deterministic fake decoder instead — the Ray-side plumbing (schema,
-binary payload handling, actor signature, batch sizing, output layout) is
-real and tested.
+built once per actor in ``__init__``). Real decoding is an OPTIONAL
+DEPENDENCY behind :func:`decode_real`: it binds PIL (images) /
+``soundfile`` (audio) when importable and raises ``NotImplementedError``
+with guidance otherwise — this container ships neither, so the default
+pipeline uses a deterministic fake decoder with the identical call
+shape; the Ray-side plumbing (schema, binary payload handling, actor
+signature, batch sizing, output layout) is real and tested either way,
+and the adapter interface itself is pytest-covered via an injected fake
+PIL module.
 
 The media table is synthesized deterministically from the ``documents``
 table (payload = UTF-8 bytes of the text), so metadata features have an
@@ -35,13 +38,87 @@ FRAME_BYTES = 1024  # fake "frame" granularity for frame-count / sampling
 
 
 def decode_real(kind: str):
-    """Placeholder for the real decoder factory (PIL for images, an audio
-    codec for audio). Not available in this environment by design."""
-    raise NotImplementedError(
-        f"real {kind} decoding requires image/audio libraries not present "
-        "in this container; use FakeDecoder (deterministic) — the Ray "
-        "plumbing is identical"
-    )
+    """Real decoder factory: binds the optional media library when it is
+    importable — PIL (``PIL.Image``) for images, ``soundfile`` for audio
+    — and raises ``NotImplementedError`` otherwise (this container ships
+    neither, by design). The returned adapter implements the same call
+    shape as :class:`FakeDecoder` (``checksum(data, offsets, padded=)``)
+    so :class:`MediaFeaturizer` is decoder-agnostic: flip
+    ``use_real_decoder=True`` and nothing else changes."""
+    if kind == "image":
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image decoding requires PIL, which is not present "
+                "in this container; use FakeDecoder (deterministic) — "
+                "the Ray plumbing is identical"
+            ) from exc
+        return PILImageDecoder(Image)
+    if kind == "audio":
+        try:
+            import soundfile
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real audio decoding requires soundfile, which is not "
+                "present in this container; use FakeDecoder "
+                "(deterministic) — the Ray plumbing is identical"
+            ) from exc
+        return SoundfileAudioDecoder(soundfile)
+    raise ValueError(f"unknown media kind: {kind!r}")
+
+
+class PILImageDecoder:
+    """Real image decoder adapter over an injected ``PIL.Image`` module.
+
+    ``checksum`` decodes each payload and sums its pixel values — the
+    library call is inherently per item (one codec invocation per
+    image), which is exactly why the stage runs as an actor-pool
+    ``map_batches`` with byte-sized batches: the batching/actor level is
+    the parallelism unit, not the pixel loop."""
+
+    def __init__(self, image_mod):
+        self._Image = image_mod
+
+    def checksum(
+        self, data: np.ndarray, offsets: np.ndarray, padded=None
+    ) -> np.ndarray:
+        import io
+
+        out = np.zeros(max(len(offsets) - 1, 0), dtype=np.int64)
+        for i in range(len(out)):
+            buf = data[offsets[i] : offsets[i + 1]].tobytes()
+            if not buf:
+                continue
+            with self._Image.open(io.BytesIO(buf)) as im:
+                out[i] = int(np.asarray(im).astype(np.int64).sum())
+        return out
+
+
+class SoundfileAudioDecoder:
+    """Real audio decoder adapter over an injected ``soundfile`` module:
+    per-item decode, checksum = sum of samples quantized to int16."""
+
+    def __init__(self, sf_mod):
+        self._sf = sf_mod
+
+    def checksum(
+        self, data: np.ndarray, offsets: np.ndarray, padded=None
+    ) -> np.ndarray:
+        import io
+
+        out = np.zeros(max(len(offsets) - 1, 0), dtype=np.int64)
+        for i in range(len(out)):
+            buf = data[offsets[i] : offsets[i + 1]].tobytes()
+            if not buf:
+                continue
+            samples, _rate = self._sf.read(io.BytesIO(buf))
+            out[i] = int(
+                np.round(np.asarray(samples, dtype=np.float64) * 32767)
+                .astype(np.int64)
+                .sum()
+            )
+        return out
 
 
 class FakeDecoder:
@@ -116,7 +193,7 @@ class MediaFeaturizer:
     """
 
     def __init__(self, frame_stride: int = 4, use_real_decoder: bool = False):
-        if use_real_decoder:  # pragma: no cover - stub gate
+        if use_real_decoder:  # optional-dependency gate (decode_real)
             self.image = decode_real("image")
             self.audio = decode_real("audio")
         else:

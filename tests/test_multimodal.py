@@ -25,6 +25,8 @@ def test_featurizer_checksums_match_python(ray_session):
     import pyarrow as pa
 
     texts = ["hello", "", "héllo wörld", "x" * 5000, "abc"]
+    import pyarrow as pa
+
     docs = pa.table({"doc_id": pa.array(range(5), pa.int64()),
                      "text": pa.array(texts, pa.string())})
     media = media_from_documents(docs)
@@ -105,6 +107,8 @@ def test_frame_sampler_matches_python(ray_session):
     )
 
     texts = ["hello", "", "é" * 3000, "x" * (FRAME_BYTES * 3), "abc" * 900]
+    import pyarrow as pa
+
     docs = pa.table({"doc_id": pa.array(range(5), pa.int64()),
                      "text": pa.array(texts, pa.string())})
     media = media_from_documents(docs)
@@ -123,3 +127,121 @@ def test_frame_sampler_matches_python(ray_session):
         .itertuples(index=False, name=None)
     )
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# decode_real optional-dependency adapter (VERDICT r2 §next-7)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_real_raises_without_libs():
+    """Neither PIL nor soundfile ships in this container: the factory
+    must refuse loudly with guidance, not silently fake."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.multimodal import (
+        decode_real,
+    )
+
+    for kind in ("image", "audio"):
+        with pytest.raises(NotImplementedError, match="deterministic"):
+            decode_real(kind)
+    with pytest.raises(ValueError):
+        decode_real("video3d")
+
+
+class _FakePILImage:
+    """Minimal PIL.Image stand-in: open() parses our toy 'format' —
+    payload bytes ARE the pixel values."""
+
+    class _Im:
+        def __init__(self, buf):
+            self._px = np.frombuffer(buf, dtype=np.uint8)
+
+        def __array__(self, dtype=None, copy=None):
+            a = self._px.reshape(1, -1)
+            return a.astype(dtype) if dtype else a
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    @staticmethod
+    def open(fp):
+        return _FakePILImage._Im(fp.read())
+
+
+def test_decode_real_binds_pil_when_present(monkeypatch):
+    """With a PIL module importable, decode_real returns the adapter and
+    MediaFeaturizer(use_real_decoder=True) runs the identical plumbing
+    with it (checksum = decoded-pixel sum == byte sum for the toy
+    format, matching FakeDecoder bit-for-bit)."""
+    import sys
+    import types
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages import (
+        multimodal as MM,
+    )
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _FakePILImage
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _FakePILImage)
+    sf = types.ModuleType("soundfile")
+    sf.read = lambda fp: (
+        np.frombuffer(fp.read(), dtype=np.uint8).astype(np.float64) / 32767.0,
+        16000,
+    )
+    monkeypatch.setitem(sys.modules, "soundfile", sf)
+
+    dec = MM.decode_real("image")
+    assert isinstance(dec, MM.PILImageDecoder)
+    payloads = [b"abc", b"", b"\x01\x02\xff"]
+    data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    offsets = np.cumsum([0] + [len(p) for p in payloads]).astype(np.int64)
+    got = dec.checksum(data, offsets)
+    exp = np.array([sum(b"abc"), 0, 0x01 + 0x02 + 0xFF], dtype=np.int64)
+    assert np.array_equal(got, exp)
+    # same interface the fake decoder exposes -> featurizer parity
+    fake = MM.FakeDecoder("image").checksum(data, offsets)
+    assert np.array_equal(got, fake)
+
+    import pyarrow as pa
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 2, 4], pa.int64()),
+            "text": pa.array(["abc", "", "xy"], pa.string()),
+        }
+    )
+    media = MM.media_from_documents(docs)
+    out_real = MM.MediaFeaturizer(use_real_decoder=True)(media)
+    out_fake = MM.MediaFeaturizer(use_real_decoder=False)(media)
+    assert out_real.equals(out_fake)
+
+
+def test_decode_real_audio_adapter(monkeypatch):
+    """The soundfile adapter decodes per item and checksums quantized
+    samples."""
+    import sys
+    import types
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages import (
+        multimodal as MM,
+    )
+
+    sf = types.ModuleType("soundfile")
+
+    def _read(fp):
+        raw = np.frombuffer(fp.read(), dtype=np.uint8)
+        return raw.astype(np.float64) / 32767.0, 16000
+
+    sf.read = _read
+    monkeypatch.setitem(sys.modules, "soundfile", sf)
+    dec = MM.decode_real("audio")
+    assert isinstance(dec, MM.SoundfileAudioDecoder)
+    payloads = [b"\x10\x20", b""]
+    data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    offsets = np.array([0, 2, 2], dtype=np.int64)
+    got = dec.checksum(data, offsets)
+    assert np.array_equal(got, np.array([0x10 + 0x20, 0], dtype=np.int64))
