@@ -91,4 +91,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r2n
 
     reg.update(queries_r2n.REGISTRY)
+    from . import queries_r3a
+
+    reg.update(queries_r3a.REGISTRY)
     return reg

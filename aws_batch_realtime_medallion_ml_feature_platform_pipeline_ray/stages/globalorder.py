@@ -243,3 +243,88 @@ def neighbor_pairs(
         zero_copy_batch=True,
     ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return map_partitions_by_key(slim, "__bkt", pairs_part, num_parts=num_parts)
+
+
+def with_global_prefix_max(
+    ds,
+    keys: list[str],
+    value_col: str,
+    out_col: str,
+    *,
+    exclusive: bool = True,
+):
+    """Exact global running MAX of ``value_col`` (int64-castable) in
+    total ``keys`` order — the distributed streaming-scan primitive
+    behind watermark semantics (``max event-time seen so far`` in
+    arrival order).
+
+    Same two-pass block-offset shape as :func:`with_global_scans`: one
+    range-partitioned sort, per-block (first-key, block max) partials
+    collected to the driver (O(#blocks)), an exclusive driver prefix-max
+    across blocks, then a per-block ``np.maximum.accumulate`` with the
+    broadcast carry-in. ``exclusive=True`` gives each row the max over
+    STRICTLY EARLIER rows (the first row gets int64 min → emitted as
+    null), matching ``MAX(v) OVER (ORDER BY keys ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``. ``keys`` must be a candidate key so
+    each block's first-row identity is unique."""
+    s = ds.sort(keys).materialize()
+    I64MIN = np.iinfo(np.int64).min
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    **{k: t[k].slice(0, 0) for k in keys},
+                    "__mx": pa.array([], pa.int64()),
+                }
+            )
+        v = np.asarray(t[value_col].combine_chunks().cast(pa.int64()))
+        return pa.table(
+            {
+                **{k: t[k].slice(0, 1) for k in keys},
+                "__mx": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    stats = s.map_batches(
+        block_stat, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # O(#blocks) rows
+    if not stats:
+        return s
+
+    import pandas as pd
+
+    sdf = pd.DataFrame(stats).sort_values(keys, ignore_index=True)
+    mx = sdf["__mx"].to_numpy(np.int64)
+    carry = np.concatenate(
+        ([I64MIN], np.maximum.accumulate(mx)[:-1])
+    )  # exclusive across blocks
+    carry_by_first = {
+        tuple(row): int(carry[j])
+        for j, row in enumerate(sdf[keys].itertuples(index=False))
+    }
+
+    def add_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        first = tuple(t[k][0].as_py() for k in keys)
+        if first not in carry_by_first:
+            raise RuntimeError(
+                f"global-scan block boundary drift: no carry for {first}"
+            )
+        base = carry_by_first[first]
+        v = np.asarray(t[value_col].combine_chunks().cast(pa.int64()))
+        if exclusive:
+            shifted = np.concatenate(([I64MIN], v[:-1]))
+            run = np.maximum.accumulate(np.maximum(shifted, base))
+        else:
+            run = np.maximum.accumulate(np.maximum(v, base))
+        miss = run == I64MIN
+        return t.append_column(
+            out_col, pa.array(np.where(miss, 0, run), pa.int64(), mask=miss)
+        )
+
+    return s.map_batches(
+        add_scan, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
