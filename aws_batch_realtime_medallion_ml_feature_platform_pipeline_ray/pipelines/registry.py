@@ -94,4 +94,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r3a
 
     reg.update(queries_r3a.REGISTRY)
+    from . import queries_r3b
+
+    reg.update(queries_r3b.REGISTRY)
     return reg
