@@ -539,3 +539,175 @@ REGISTRY: dict[str, tuple] = {
     "conv_token_novelty": (q_conv_token_novelty, CONV_TOKEN_NOVELTY_SQL),
     "events_max_run": (q_events_max_run, EVENTS_MAX_RUN_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_distinct_users — exact sliding-window distinct (7-day DAU)
+# ---------------------------------------------------------------------------
+
+RDU_WINDOW_DAYS = 7
+
+
+def q_events_rolling_distinct_users(sf_dir: str):
+    """For every calendar day in the data's range: the EXACT number of
+    distinct users active in the trailing {RDU_WINDOW_DAYS}-day window —
+    the rolling-retention metric (7-day active users per day). Distinct
+    counts do not sum, so the rolling count cannot fold from daily
+    totals; the exact answer needs per-user activity spans.
+
+    Plan: one keyed exchange folds the stream to distinct (user, day)
+    pairs AND, per user, merges activity days into coverage intervals
+    (two active days within the window share coverage — a vectorized
+    gap-split per partition). Each interval [a, b] contributes +1 at day
+    a and −1 at day b+{RDU_WINDOW_DAYS}; the per-day diff fold is
+    calendar-bounded and one prefix sum finishes on O(days) rows. No
+    per-day user sets ever materialize."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                }
+            )
+        uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
+        day = (
+            np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+            // 86_400_000_000
+        )
+        if int(day.max()) >= (1 << 31) or int(day.min()) < 0:
+            raise OverflowError("day packing expects 0 <= day < 2^31")
+        cell = np.unique((uid << np.int64(31)) | day)
+        return pa.table(
+            {
+                "user_id": pa.array(cell >> np.int64(31), pa.int64()),
+                "day": pa.array(cell & np.int64((1 << 31) - 1), pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(
+        day_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def intervals(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"day": pa.array([], pa.int64()), "diff": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        uid = np.asarray(part["user_id"].combine_chunks())
+        day = np.asarray(part["day"].combine_chunks())
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        # cross-block duplicate (user, day) pairs collapse here
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (d[1:] != d[:-1])))
+        u, d = u[keep], d[keep]
+        # a new coverage interval starts at a user change or a gap wider
+        # than the window (coverage [a, a+W-1] runs overlap otherwise)
+        start = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (d[1:] - d[:-1] >= RDU_WINDOW_DAYS))
+        )
+        starts = np.flatnonzero(start)
+        ends = np.append(starts[1:], len(d)) - 1
+        a = d[starts]
+        b = d[ends]
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate([a, b + RDU_WINDOW_DAYS])),
+                "diff": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(a), np.int64),
+                            -np.ones(len(a), np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    diffs = map_partitions_by_key(
+        pairs, "user_id", intervals, num_parts=NUM_PARTS
+    )
+    folded = (
+        diffs.groupby("day")
+        .aggregate(Sum("diff", alias_name="d"))
+        .to_pandas()  # O(active days + window): calendar-bounded
+        .sort_values("day", ignore_index=True)
+    )
+    bounds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array(
+                    [
+                        int(
+                            np.asarray(
+                                t["ts"].combine_chunks().cast(pa.int64())
+                            ).min()
+                        )
+                        // 86_400_000_000
+                    ]
+                    if t.num_rows
+                    else [],
+                    pa.int64(),
+                ),
+                "hi": pa.array(
+                    [
+                        int(
+                            np.asarray(
+                                t["ts"].combine_chunks().cast(pa.int64())
+                            ).max()
+                        )
+                        // 86_400_000_000
+                    ]
+                    if t.num_rows
+                    else [],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).aggregate(Min("lo", alias_name="d0"), Max("hi", alias_name="d1"))
+    d0, d1 = int(bounds["d0"]), int(bounds["d1"])
+    span = d1 - d0 + 1
+    diff_arr = np.zeros(span + RDU_WINDOW_DAYS + 1, np.int64)
+    idx = folded["day"].to_numpy(np.int64) - d0
+    ok = (idx >= 0) & (idx < len(diff_arr))
+    np.add.at(diff_arr, idx[ok], folded["d"].to_numpy(np.int64)[ok])
+    run = np.cumsum(diff_arr)[:span]
+    return pa.table(
+        {
+            "day": pa.array(np.arange(d0, d1 + 1), pa.int64()),
+            "u7": pa.array(run, pa.int64()),
+        }
+    )
+
+
+EVENTS_ROLLING_DISTINCT_SQL = f"""
+WITH d AS (
+    SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS day
+    FROM events
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+days AS (
+    SELECT CAST(unnest(generate_series(b.d0, b.d1)) AS BIGINT) AS day FROM b
+)
+SELECT days.day,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS u7
+FROM days LEFT JOIN d
+  ON d.day BETWEEN days.day - {RDU_WINDOW_DAYS - 1} AND days.day
+GROUP BY 1
+"""
+
+
+REGISTRY["events_rolling_distinct_users"] = (
+    q_events_rolling_distinct_users,
+    EVENTS_ROLLING_DISTINCT_SQL,
+)

@@ -13,6 +13,7 @@ CASES = [
     ("q_events_expectations", ["expectation"]),
     ("q_conv_token_novelty", ["conv_id", "event_id"]),
     ("q_events_max_run", ["n"]),
+    ("q_events_rolling_distinct_users", ["day"]),
 ]
 
 
@@ -98,3 +99,25 @@ def test_max_run_dominates_total_and_any_element(ray_session):
     best, total = int(df["best_cents"][0]), int(df["total_cents"][0])
     assert best >= total  # whole stream is one candidate run
     assert best >= 0 or int(df["n"][0]) > 0
+
+
+def test_rolling_distinct_bounds(ray_session):
+    """u7 is sandwiched between the daily distinct count and the total
+    distinct users, and every calendar day in range appears."""
+    import duckdb
+
+    df = _get("q_events_rolling_distinct_users")(SF).to_pandas()
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT epoch_us(ts)//86400000000 AS day,
+                   count(DISTINCT user_id) AS u1
+            FROM '{SF}/events.parquet' GROUP BY 1"""
+    ).df()
+    total_users = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    j = df.merge(daily, on="day", how="left").fillna({"u1": 0})
+    assert (j["u7"] >= j["u1"]).all()
+    assert (j["u7"] <= total_users).all()
+    assert df["day"].is_monotonic_increasing
+    assert len(df) == df["day"].max() - df["day"].min() + 1
