@@ -711,3 +711,89 @@ REGISTRY["events_rolling_distinct_users"] = (
     q_events_rolling_distinct_users,
     EVENTS_ROLLING_DISTINCT_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# orc_ingest — ORC landing zone via the custom datasource
+# ---------------------------------------------------------------------------
+
+ORC_SEED = 137
+
+
+def _orc_dir(sf_dir: str = "") -> str:
+    """Deterministic ORC fixture (plus a parquet TWIN of the same table
+    for the DuckDB oracle), created once under /tmp — same
+    concurrency-safe build protocol as queries_r2m._ipc_dir (flock +
+    temp-dir rename)."""
+    import fcntl
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..sources.orc import write_orc
+    from ..sources.transcripts import generate_transcripts
+
+    parent = "/tmp/medallion_fixture/default"
+    d = os.path.join(parent, "orc")
+    marker = os.path.join(d, "_complete.json")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(parent, exist_ok=True)
+    with open(os.path.join(parent, ".orc.lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        if not os.path.exists(marker):
+            tmp = tempfile.mkdtemp(dir=parent, prefix=".orc_build_")
+            try:
+                tbl = generate_transcripts(
+                    n_convs=50, avg_turns=18, seed=ORC_SEED
+                )
+                write_orc(tbl, tmp, rows_per_file=1500)
+                pq.write_table(tbl, os.path.join(tmp, "twin.parquet"))
+                with open(os.path.join(tmp, "_complete.json"), "w") as f:
+                    f.write("{}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                os.rename(tmp, d)
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+    return d
+
+
+def q_orc_ingest(sf_dir: str):
+    """ORC ingest through the engine's CUSTOM Ray Data datasource
+    (sources/orc.py): stripes stream out of each file as blocks;
+    canonical column projection on top. The oracle reads a parquet twin
+    of the same generated table — exact round trip. The "foreign lake"
+    path for users migrating a Hive/Trino ORC lake onto the engine."""
+    from ..sources.orc import read_orc
+
+    ds = read_orc(_orc_dir(sf_dir))
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        # ORC stores timestamps at nanosecond precision; restore the
+        # engine's canonical timestamp[us] so the round trip is exact
+        return t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            t["ts"].cast(pa.timestamp("us")),
+        )
+
+    return ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _orc_oracle_sql() -> str:
+    d = _orc_dir()
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool,
+       CAST(ts AS TIMESTAMP) AS ts
+FROM read_parquet('{d}/twin.parquet')
+"""
+
+
+REGISTRY["orc_ingest"] = (q_orc_ingest, _orc_oracle_sql())

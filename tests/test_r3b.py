@@ -121,3 +121,29 @@ def test_rolling_distinct_bounds(ray_session):
     assert (j["u7"] <= total_users).all()
     assert df["day"].is_monotonic_increasing
     assert len(df) == df["day"].max() - df["day"].min() + 1
+
+
+def test_orc_roundtrip_multifile(ray_session, tmp_path):
+    """The custom ORC datasource streams stripes and round-trips bytes:
+    write N files, read back, exact table equality after sort."""
+    import pyarrow as pa
+
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.sources.orc import (
+        read_orc,
+        write_orc,
+    )
+
+    t = pa.table(
+        {
+            "k": pa.array(range(5000), pa.int64()),
+            "s": pa.array([f"v{i % 97}" for i in range(5000)], pa.string()),
+        }
+    )
+    files = write_orc(t, str(tmp_path / "orc"), rows_per_file=1200)
+    assert len(files) == 5
+    got = (
+        read_orc(str(tmp_path / "orc"))
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert got.equals(t.to_pandas())
