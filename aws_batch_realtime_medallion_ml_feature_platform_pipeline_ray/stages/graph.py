@@ -46,6 +46,7 @@ from .keyed import cogroup_by_key, map_partitions_by_key
 
 CC_MAX_ROUNDS = 30
 _LOCAL_MAX_ITERS = 64  # local closure: pointer jumping halves depth/iter
+CC_PART_BYTES = 4 << 20  # adjacency bytes per partition (derived count)
 
 
 def _empty_labels() -> pa.Table:
@@ -113,12 +114,15 @@ def connected_components(
 ):
     """Labels every node of the undirected pair graph with the smallest
     node id in its component. Returns a Dataset of (node, rep).
-    ``num_parts=None`` derives the count from the cluster
-    (stages/keyed.derive_num_parts)."""
-    if num_parts is None:
-        from .keyed import derive_num_parts
 
-        num_parts = derive_num_parts()
+    ``num_parts=None`` derives the count from the MATERIALIZED adjacency
+    bytes (exact, known before the first exchange): iterative round cost
+    grows with partition count while per-partition closure work shrinks,
+    so a small graph wants FEW partitions — each round's local closure
+    then collapses more of the component in one numpy pass and the
+    cross-partition diameter (= rounds) drops. One partition per ~4 MiB
+    of adjacency, floored at 1, capped by the cluster-scale derivation
+    (stages/keyed.derive_num_parts) so huge graphs still spread."""
 
     def to_adj(t: pa.Table) -> pa.Table:
         a = np.asarray(t[a_col].combine_chunks())
@@ -135,6 +139,18 @@ def connected_components(
     adj = pairs.map_batches(
         to_adj, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+    if num_parts is None:
+        from .keyed import derive_num_parts
+
+        adj_bytes = adj.size_bytes() or 0  # materialized: exact, free
+        num_parts = max(
+            1,
+            min(
+                derive_num_parts(adj_bytes),
+                -(-adj_bytes // CC_PART_BYTES),
+            ),
+        )
 
     # init: local closure straight over the adjacency rows — every node
     # appears in the x position (adj holds both directions), so this

@@ -109,7 +109,11 @@ def main() -> int:
         results[name] = rec
         status = (
             "ERR" if rec["err"]
-            else rec.get("mode", "PASS" if rec.get("value_match") else "FAIL")
+            else rec.get(
+                "mode",
+                "PASS" if rec.get("value_match") and not rec.get("dtype_drift")
+                else ("DRIFT" if rec.get("value_match") else "FAIL"),
+            )
         )
         print(f"{name}: {status} ({rec['wall_s']}s)", flush=True)
 
