@@ -285,7 +285,7 @@ def pagerank_constant_outdegree(
     *,
     k_out: int,
     iters: int,
-    num_parts: int,
+    num_parts: int | None = None,
     scale: int = 1 << 38,
     damp_num: int = 85,
     damp_den: int = 100,
@@ -342,6 +342,17 @@ def pagerank_constant_outdegree(
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+
+    if num_parts is None:
+        # same sizing rule as connected_components: iterative round cost
+        # grows with partition count, so size from the materialized edge
+        # bytes (exact) — small graphs collapse to few partitions
+        from .keyed import derive_num_parts
+
+        eb = edges.size_bytes() or 0
+        num_parts = max(
+            1, min(derive_num_parts(eb), -(-eb // CC_PART_BYTES))
+        )
 
     def emit_contribs(lpart: pa.Table, rpart: pa.Table) -> pa.Table:
         """lpart: edges of this src-partition; rpart: ranks of the same
