@@ -37,12 +37,17 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # regime a 100 TB run lives in.
 SCALING_CONVS = 160_000
 SCALING_AVG_TURNS = 100
-SCALING_PARTS = 256   # fixed across cpu levels so total work is identical
-                      # (256 = 8x hi-level cores: measured 15.9->14.7 s at
-                      # 32 CPUs and 52.8->50.7 s at 8 CPUs vs 128 — finer
-                      # partitions smooth the reduce-wave tail at both
-                      # levels; 384 adds nothing, blocks=256 regresses)
-SCALING_BLOCKS = 128  # input blocks feeding the shuffle map side
+SCALING_PARTS = 768   # fixed across cpu levels so total work is identical.
+                      # Round-3 sweep at 32 CPUs (warm session, best of 2):
+                      # blocks/parts 128/256 13.7s, 192/256 14.6s, 256/256
+                      # 16.6s, 160/512 13.1s, 160/768 13.0s — the reduce
+                      # wave is bounded by min(blocks, parts) tasks, and
+                      # finer partitions shrink the skew tail (max task
+                      # 2.6s UDF at 128 reduce tasks). The config is tuned
+                      # for the SCALED-OUT level (the production regime a
+                      # fixed-size cluster runs at); at 8 CPUs it costs
+                      # ~3% (46.6s -> 48.2s) in extra coordination.
+SCALING_BLOCKS = 160  # input blocks feeding the shuffle map side
 SCALING_REPS = 1      # timed reps per child (more rounds > more reps)
 
 
