@@ -1,0 +1,276 @@
+"""Round-3 batch C: winnowing (robust minimizer) fingerprint selection
+and DFA-based event-sequence validation.
+
+Winnowing is the document-fingerprinting algorithm behind MOSS/sourmash:
+k-gram hashes, a sliding window of W positions, and the guarantee that
+any sufficiently long match between two documents shares a selected
+fingerprint. The k-gram hash here is the first 10 hex digits of md5 (an
+exact cross-engine integer; the SCALE path for shingle hashing is the
+vectorized splitmix64 in stages/dedup.py — md5 keeps the DuckDB twin
+bit-exact), made tie-free by keying on ``hash * 2^20 + position``.
+
+Reference provenance: sequence validation generalizes the reference's
+row-local validity filters (``spark_jobs/silver_and_gold.py:62-65``) to
+CROSS-ROW protocol rules — the stateful check a stream pipeline runs on
+ordered per-entity event streams.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.reads import read_parquet_sized
+from ..stages.keyed import map_partitions_by_key
+
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
+
+
+# ---------------------------------------------------------------------------
+# docs_winnow_minimizers — robust winnowing fingerprint selection
+# ---------------------------------------------------------------------------
+
+WIN_K = 3   # token k-gram size
+WIN_W = 4   # winnowing window (gram positions per window)
+_POS_BITS = 20  # tie-free key = hv * 2^20 + pos; docs must have < 2^20 grams
+
+
+def _md5_int40(grams: list[str]) -> np.ndarray:
+    """First 40 bits of md5 per gram — matches the SQL twin's
+    ``('0x' || substr(md5(g), 1, 10))::BIGINT`` exactly."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(g.encode()).digest()[:5], "big")
+            for g in grams
+        ),
+        dtype=np.int64,
+        count=len(grams),
+    )
+
+
+def q_docs_winnow_minimizers(sf_dir: str):
+    """Per document: total k-gram count, the number of WINNOWED
+    minimizer positions, and the xor-fold of the selected fingerprint
+    hashes — the storage-bounded fingerprint set with the winnowing
+    guarantee (every window of ``WIN_W`` consecutive grams contributes
+    its minimum-keyed gram, so any match of length >= W+K-1 tokens
+    between two documents shares a fingerprint).
+
+    Plan: embarrassingly parallel per batch (no exchange at all): grams
+    build vectorized from three shifted views of the flat token array;
+    the sliding argmin is a (n x W) shifted-column matrix with
+    segment-start masking (the rolling-median pattern), tie-free because
+    the key appends the position. Documents shorter than one window
+    contribute their single clipped window."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_minimizers": pa.array([], pa.int64()),
+                "fp_xor": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        offs = np.asarray(toks.offsets).astype(np.int64)
+        n_tok = np.diff(offs)
+        flat = toks.flatten()
+        # gram at token position p (doc-local) exists when p+K-1 < n_tok
+        n_gram = np.maximum(n_tok - (WIN_K - 1), 0)
+        keep_doc = n_gram > 0
+        if not keep_doc.any():
+            return empty
+        # flat gram construction: three shifted slices of the token array
+        total_flat = len(flat)
+        gram_rows = np.repeat(np.arange(len(doc)), n_gram)
+        gram_base = np.concatenate(([0], np.cumsum(n_gram)[:-1]))
+        gpos_local = np.arange(int(n_gram.sum())) - np.repeat(
+            gram_base, n_gram
+        )
+        gstart_flat = np.repeat(offs[:-1], n_gram) + gpos_local
+        parts = []
+        for s in range(WIN_K):
+            parts.append(flat.take(pa.array(gstart_flat + s)))
+        sep = pa.scalar(" ", pa.large_string()) if parts[0].type == pa.large_string() else " "
+        grams_arr = pc.binary_join_element_wise(
+            parts[0], parts[1], parts[2], sep
+        )
+        hv = _md5_int40(grams_arr.to_pylist())
+        if int(n_gram.max()) >= (1 << _POS_BITS):
+            raise OverflowError(
+                "winnowing key packing expects < 2^20 grams per document"
+            )
+        key = hv * (1 << _POS_BITS) + gpos_local
+        n = len(key)
+        seg_start = np.repeat(gram_base, n_gram)
+        seg_len_rep = np.repeat(n_gram, n_gram)
+        p = np.arange(n, dtype=np.int64)
+        BIG = np.int64(1) << 62
+        cols = []
+        for s in range(WIN_W):
+            idx = p - s
+            ok = idx >= seg_start
+            cols.append(np.where(ok, key[np.maximum(idx, 0)], BIG))
+        mat = np.stack(cols, axis=1)
+        amin = np.argmin(mat, axis=1)  # unique keys: no tie ambiguity
+        # a row j closes a window when it has >= min(W, seg_len) grams
+        have = p - seg_start + 1
+        closes = have >= np.minimum(seg_len_rep, WIN_W)
+        sel_pos = np.unique(p[closes] - amin[closes])  # global gram idx
+        sel_doc = gram_rows[sel_pos]
+        sel_hv = hv[sel_pos]
+        # per-doc fold over the selected positions (sorted by doc already)
+        docs_u, starts = np.unique(sel_doc, return_index=True)
+        n_min = np.diff(np.append(starts, len(sel_doc)))
+        fp = np.bitwise_xor.reduceat(sel_hv, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[docs_u], pa.int64()),
+                "n_grams": pa.array(n_gram[docs_u], pa.int64()),
+                "n_minimizers": pa.array(n_min.astype(np.int64)),
+                "fp_xor": pa.array(fp, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DOCS_WINNOW_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+    SELECT doc_id, i,
+           ('0x' || substr(md5(array_to_string(toks[i:i+{WIN_K - 1}], ' ')),
+                           1, 10))::BIGINT AS hv,
+           len(toks) - {WIN_K - 1} AS ng
+    FROM t, unnest(generate_series(1, len(toks) - {WIN_K - 1})) AS u(i)
+    WHERE len(toks) >= {WIN_K}
+),
+k AS (
+    SELECT doc_id, i, hv, ng,
+           hv * {1 << _POS_BITS} + (i - 1) AS key
+    FROM g
+),
+w AS (
+    SELECT doc_id, i, ng,
+           min_by(i, key) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW) AS am
+    FROM k
+),
+sel AS (
+    SELECT DISTINCT w.doc_id, w.am AS i
+    FROM w WHERE w.i >= least(w.ng, {WIN_W})
+)
+SELECT sel.doc_id,
+       CAST(any_value(k.ng) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_minimizers,
+       CAST(bit_xor(k.hv) AS BIGINT) AS fp_xor
+FROM sel JOIN k ON k.doc_id = sel.doc_id AND k.i = sel.i
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_dfa_violations — cross-row protocol validation per entity
+# ---------------------------------------------------------------------------
+
+
+def q_events_dfa_violations(sf_dir: str):
+    """Per user, validate the ORDERED event stream against protocol
+    rules that span rows: a ``purchase`` must directly follow a
+    ``click`` (an un-clicked purchase is a tracking bug or fraud
+    signal), and ``error`` must not follow ``error`` (un-deduplicated
+    retry storm). Emits per-user event count and violation counts —
+    the stateful sequence lint a stream pipeline runs next to the
+    row-local expectations audit (events_expectations).
+
+    Plan: ONE keyed exchange on ``user_id``; per partition a single
+    lexsort orders every user's run and the previous event type is the
+    shifted code array masked at segment starts. Pure vectorized
+    compares; no per-row Python."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "bad_purchase": pa.array([], pa.int64()),
+                "error_storm": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
+        ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+        eid = np.asarray(t["event_id"].combine_chunks().cast(pa.int64()))
+        et = t["event_type"].combine_chunks()
+        enc = pc.dictionary_encode(et)
+        codes = np.asarray(enc.indices).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        code_of = {v: i for i, v in enumerate(vocab)}
+        c_click = code_of.get("click", -2)
+        c_purch = code_of.get("purchase", -2)
+        c_err = code_of.get("error", -2)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], codes[order]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        prev = np.concatenate(([-1], c[:-1]))
+        prev = np.where(first, -1, prev)  # no predecessor at segment start
+        bad_p = (c == c_purch) & (prev != c_click)
+        storm = (c == c_err) & (prev == c_err)
+        starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(starts, len(u)))
+        seg_id = np.repeat(np.arange(len(starts)), seg_len)
+        bp = np.zeros(len(starts), np.int64)
+        es = np.zeros(len(starts), np.int64)
+        np.add.at(bp, seg_id, bad_p.astype(np.int64))
+        np.add.at(es, seg_id, storm.astype(np.int64))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n_events": pa.array(seg_len.astype(np.int64)),
+                "bad_purchase": pa.array(bp),
+                "error_storm": pa.array(es),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", part_fn, num_parts=NUM_PARTS)
+
+
+EVENTS_DFA_SQL = """
+WITH s AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (event_type = 'purchase'
+            AND (prev IS NULL OR prev <> 'click')) AS BIGINT)
+           AS bad_purchase,
+       CAST(count(*) FILTER (event_type = 'error' AND prev = 'error')
+            AS BIGINT) AS error_storm
+FROM s GROUP BY 1
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "docs_winnow_minimizers": (q_docs_winnow_minimizers, DOCS_WINNOW_SQL),
+    "events_dfa_violations": (q_events_dfa_violations, EVENTS_DFA_SQL),
+}

@@ -97,4 +97,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r3b
 
     reg.update(queries_r3b.REGISTRY)
+    from . import queries_r3c
+
+    reg.update(queries_r3c.REGISTRY)
     return reg
