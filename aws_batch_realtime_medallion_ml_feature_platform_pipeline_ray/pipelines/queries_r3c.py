@@ -274,3 +274,218 @@ REGISTRY: dict[str, tuple] = {
     "docs_winnow_minimizers": (q_docs_winnow_minimizers, DOCS_WINNOW_SQL),
     "events_dfa_violations": (q_events_dfa_violations, EVENTS_DFA_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# embedding_mmr — Maximal Marginal Relevance diversified retrieval
+# ---------------------------------------------------------------------------
+
+MMR_C = 8       # candidate pool per query (exact top-C by cosine)
+MMR_K = 3       # diversified picks per query
+MMR_LAMBDA = 0.7
+
+
+def q_embedding_mmr(sf_dir: str):
+    """Diversified top-{MMR_K} retrieval per query via Maximal Marginal
+    Relevance: greedily pick argmax of ``λ·rel − (1−λ)·max_sim_to_
+    selected`` from the exact top-{MMR_C} cosine candidates — the
+    redundancy-penalizing reranker dense-retrieval pipelines run so the
+    k results aren't near-duplicates of each other. Ties break to the
+    smaller vec_id; all similarities ROUND6 on both engines before any
+    comparison.
+
+    Plan: candidates come from the distributed brute-force top-C
+    (broadcast query matrix, per-batch partial top-k); ONE cogroup on
+    vec_id attaches candidate embeddings (vectors travel only for the
+    C·|queries| candidate rows); ONE exchange on q_id, then the K greedy
+    steps run VECTORIZED ACROSS QUERIES per partition (segmented argmax
+    + one fused similarity update per step — no per-query Python)."""
+    from ..stages.ann import knn_bruteforce, _matrix, _normalize
+    from ..stages.keyed import cogroup_by_key
+    from ..functions.numeric import round6
+    from .queries_ann import _emb, _query_tbl
+
+    cand = knn_bruteforce(_emb(sf_dir), _query_tbl(sf_dir), k=MMR_C)
+
+    def attach(cpart: pa.Table, epart: pa.Table) -> pa.Table:
+        if cpart.num_rows == 0:
+            out = cpart
+            if "embedding" not in cpart.column_names:
+                out = out.append_column(
+                    "embedding",
+                    pa.array([], pa.list_(pa.float32())),
+                )
+            return out
+        idx = pc.index_in(
+            cpart["vec_id"].combine_chunks(),
+            value_set=epart["vec_id"].combine_chunks(),
+        )
+        if idx.null_count:
+            raise ValueError("mmr: candidate missing from embeddings")
+        return cpart.append_column(
+            "embedding", epart["embedding"].combine_chunks().take(idx)
+        )
+
+    enriched = cogroup_by_key(
+        cand, _emb(sf_dir), "vec_id", attach, num_parts=NUM_PARTS
+    )
+
+    def mmr_part(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "q_id": pa.array([], pa.int64()),
+                "mmr_rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "mmr_score": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qid = np.asarray(t["q_id"].combine_chunks().cast(pa.int64()))
+        vid = np.asarray(t["vec_id"].combine_chunks().cast(pa.int64()))
+        rel = np.asarray(t["sim"].combine_chunks())  # ROUND6 upstream
+        V = _normalize(_matrix(t))
+        order = np.lexsort((vid, qid))
+        qid, vid, rel, V = qid[order], vid[order], rel[order], V[order]
+        n = len(qid)
+        starts = np.flatnonzero(
+            np.concatenate(([True], qid[1:] != qid[:-1]))
+        )
+        seg_len = np.diff(np.append(starts, n))
+        seg_id = np.repeat(np.arange(len(starts)), seg_len)
+        # -inf = "no selected neighbor yet": the step-1 score uses an
+        # effective 0 (matching the SQL twin's λ·rel − μ·0), but the
+        # first real update must SET the (possibly negative) similarity,
+        # not max() it against 0
+        maxsim = np.full(n, -np.inf)
+        alive = np.ones(n, dtype=bool)
+        out_q, out_r, out_v, out_s = [], [], [], []
+        NEGINF = -np.inf
+        for step in range(1, MMR_K + 1):
+            ms_eff = np.where(np.isneginf(maxsim), 0.0, maxsim)
+            score = round6(MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * ms_eff)
+            score = np.where(alive, score, NEGINF)
+            # segmented argmax, ties -> smaller vec_id: order rows by
+            # (seg, -score, vec_id) and take each segment's first
+            pick_order = np.lexsort((vid, -score, seg_id))
+            firsts = pick_order[
+                np.concatenate(
+                    ([True], seg_id[pick_order][1:] != seg_id[pick_order][:-1])
+                )
+            ]
+            valid = score[firsts] > NEGINF
+            firsts = firsts[valid]
+            if len(firsts) == 0:
+                break
+            out_q.append(qid[firsts])
+            out_r.append(np.full(len(firsts), step, np.int64))
+            out_v.append(vid[firsts])
+            out_s.append(score[firsts])
+            alive[firsts] = False
+            # similarity of every row to its segment's new pick
+            pick_of_seg = np.full(len(starts), -1, np.int64)
+            pick_of_seg[seg_id[firsts]] = firsts
+            has = pick_of_seg[seg_id] >= 0
+            pv = V[np.maximum(pick_of_seg[seg_id], 0)]
+            sims = round6(np.einsum("ij,ij->i", V, pv))
+            maxsim = np.where(has, np.maximum(maxsim, sims), maxsim)
+        return pa.table(
+            {
+                "q_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "mmr_rank": pa.array(np.concatenate(out_r), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "mmr_score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    return map_partitions_by_key(
+        enriched.map_batches(
+            lambda t: t.drop_columns(["rank"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "q_id",
+        mmr_part,
+        num_parts=NUM_PARTS,
+    )
+
+
+def _mmr_sql() -> str:
+    from .queries_ann import N_QUERIES
+
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    return f"""
+WITH q AS (
+    SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+sims AS (
+    SELECT q.q_id, e.vec_id,
+           list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+    FROM q, embeddings e
+    WHERE e.vec_id <> q.q_id
+),
+cand AS (
+    SELECT q_id, vec_id, ROUND(sim, 6) AS rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims
+    ) WHERE rnk <= {MMR_C}
+),
+pair AS (
+    SELECT c1.q_id, c1.vec_id AS a, c2.vec_id AS b,
+           ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                        CAST(e2.embedding AS DOUBLE[])), 6)
+               AS s
+    FROM cand c1
+    JOIN cand c2 ON c2.q_id = c1.q_id AND c2.vec_id <> c1.vec_id
+    JOIN embeddings e1 ON e1.vec_id = c1.vec_id
+    JOIN embeddings e2 ON e2.vec_id = c2.vec_id
+),
+s1 AS (
+    SELECT q_id, vec_id, ROUND({lam} * rel - {mu} * 0, 6) AS score FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY ROUND({lam} * rel - {mu} * 0, 6) DESC, vec_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+),
+m2 AS (
+    SELECT c.q_id, c.vec_id, c.rel, p.s AS ms
+    FROM cand c
+    JOIN s1 ON s1.q_id = c.q_id AND c.vec_id <> s1.vec_id
+    JOIN pair p ON p.q_id = c.q_id AND p.a = c.vec_id AND p.b = s1.vec_id
+),
+s2 AS (
+    SELECT q_id, vec_id, score, ms FROM (
+        SELECT *, ROUND({lam} * rel - {mu} * ms, 6) AS score,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY ROUND({lam} * rel - {mu} * ms, 6) DESC, vec_id)
+                   AS rn
+        FROM m2
+    ) WHERE rn = 1
+),
+m3 AS (
+    SELECT c.q_id, c.vec_id, c.rel, greatest(c.ms, p.s) AS ms
+    FROM m2 c
+    JOIN s2 ON s2.q_id = c.q_id AND c.vec_id <> s2.vec_id
+    JOIN pair p ON p.q_id = c.q_id AND p.a = c.vec_id AND p.b = s2.vec_id
+),
+s3 AS (
+    SELECT q_id, vec_id, score FROM (
+        SELECT *, ROUND({lam} * rel - {mu} * ms, 6) AS score,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY ROUND({lam} * rel - {mu} * ms, 6) DESC, vec_id)
+                   AS rn
+        FROM m3
+    ) WHERE rn = 1
+)
+SELECT q_id, CAST(1 AS BIGINT) AS mmr_rank, vec_id, score AS mmr_score
+FROM s1
+UNION ALL
+SELECT q_id, CAST(2 AS BIGINT), vec_id, score FROM s2
+UNION ALL
+SELECT q_id, CAST(3 AS BIGINT), vec_id, score FROM s3
+"""
+
+
+REGISTRY["embedding_mmr"] = (q_embedding_mmr, _mmr_sql())

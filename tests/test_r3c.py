@@ -116,3 +116,38 @@ def test_dfa_counts_are_consistent(ray_session):
     assert int(df["n_events"].sum()) == n
     assert (df["bad_purchase"] <= df["n_events"]).all()
     assert (df["error_storm"] <= df["n_events"]).all()
+
+
+def test_mmr_tiny_blocks(ray_session):
+    from ray.data.context import DataContext
+
+    q = getattr(_mod(), "q_embedding_mmr")
+
+    def run():
+        return (
+            q(SF).to_pandas().sort_values(["q_id", "mmr_rank"],
+                                          ignore_index=True)
+        )
+
+    base = run()
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = run()
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, tiny[base.columns])
+
+
+def test_mmr_diversifies_vs_plain_topk(ray_session):
+    """MMR's picks are distinct per query, ranks are 1..K, and the
+    marginal score never increases with rank (greedy argmax)."""
+    m = _mod()
+    df = getattr(m, "q_embedding_mmr")(SF).to_pandas()
+    for _, g in df.groupby("q_id"):
+        g = g.sort_values("mmr_rank")
+        assert list(g["mmr_rank"]) == list(range(1, len(g) + 1))
+        assert g["vec_id"].is_unique
+        s = g["mmr_score"].to_numpy()
+        assert (s[:-1] >= s[1:] - 1e-12).all()
