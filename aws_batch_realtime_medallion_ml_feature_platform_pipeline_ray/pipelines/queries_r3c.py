@@ -489,3 +489,238 @@ SELECT q_id, CAST(3 AS BIGINT), vec_id, score FROM s3
 
 
 REGISTRY["embedding_mmr"] = (q_embedding_mmr, _mmr_sql())
+
+
+# ---------------------------------------------------------------------------
+# events_holt_linear — double exponential smoothing (level + trend)
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+def q_events_holt_linear(sf_dir: str):
+    """Holt's linear (double exponential) smoothing of the daily revenue
+    series: coupled level/trend recursions — the forecasting filter that
+    handles drifting baselines where the plain EWMA (events_ewma) lags.
+    Emits per day the smoothed level, trend and one-step-ahead forecast.
+
+    Plan: the daily totals fold distributed (per-batch integer-cent
+    partials → calendar-bounded groupby); the recursion itself is
+    inherently sequential but runs over O(days) rows on the driver —
+    the same bounded-finale shape as events_xcorr_lagged. Both engines
+    execute the IDENTICAL IEEE expression tree (DuckDB recursive CTE vs
+    the Python loop), so level/trend agree bit-for-bit before the
+    final ROUND6."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import round_half_away
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "p_cents": pa.array([], pa.int64()),
+                }
+            )
+        day = (
+            np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
+            // 86_400_000_000
+        )
+        cents = round_half_away(
+            np.asarray(t["value"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {"day": pa.array(u, pa.int64()), "p_cents": pa.array(s)}
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("p_cents", alias_name="cents"))
+        .to_pandas()  # O(days): calendar-bounded
+        .sort_values("day", ignore_index=True)
+    )
+    days = daily["day"].to_numpy(np.int64)
+    x = daily["cents"].to_numpy(np.int64).astype(np.float64) / 100.0
+    n = len(days)
+    if n == 0:
+        return pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "level": pa.array([], pa.float64()),
+                "trend": pa.array([], pa.float64()),
+                "forecast_next": pa.array([], pa.float64()),
+            }
+        )
+    lvl = np.empty(n)
+    trd = np.empty(n)
+    lvl[0] = x[0]
+    trd[0] = (x[1] - x[0]) if n > 1 else 0.0
+    for t_ in range(1, n):  # O(days), driver-side by design
+        l_new = HOLT_ALPHA * x[t_] + (1.0 - HOLT_ALPHA) * (
+            lvl[t_ - 1] + trd[t_ - 1]
+        )
+        trd[t_] = HOLT_BETA * (l_new - lvl[t_ - 1]) + (
+            1.0 - HOLT_BETA
+        ) * trd[t_ - 1]
+        lvl[t_] = l_new
+    from ..functions.numeric import round6
+
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "level": pa.array(round6(lvl), pa.float64()),
+            "trend": pa.array(round6(trd), pa.float64()),
+            "forecast_next": pa.array(round6(lvl + trd), pa.float64()),
+        }
+    )
+
+
+EVENTS_HOLT_SQL = f"""
+WITH RECURSIVE d AS (
+    SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM (
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS x
+        FROM events GROUP BY 1
+    )
+),
+h(rn, day, x, l, b) AS (
+    SELECT rn, day, x, x,
+           coalesce((SELECT x FROM d WHERE rn = 2) - x, 0.0)
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.rn, d.day, d.x,
+           {HOLT_ALPHA} * d.x + (1.0 - {HOLT_ALPHA}) * (h.l + h.b),
+           {HOLT_BETA} * (({HOLT_ALPHA} * d.x
+                + (1.0 - {HOLT_ALPHA}) * (h.l + h.b)) - h.l)
+               + (1.0 - {HOLT_BETA}) * h.b
+    FROM h JOIN d ON d.rn = h.rn + 1
+)
+SELECT CAST(day AS BIGINT) AS day, ROUND(l, 6) AS level,
+       ROUND(b, 6) AS trend, ROUND(l + b, 6) AS forecast_next
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_preference_pairs — best-vs-worst pair mining per conversation
+# ---------------------------------------------------------------------------
+
+
+def q_conv_preference_pairs(sf_dir: str):
+    """Preference-pair mining: per conversation (user), pair the
+    highest-value purchase (chosen) against the lowest-value purchase
+    (rejected) with the value margin — the grouped best-vs-worst pair
+    construction preference-tuning datasets (reward models, DPO) are
+    built from, with deterministic ties (value then event_id).
+    Conversations with fewer than two purchases emit nothing.
+
+    Plan: ONE keyed exchange on the conversation key; per partition a
+    single lexsort yields each segment's first and last purchase row —
+    no per-group Python."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        from ..functions.numeric import round_half_away
+
+        empty = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "chosen_eid": pa.array([], pa.int64()),
+                "rejected_eid": pa.array([], pa.int64()),
+                "margin_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        is_p = np.asarray(
+            pc.equal(t["event_type"].combine_chunks(), "purchase")
+        )
+        if not is_p.any():
+            return empty
+        uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))[is_p]
+        eid = np.asarray(t["event_id"].combine_chunks().cast(pa.int64()))[is_p]
+        cents = round_half_away(
+            np.asarray(t["value"].combine_chunks())[is_p] * 100.0
+        ).astype(np.int64)
+        # ascending (value, eid) within user: first row of a segment is
+        # the REJECTED pick, and the chosen is the max value with the
+        # SMALLEST eid among ties -> take the first row of the max-value
+        # run (lexsort is stable, eid ascending within equal value)
+        order = np.lexsort((eid, cents, uid))
+        u, e, c = uid[order], eid[order], cents[order]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.append(starts[1:], len(u))  # exclusive
+        seg_len = ends - starts
+        multi = seg_len >= 2
+        starts_m, ends_m = starts[multi], ends[multi]
+        # first row of the max-value run: positions where value==seg max
+        seg_id = np.repeat(np.arange(len(starts)), seg_len)
+        seg_max = np.maximum.reduceat(c, starts)
+        is_max = c == seg_max[seg_id]
+        # first max position per segment: minimum index with is_max
+        idx = np.arange(len(c))
+        first_max = np.full(len(starts), np.iinfo(np.int64).max)
+        np.minimum.at(first_max, seg_id[is_max], idx[is_max])
+        chosen = first_max[multi]
+        rejected = starts_m
+        margin = c[chosen] - c[rejected]
+        keep = chosen != rejected
+        conv = [f"conv_{int(v)}" for v in u[starts_m][keep]]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "chosen_eid": pa.array(e[chosen][keep], pa.int64()),
+                "rejected_eid": pa.array(e[rejected][keep], pa.int64()),
+                "margin_cents": pa.array(margin[keep], pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "user_id", part_fn, num_parts=NUM_PARTS)
+
+
+CONV_PREFERENCE_SQL = """
+WITH p AS (
+    SELECT user_id, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY cents DESC, event_id) AS rb,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY cents ASC, event_id) AS rw,
+           count(*) OVER (PARTITION BY user_id) AS np
+    FROM p
+),
+best AS (SELECT user_id, event_id AS chosen_eid, cents AS bc
+         FROM r WHERE rb = 1 AND np >= 2),
+worst AS (SELECT user_id, event_id AS rejected_eid, cents AS wc
+          FROM r WHERE rw = 1)
+SELECT 'conv_' || CAST(b.user_id AS VARCHAR) AS conv_id,
+       b.chosen_eid, w.rejected_eid,
+       CAST(b.bc - w.wc AS BIGINT) AS margin_cents
+FROM best b JOIN worst w USING (user_id)
+WHERE b.chosen_eid <> w.rejected_eid
+"""
+
+
+REGISTRY["events_holt_linear"] = (q_events_holt_linear, EVENTS_HOLT_SQL)
+REGISTRY["conv_preference_pairs"] = (
+    q_conv_preference_pairs,
+    CONV_PREFERENCE_SQL,
+)

@@ -10,6 +10,8 @@ SF = "/root/testdata/sf0.001"
 CASES = [
     ("q_docs_winnow_minimizers", ["doc_id"]),
     ("q_events_dfa_violations", ["user_id"]),
+    ("q_events_holt_linear", ["day"]),
+    ("q_conv_preference_pairs", ["conv_id"]),
 ]
 
 
@@ -151,3 +153,20 @@ def test_mmr_diversifies_vs_plain_topk(ray_session):
         assert g["vec_id"].is_unique
         s = g["mmr_score"].to_numpy()
         assert (s[:-1] >= s[1:] - 1e-12).all()
+
+
+def test_holt_level_tracks_series(ray_session):
+    """The one-step forecast is level+trend and the level stays within
+    the daily series' range expanded by the trend magnitude."""
+    df = getattr(_mod(), "q_events_holt_linear")(SF).to_pandas()
+    assert df["day"].is_monotonic_increasing
+    assert np.allclose(
+        df["forecast_next"], (df["level"] + df["trend"]).round(6), atol=1e-9
+    )
+
+
+def test_preference_pairs_margin_positive_and_distinct(ray_session):
+    df = getattr(_mod(), "q_conv_preference_pairs")(SF).to_pandas()
+    assert (df["margin_cents"] > 0).all()
+    assert (df["chosen_eid"] != df["rejected_eid"]).all()
+    assert df["conv_id"].is_unique
