@@ -100,4 +100,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r3c
 
     reg.update(queries_r3c.REGISTRY)
+    from . import queries_r3d
+
+    reg.update(queries_r3d.REGISTRY)
     return reg

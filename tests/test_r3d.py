@@ -1,0 +1,109 @@
+"""Block invariance + property checks for round-3 batch D (Q21-style
+sole-blame suppliers, SPRT sequential test)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+CASES = [
+    ("q_suppliers_late_blame", ["l_suppkey"]),
+    ("q_events_sprt", ["decision"]),
+]
+
+
+def _mod():
+    import importlib
+
+    return importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3d"
+    )
+
+
+@pytest.mark.parametrize("fn,key", CASES, ids=[c[0] for c in CASES])
+def test_tiny_blocks_same_answer(ray_session, fn, key):
+    from ray.data.context import DataContext
+
+    q = getattr(_mod(), fn)
+
+    def run():
+        r = q(SF)
+        r = r.to_pandas() if hasattr(r, "to_pandas") else r
+        return r.sort_values(key, ignore_index=True)
+
+    base = run()
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = run()
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, tiny[base.columns])
+
+
+def test_blame_is_sole_late_supplier(ray_session, tmp_path):
+    """Constructed case: order A has 2 suppliers, only s1 late -> s1
+    blamed; order B has 2 late suppliers -> nobody blamed; order C is
+    single-supplier -> nobody blamed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = _mod()
+    d0 = np.datetime64("2024-01-01", "us")
+    late = d0 + np.timedelta64(40, "D")
+    ontime = d0 + np.timedelta64(5, "D")
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "l_suppkey": pa.array([11, 12, 21, 22, 31], pa.int64()),
+            "l_shipdate": pa.array(
+                [late, ontime, late, late, late], pa.timestamp("us")
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array([d0, d0, d0], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    df = (
+        getattr(m, "q_suppliers_late_blame")(str(tmp_path))
+        .to_pandas()
+        .sort_values("l_suppkey", ignore_index=True)
+    )
+    assert df["l_suppkey"].tolist() == [11]
+    assert df["numwait"].tolist() == [1]
+
+
+def test_sprt_matches_sequential_reference(ray_session):
+    """Independent O(n) reference walk agrees on decision and stopping
+    index."""
+    import duckdb
+    import math
+
+    m = _mod()
+    df = getattr(m, "q_events_sprt")(SF).to_pandas()
+    ev = duckdb.connect().execute(
+        f"""SELECT event_type FROM '{SF}/events.parquet'
+            ORDER BY event_id"""
+    ).df()["event_type"].to_numpy()
+    c1 = math.log(m.SPRT_P1 / m.SPRT_P0)
+    c0 = math.log((1 - m.SPRT_P1) / (1 - m.SPRT_P0))
+    hi = math.log((1 - m.SPRT_BETA) / m.SPRT_ALPHA)
+    lo = math.log(m.SPRT_BETA / (1 - m.SPRT_ALPHA))
+    llr, decision, n_at = 0.0, "continue", len(ev)
+    npurch = 0
+    for i, e in enumerate(ev, 1):
+        npurch += e == "purchase"
+        llr = npurch * c1 + (i - npurch) * c0
+        if llr >= hi or llr <= lo:
+            decision = "accept_h1" if llr >= hi else "accept_h0"
+            n_at = i
+            break
+    assert df["decision"][0] == decision
+    assert int(df["n_at_decision"][0]) == n_at
