@@ -692,7 +692,8 @@ def q_docs_del1_pairs(sf_dir: str):
         idx = order[first]
         ka = part["key_a"].combine_chunks().take(pa.array(idx))
         kb = part["key_b"].combine_chunks().take(pa.array(idx))
-        # fixed-width keys: ed<=1 <=> Hamming<=1; pad to key len
+        la = np.asarray(pc.binary_length(ka)).astype(np.int64)
+        lb = np.asarray(pc.binary_length(kb)).astype(np.int64)
         a = np.frombuffer(
             b"".join(s.encode().ljust(DEL1_KEY_LEN, b"\0")
                      for s in ka.to_pylist()),
@@ -703,7 +704,46 @@ def q_docs_del1_pairs(sf_dir: str):
                      for s in kb.to_pylist()),
             dtype=np.uint8,
         ).reshape(-1, DEL1_KEY_LEN)
-        ed = (a != b).sum(axis=1).astype(np.int64)
+        neq = a != b
+        # equal lengths: ed<=1 <=> Hamming<=1 (padding compares equal)
+        ham = neq.sum(axis=1).astype(np.int64)
+        same_len = la == lb
+        diff1 = np.abs(la - lb) == 1
+        # length difference 1 (keys from texts shorter than the key
+        # width): ed == 1 <=> common_prefix + common_suffix >= shorter
+        # length. Prefix from the left-aligned compare; suffix by
+        # realigning the LONGER key one position left.
+        pref = np.where(
+            neq.any(axis=1), neq.argmax(axis=1), DEL1_KEY_LEN
+        ).astype(np.int64)
+        a_long = la >= lb
+        lng = np.where(a_long[:, None], a, b)
+        sht = np.where(a_long[:, None], b, a)
+        shifted = np.empty_like(lng)
+        shifted[:, :-1] = lng[:, 1:]
+        shifted[:, -1] = 0
+        eq_sh = shifted == sht
+        # suffix length: trailing run of aligned-equal positions within
+        # the shorter key's span (positions 0..min_len-1)
+        min_len = np.minimum(la, lb)
+        pos = np.arange(DEL1_KEY_LEN)
+        in_span = pos[None, :] < min_len[:, None]
+        bad = (~eq_sh) & in_span
+        last_bad = np.where(
+            bad.any(axis=1),
+            DEL1_KEY_LEN - 1 - bad[:, ::-1].argmax(axis=1),
+            -1,
+        ).astype(np.int64)
+        suff = min_len - 1 - last_bad
+        ed = np.where(
+            same_len,
+            ham,
+            np.where(
+                diff1,
+                np.where(np.minimum(pref, min_len) + suff >= min_len, 1, 2),
+                2,  # |len diff| >= 2: ed >= 2, never emitted
+            ),
+        )
         ok = ed <= 1
         p = pair_s[first][ok]
         return pa.table(

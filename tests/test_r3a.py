@@ -96,3 +96,54 @@ def test_window_topk_rank_semantics(ray_session):
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
         nn = g["n"].to_numpy()
         assert (nn[:-1] >= nn[1:]).all()
+
+
+def test_del1_pairs_variable_length_keys(ray_session, tmp_path):
+    """Keys from texts SHORTER than the key width exercise the
+    length-difference-1 verify branch; parity vs duckdb levenshtein on a
+    constructed corpus (insert/delete/substitute/far pairs)."""
+    import duckdb
+    import importlib
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3a"
+    )
+    texts = [
+        "abcd",        # short
+        "abcde",       # insertion at end vs 0
+        "bcd",         # deletion at front vs 0
+        "axcd",        # substitution vs 0
+        "abqqcd",      # ed 2 vs 0
+        "zbcde",       # substitution at front vs 1
+        "abcd",        # exact duplicate of 0
+        "a" * 20,      # full-width key
+        "a" * 19 + "b",  # substitution at last position, full width
+        "a" * 21,      # longer text, same 12-char key as 7
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        m.q_docs_del1_pairs(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    exp = (
+        con.execute(m.DOCS_DEL1_PAIRS_SQL)
+        .df()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64")
+    )
