@@ -58,9 +58,7 @@ comparing the merged incremental gold with one full-history run
 
 from __future__ import annotations
 
-import glob
 import json
-import os
 import uuid
 
 import numpy as np
@@ -77,6 +75,7 @@ from ..stages.salted import (
     _apply_corrections,
     gold_partition_phase_a,
 )
+from ..state import fsio as F
 from ..state import manifest as M
 from .medallion import normalize_bronze
 from ..sources.reads import read_parquet_sized
@@ -105,23 +104,23 @@ def _read_state(state_dir: str):
     Returns ``(rows_tbl | None, summary_tbl, tails_tbl | None)``."""
     import pyarrow.parquet as pq
 
-    ptr_path = os.path.join(state_dir, _POINTER)
+    ptr_path = F.join(state_dir, _POINTER)
     names: dict = {}
-    if os.path.exists(ptr_path):
-        with open(ptr_path) as f:
+    if F.exists(ptr_path):
+        with F.open_(ptr_path) as f:
             names = json.load(f)
     else:
         names = {
             k: v for k, v in _LEGACY.items()
-            if os.path.exists(os.path.join(state_dir, v))
+            if F.exists(F.join(state_dir, v))
         }
     rows = summary = tails = None
     if names.get("rows"):
-        rows = pq.read_table(os.path.join(state_dir, names["rows"]))
+        rows = F.read_table(F.join(state_dir, names["rows"]))
     if names.get("summary"):
-        summary = pq.read_table(os.path.join(state_dir, names["summary"]))
+        summary = F.read_table(F.join(state_dir, names["summary"]))
     if names.get("tails"):
-        tails = pq.read_table(os.path.join(state_dir, names["tails"]))
+        tails = F.read_table(F.join(state_dir, names["tails"]))
     return rows, (summary if summary is not None else _empty_summary()), tails
 
 
@@ -129,24 +128,21 @@ def _commit_state(state_dir: str, names: dict) -> None:
     """Atomically swap the state pointer to ``names``, then best-effort
     delete unreferenced generations (a crash mid-cleanup is harmless —
     the pointer alone defines the current state)."""
-    ptr_path = os.path.join(state_dir, _POINTER)
-    tmp = ptr_path + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(names, f)
-    os.replace(tmp, ptr_path)
+    ptr_path = F.join(state_dir, _POINTER)
+    F.write_text_atomic(ptr_path, json.dumps(names))
     keep = set(names.values())
     for pat in ("rows-*.parquet", "summary-*.parquet", "tails-*.parquet"):
-        for f in glob.glob(os.path.join(state_dir, pat)):
-            if os.path.basename(f) not in keep:
+        for f in F.glob(F.join(state_dir, pat)):
+            if F.basename(f) not in keep:
                 try:
-                    os.remove(f)
+                    F.remove(f)
                 except OSError:
                     pass
     for v in _LEGACY.values():  # legacy generation superseded by pointer
-        p = os.path.join(state_dir, v)
-        if os.path.basename(p) not in keep and os.path.exists(p):
+        p = F.join(state_dir, v)
+        if F.basename(p) not in keep and F.exists(p):
             try:
-                os.remove(p)
+                F.remove(p)
             except OSError:
                 pass
 
@@ -170,7 +166,7 @@ def process_partition_incremental(
     g = group.drop_columns([PART_COL])
     g = dedup_first(g, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
 
-    state_dir = os.path.join(state_root, f"part={key}")
+    state_dir = F.join(state_root, f"part={key}")
     state_rows, summary, tails_meta = _read_state(state_dir)
     sdf = summary.to_pandas()
 
@@ -223,7 +219,7 @@ def process_partition_incremental(
         silver_tbl = silver_src.append_column("dt", dt).select(
             [f.name for f in S.SILVER] + ["ingest_ts"]
         )
-        silver_file = os.path.join(
+        silver_file = F.join(
             silver_root, f"part={key}", f"run-{run_id}.parquet"
         )
         M.atomic_write_table(silver_tbl, silver_file)
@@ -296,10 +292,10 @@ def process_partition_incremental(
     late_hist = None
     if late_convs:
         hist_files = sorted(
-            glob.glob(os.path.join(silver_root, f"part={key}", "run-*.parquet"))
+            F.glob(F.join(silver_root, f"part={key}", "run-*.parquet"))
         )
         hist = pa.concat_tables(
-            [pq.read_table(f) for f in hist_files], promote_options="default"
+            [F.read_table(f) for f in hist_files], promote_options="default"
         )
         hist = hist.filter(
             pc.is_in(hist["conv_id"], value_set=pa.array(sorted(late_convs)))
@@ -316,11 +312,11 @@ def process_partition_incremental(
         else None
     )
     if gold_out is not None and gold_out.num_rows:
-        gold_file = os.path.join(gold_root, f"part={key}", f"run-{run_id}.parquet")
+        gold_file = F.join(gold_root, f"part={key}", f"run-{run_id}.parquet")
         run_col = pa.array(np.full(gold_out.num_rows, run_seq, np.int64))
         M.atomic_write_table(gold_out.append_column("__run_seq", run_col), gold_file)
     if patches is not None and patches.num_rows:
-        patch_file = os.path.join(
+        patch_file = F.join(
             gold_root, f"part={key}", f"leadpatch-{run_id}.parquet"
         )
         M.atomic_write_table(patches, patch_file)
@@ -524,14 +520,14 @@ def _write_state(
     rows_out = allr.filter(pa.array(keep))
     rows_out = dedup_first(rows_out, ["conv_id", "turn_idx"], ["ts"])
 
-    os.makedirs(state_dir, exist_ok=True)
+    F.makedirs(state_dir, exist_ok=True)
     names: dict = {}
     names["rows"] = f"rows-{run_id}.parquet"
-    M.atomic_write_table(rows_out, os.path.join(state_dir, names["rows"]))
+    M.atomic_write_table(rows_out, F.join(state_dir, names["rows"]))
     names["summary"] = f"summary-{run_id}.parquet"
     M.atomic_write_table(
         pa.Table.from_pandas(sdf, preserve_index=False),
-        os.path.join(state_dir, names["summary"]),
+        F.join(state_dir, names["summary"]),
     )
 
     tails_new = None
@@ -562,7 +558,7 @@ def _write_state(
                 promote_options="default",
             )
         names["tails"] = f"tails-{run_id}.parquet"
-        M.atomic_write_table(tails_new, os.path.join(state_dir, names["tails"]))
+        M.atomic_write_table(tails_new, F.join(state_dir, names["tails"]))
     elif tails_meta is not None:
         # keep referencing the previous generation's tails unchanged
         prev = _current_names(state_dir)
@@ -573,13 +569,13 @@ def _write_state(
 
 
 def _current_names(state_dir: str) -> dict:
-    ptr_path = os.path.join(state_dir, _POINTER)
-    if os.path.exists(ptr_path):
-        with open(ptr_path) as f:
+    ptr_path = F.join(state_dir, _POINTER)
+    if F.exists(ptr_path):
+        with F.open_(ptr_path) as f:
             return json.load(f)
     return {
         k: v for k, v in _LEGACY.items()
-        if os.path.exists(os.path.join(state_dir, v))
+        if F.exists(F.join(state_dir, v))
     }
 
 
@@ -602,15 +598,15 @@ def run_stream_incremental(
     directories."""
     import ray.data as rd
 
-    silver_root = os.path.join(out_root, "silver")
-    gold_root = os.path.join(out_root, "gold_inc")
-    state_root = os.path.join(out_root, "state")
+    silver_root = F.join(out_root, "silver")
+    gold_root = F.join(out_root, "gold_inc")
+    state_root = F.join(out_root, "state")
     cfg = gold_cfg or GoldConfig(dedup=False)
 
-    os.makedirs(state_root, exist_ok=True)
-    meta_path = os.path.join(state_root, "_meta.json")
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
+    F.makedirs(state_root, exist_ok=True)
+    meta_path = F.join(state_root, "_meta.json")
+    if F.exists(meta_path):
+        with F.open_(meta_path) as f:
             meta = json.load(f)
         if int(meta["num_parts"]) != int(num_parts):
             raise ValueError(
@@ -619,10 +615,7 @@ def run_stream_incremental(
                 "partition layout is fixed at lake creation"
             )
     else:
-        tmp = meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"num_parts": int(num_parts)}, f)
-        os.replace(tmp, meta_path)
+        F.write_text_atomic(meta_path, json.dumps({"num_parts": int(num_parts)}))
 
     ds = read_parquet_sized(bronze_path)
     ds = ds.map_batches(
@@ -668,7 +661,7 @@ def read_gold_incremental(out_root: str) -> pa.Table:
     import pyarrow.parquet as pq
 
     files = sorted(
-        glob.glob(os.path.join(out_root, "gold_inc", "part=*", "run-*.parquet"))
+        F.glob(F.join(out_root, "gold_inc", "part=*", "run-*.parquet"))
     )
     if not files:
         empty = gold_features_partition(
@@ -676,7 +669,7 @@ def read_gold_incremental(out_root: str) -> pa.Table:
         )
         return empty
     allt = pa.concat_tables(
-        [pq.read_table(f) for f in files], promote_options="default"
+        [F.read_table(f) for f in files], promote_options="default"
     )
     # keep the LAST version: order by run_seq desc and keep first
     neg = pc.multiply(allt["__run_seq"], pa.scalar(-1, pa.int64()))
@@ -686,11 +679,11 @@ def read_gold_incremental(out_root: str) -> pa.Table:
     out = dedup_first(allt, ["conv_id", "turn_idx"], ["__run_seq"])
 
     patch_files = sorted(
-        glob.glob(os.path.join(out_root, "gold_inc", "part=*", "leadpatch-*.parquet"))
+        F.glob(F.join(out_root, "gold_inc", "part=*", "leadpatch-*.parquet"))
     )
     if patch_files:
         p = pa.concat_tables(
-            [pq.read_table(f) for f in patch_files], promote_options="default"
+            [F.read_table(f) for f in patch_files], promote_options="default"
         )
         pneg = pc.multiply(p["__run_seq"], pa.scalar(-1, pa.int64()))
         p = p.set_column(p.schema.get_field_index("__run_seq"), "__run_seq", pneg)

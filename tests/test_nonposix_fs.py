@@ -207,3 +207,40 @@ def test_fsio_local_uri_equivalence(tmp_path):
     )
     F.rmtree(F.join(uri, "b"))
     assert not F.exists(F.join(uri, "b"))
+
+
+def test_incremental_over_file_uri(ray_session, bronze_dir, tmp_path):
+    """The incremental stream (cross-run carried state, pointer-swapped
+    state generations) also runs over a ``file://`` URI root and matches
+    the posix run byte-for-byte."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.incremental import (
+        read_gold_incremental,
+        run_stream_incremental,
+    )
+
+    posix_root = str(tmp_path / "inc_posix")
+    uri_root = "file://" + str(tmp_path / "inc_uri")
+    for root in (posix_root, uri_root):
+        run_stream_incremental(
+            bronze_dir, root, run_id="r1", run_seq=0,
+            processed_at=PROCESSED_AT, num_parts=4,
+        )
+    gp = (
+        read_gold_incremental(posix_root)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    gu = (
+        read_gold_incremental(uri_root)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    )
+    assert len(gp) == len(gu) > 0
+    for c in sorted(gp.columns):
+        a, b = gp[c], gu[c]
+        if np.issubdtype(a.dtype, np.floating):
+            assert np.array_equal(
+                a.to_numpy(float), b.to_numpy(float), equal_nan=True
+            ), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
