@@ -103,4 +103,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r3d
 
     reg.update(queries_r3d.REGISTRY)
+    from . import queries_r3e
+
+    reg.update(queries_r3e.REGISTRY)
     return reg

@@ -107,3 +107,54 @@ def test_sprt_matches_sequential_reference(ray_session):
             break
     assert df["decision"][0] == decision
     assert int(df["n_at_decision"][0]) == n_at
+
+
+def test_haar_and_hill_tiny_blocks(ray_session):
+    import importlib
+
+    from ray.data.context import DataContext
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3e"
+    )
+    for fn, key in (
+        ("q_events_haar_details", ["level", "idx"]),
+        ("q_events_hill_tail", ["k"]),
+    ):
+        q = getattr(m, fn)
+
+        def run():
+            return q(SF).to_pandas().sort_values(key, ignore_index=True)
+
+        base = run()
+        ctx = DataContext.get_current()
+        old = ctx.target_max_block_size
+        try:
+            ctx.target_max_block_size = 16 * 1024
+            tiny = run()
+        finally:
+            ctx.target_max_block_size = old
+        pd.testing.assert_frame_equal(base, tiny[base.columns])
+
+
+def test_haar_level1_details_reconstruct_pairs(ray_session):
+    """Level-1 details equal odd-even daily differences; total energy is
+    bounded by the series (sanity on the dyadic anchoring)."""
+    import duckdb
+    import importlib
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3e"
+    )
+    df = getattr(m, "q_events_haar_details")(SF).to_pandas()
+    daily = duckdb.connect().execute(
+        f"""SELECT epoch_us(ts)//86400000000 AS day,
+                   CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) c
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    d0 = int(daily["day"].min())
+    by_day = dict(zip(daily["day"] - d0, daily["c"]))
+    l1 = df[df["level"] == 1].set_index("idx")["detail_cents"]
+    for idx, v in l1.items():
+        exp = by_day.get(2 * idx, 0) - by_day.get(2 * idx + 1, 0)
+        assert int(v) == int(exp), idx
