@@ -106,4 +106,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r3e
 
     reg.update(queries_r3e.REGISTRY)
+    from . import queries_r3f
+
+    reg.update(queries_r3f.REGISTRY)
     return reg

@@ -158,3 +158,68 @@ def test_haar_level1_details_reconstruct_pairs(ray_session):
     for idx, v in l1.items():
         exp = by_day.get(2 * idx, 0) - by_day.get(2 * idx + 1, 0)
         assert int(v) == int(exp), idx
+
+
+def test_r3f_tiny_blocks(ray_session):
+    import importlib
+
+    from ray.data.context import DataContext
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3f"
+    )
+    for fn, key in (
+        ("q_events_theil_sen", ["n_days"]),
+        ("q_events_mann_kendall", ["n_days"]),
+        ("q_events_diurnal_harmonic", ["n_events"]),
+    ):
+        q = getattr(m, fn)
+
+        def run():
+            return q(SF).to_pandas().sort_values(key, ignore_index=True)
+
+        base = run()
+        ctx = DataContext.get_current()
+        old = ctx.target_max_block_size
+        try:
+            ctx.target_max_block_size = 16 * 1024
+            tiny = run()
+        finally:
+            ctx.target_max_block_size = old
+        pd.testing.assert_frame_equal(base, tiny[base.columns])
+
+
+def test_theil_sen_robust_to_outlier_day(ray_session):
+    """Replacing one day's revenue with a huge spike moves the OLS-style
+    mean slope but not the Theil-Sen median slope (robustness)."""
+    import importlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3f"
+    )
+    base_day = np.datetime64("2024-01-01T12:00:00", "us")
+    rows_ts, rows_v = [], []
+    for d in range(10):
+        rows_ts.append(base_day + np.timedelta64(d, "D"))
+        rows_v.append(100.0 + d)  # clean slope = 1 cent-unit/day
+    tbl = pa.table(
+        {"ts": pa.array(rows_ts, pa.timestamp("us")),
+         "value": pa.array(rows_v, pa.float64())}
+    )
+    import tempfile, os
+    d1 = tempfile.mkdtemp()
+    pq.write_table(tbl, os.path.join(d1, "events.parquet"))
+    clean = m.q_events_theil_sen(d1).to_pandas()
+    rows_v[5] = 100000.0  # outlier day
+    tbl2 = pa.table(
+        {"ts": pa.array(rows_ts, pa.timestamp("us")),
+         "value": pa.array(rows_v, pa.float64())}
+    )
+    d2 = tempfile.mkdtemp()
+    pq.write_table(tbl2, os.path.join(d2, "events.parquet"))
+    dirty = m.q_events_theil_sen(d2).to_pandas()
+    assert abs(clean["slope"][0] - 1.0) < 1e-6
+    assert abs(dirty["slope"][0] - 1.0) < 2.0  # median barely moves
