@@ -287,3 +287,303 @@ REGISTRY: dict[str, tuple] = {
         EVENTS_DIURNAL_SQL,
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# docs_weighted_jaccard — IDF-weighted exact similarity join
+# ---------------------------------------------------------------------------
+
+WJACCARD_THRESHOLD = 0.35
+
+
+def q_docs_weighted_jaccard(sf_dir: str):
+    """Exact IDF-WEIGHTED trigram Jaccard pairs:
+    ``wjac = Σ_{g∈A∩B} idf(g) / Σ_{g∈A∪B} idf(g)`` with
+    ``idf(g) = ln(N / df(g))`` — boilerplate n-grams (present in many
+    documents) get near-zero weight, so templated pages stop looking
+    like near-duplicates while genuine shared RARE content still
+    matches. The weighted sibling of ``docs_ngram_jaccard``.
+
+    Plan: the gram exchange holds EVERY row of a gram in one partition,
+    so ``df`` (and hence idf) is partition-local; each gram segment
+    emits its idf to every co-occurring pair (the cumsum/repeat pair
+    expansion from stages/dedup.py, weights instead of counts) plus
+    per-doc weighted-size partials; a pair fold and a doc fold reduce
+    them, and one doc-keyed cogroup attaches the two set weights to
+    each pair (the semantic-audit attach pattern). N (docs with >= 3
+    tokens) is one tiny aggregate pass."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import round6
+    from ..stages.dedup import ngram_table
+    from ..stages.keyed import cogroup_by_key
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    grams = docs.map_batches(
+        ngram_table, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.select(["doc_id", "gram"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # N = docs contributing grams (>= 3 tokens): distinct docs in the
+    # gram relation — per-block distinct partials, tiny sum
+    n_docs = int(
+        grams.map_batches(
+            lambda t: pa.table(
+                {
+                    "d": pa.array(
+                        np.unique(
+                            np.asarray(
+                                t["doc_id"].combine_chunks().cast(pa.int64())
+                            )
+                        ),
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("d")
+        .count()
+        .count()
+    )
+
+    def gram_partition(part: pa.Table) -> pa.Table:
+        """Emit weighted pair partials (side=0) and per-doc weighted-size
+        partials (side=1) in one aligned schema (key, doc_b, w)."""
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "w": pa.array([], pa.float64()),
+                "side": pa.array([], pa.int8()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        codes = np.asarray(
+            pc.dictionary_encode(part["gram"].combine_chunks()).indices
+        ).astype(np.int64)
+        ids = np.asarray(part["doc_id"].combine_chunks().cast(pa.int64()))
+        if len(ids) and int(ids.max()) >= (1 << 31):
+            raise OverflowError("pair packing requires ids < 2^31")
+        order = np.lexsort((ids, codes))
+        g, d = codes[order], ids[order]
+        n = len(g)
+        seg_start = np.concatenate(([True], g[1:] != g[:-1]))
+        seg_id = np.cumsum(seg_start) - 1
+        seg_len = np.bincount(seg_id)
+        df = seg_len[seg_id].astype(np.float64)
+        w_row = np.log(float(n_docs) / df)
+        # per-doc weighted size partials
+        out_key = [d]
+        out_w = [w_row]
+        out_side = [np.ones(n, np.int8)]
+        # pair expansion: each row pairs with the later rows of its gram
+        arange = np.arange(n, dtype=np.int64)
+        seg_first = np.maximum.accumulate(np.where(seg_start, arange, 0))
+        m = seg_len[seg_id]
+        p = arange - seg_first
+        cnt = m - 1 - p
+        total = int(cnt.sum())
+        if total:
+            a_idx = np.repeat(arange, cnt)
+            row_start = np.cumsum(cnt) - cnt
+            off = np.arange(total, dtype=np.int64) - np.repeat(row_start, cnt)
+            b_idx = a_idx + 1 + off
+            da, db = d[a_idx], d[b_idx]
+            lo = np.minimum(da, db)
+            hi = np.maximum(da, db)
+            out_key.append((lo << np.int64(32)) | hi)
+            out_w.append(w_row[a_idx])  # same gram: same weight
+            out_side.append(np.zeros(total, np.int8))
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(out_key), pa.int64()),
+                "w": pa.array(np.concatenate(out_w), pa.float64()),
+                "side": pa.array(np.concatenate(out_side), pa.int8()),
+            }
+        )
+
+    from ..stages.keyed import map_partitions_by_key as _mpk
+
+    emitted = _mpk(grams, "gram", gram_partition, num_parts=NUM_PARTS)
+
+    def fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.float64()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        key = np.asarray(part["key"].combine_chunks())
+        w = np.asarray(part["w"].combine_chunks())
+        side = np.asarray(part["side"].combine_chunks())
+        comp = (key << np.int64(1)) | side  # side rides the sort key
+        order = np.argsort(comp, kind="stable")
+        comp_s = comp[order]
+        first = np.concatenate(([True], comp_s[1:] != comp_s[:-1]))
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(w[order], starts)
+        return pa.table(
+            {
+                "key": pa.array(key[order][first], pa.int64()),
+                "w": pa.array(sums, pa.float64()),
+                "side": pa.array(side[order][first], pa.int8()),
+            }
+        )
+
+    folded = _mpk(emitted, "key", fold, num_parts=NUM_PARTS)
+
+    def side_filter(v):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["side"], v))
+
+        return _f
+
+    pairs = folded.map_batches(
+        side_filter(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    doc_w = folded.map_batches(
+        side_filter(1), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: pa.table({"doc": t["key"], "W": t["w"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # explode pairs into two doc-keyed refs carrying the intersection
+    refs = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc": pa.array(
+                    np.concatenate(
+                        [
+                            np.asarray(t["key"].combine_chunks())
+                            >> np.int64(32),
+                            np.asarray(t["key"].combine_chunks())
+                            & np.int64(0xFFFFFFFF),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "pair": pa.array(
+                    np.tile(np.asarray(t["key"].combine_chunks()), 2),
+                    pa.int64(),
+                ),
+                "wi": pa.array(
+                    np.tile(np.asarray(t["w"].combine_chunks()), 2),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def attach(rpart: pa.Table, wpart: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pair": pa.array([], pa.int64()),
+                "wi": pa.array([], pa.float64()),
+                "W": pa.array([], pa.float64()),
+            }
+        )
+        if rpart.num_rows == 0:
+            return empty
+        idx = pc.index_in(
+            rpart["doc"].combine_chunks(),
+            value_set=wpart["doc"].combine_chunks(),
+        )
+        if idx.null_count:
+            raise ValueError("weighted-jaccard: doc missing weight row")
+        return pa.table(
+            {
+                "pair": rpart["pair"],
+                "wi": rpart["wi"],
+                "W": wpart["W"].combine_chunks().take(idx),
+            }
+        )
+
+    attached = cogroup_by_key(refs, doc_w, "doc", attach, num_parts=NUM_PARTS)
+
+    def finish(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "wjaccard": pa.array([], pa.float64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        key = np.asarray(part["pair"].combine_chunks())
+        wi = np.asarray(part["wi"].combine_chunks())
+        W = np.asarray(part["W"].combine_chunks())
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        first = np.concatenate(([True], key_s[1:] != key_s[:-1]))
+        starts = np.flatnonzero(first)
+        # each pair has exactly two rows (its two docs)
+        wsum = np.add.reduceat(W[order], starts)
+        wi_f = wi[order][first]
+        wjac = round6(wi_f / (wsum - wi_f))
+        keep = wjac >= WJACCARD_THRESHOLD
+        p = key_s[first][keep]
+        return pa.table(
+            {
+                "doc_a": pa.array(p >> np.int64(32)),
+                "doc_b": pa.array(p & np.int64(0xFFFFFFFF)),
+                "wjaccard": pa.array(wjac[keep], pa.float64()),
+            }
+        )
+
+    return _mpk(attached, "pair", finish, num_parts=NUM_PARTS)
+
+
+DOCS_WEIGHTED_JACCARD_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+tri AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(ts) - 2),
+               i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+           )) AS g
+    FROM tok
+    WHERE len(ts) >= 3
+),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tri),
+w AS (
+    SELECT g, ln((SELECT n FROM nn) / count(*)) AS wt
+    FROM tri GROUP BY 1
+),
+wsz AS (
+    SELECT t.doc_id, sum(w.wt) AS W
+    FROM tri t JOIN w USING (g) GROUP BY 1
+),
+winter AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, sum(w.wt) AS wi
+    FROM tri a
+    JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+    JOIN w ON w.g = a.g
+    GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       ROUND(wi / (sa.W + sb.W - wi), 6) AS wjaccard
+FROM winter
+JOIN wsz sa ON sa.doc_id = da
+JOIN wsz sb ON sb.doc_id = db
+WHERE ROUND(wi / (sa.W + sb.W - wi), 6) >= {WJACCARD_THRESHOLD}
+"""
+
+
+REGISTRY["docs_weighted_jaccard"] = (
+    q_docs_weighted_jaccard,
+    DOCS_WEIGHTED_JACCARD_SQL,
+)

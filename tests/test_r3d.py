@@ -223,3 +223,32 @@ def test_theil_sen_robust_to_outlier_day(ray_session):
     dirty = m.q_events_theil_sen(d2).to_pandas()
     assert abs(clean["slope"][0] - 1.0) < 1e-6
     assert abs(dirty["slope"][0] - 1.0) < 2.0  # median barely moves
+
+
+def test_weighted_jaccard_tiny_blocks_and_downweighting(ray_session):
+    import importlib
+
+    from ray.data.context import DataContext
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3f"
+    )
+    q = getattr(m, "q_docs_weighted_jaccard")
+
+    def run():
+        return (
+            q(SF)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"], ignore_index=True)
+        )
+
+    base = run()
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = run()
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, tiny[base.columns])
+    assert base["wjaccard"].between(0, 1).all()
