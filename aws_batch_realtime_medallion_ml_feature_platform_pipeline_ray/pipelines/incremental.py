@@ -59,7 +59,6 @@ comparing the merged incremental gold with one full-history run
 from __future__ import annotations
 
 import json
-import uuid
 
 import numpy as np
 import pandas as pd
@@ -102,7 +101,6 @@ def _read_state(state_dir: str):
     """Resolve the current state generation via the ``_current.json``
     pointer (legacy fixed names accepted from pre-pointer lakes).
     Returns ``(rows_tbl | None, summary_tbl, tails_tbl | None)``."""
-    import pyarrow.parquet as pq
 
     ptr_path = F.join(state_dir, _POINTER)
     names: dict = {}
@@ -159,7 +157,6 @@ def process_partition_incremental(
 ) -> pa.Table:
     """One partition, one run: silver append + incremental gold + state
     rollover. Returns per-partition metrics row."""
-    import pyarrow.parquet as pq
 
     part = int(group[PART_COL][0].as_py())
     key = f"{part:05d}"
@@ -495,7 +492,6 @@ def _write_state(
     """Roll the partition state and commit it with one atomic pointer
     swap (versioned files + ``_current.json``): a crash between writes or
     a task retry can never mix generations."""
-    import pyarrow.parquet as pq
 
     parts = []
     if state_rows is not None and state_rows.num_rows:
@@ -658,7 +654,6 @@ def read_gold_incremental(out_root: str) -> pa.Table:
     is newer than the surviving row (patches are slim sidecar rows — no
     feature payload is duplicated in state). An empty lake returns an
     empty gold-schema table."""
-    import pyarrow.parquet as pq
 
     files = sorted(
         F.glob(F.join(out_root, "gold_inc", "part=*", "run-*.parquet"))

@@ -685,48 +685,22 @@ IPC_SEED = 91
 
 def _ipc_dir(sf_dir: str = "") -> str:
     """Deterministic IPC fixture (plus a parquet TWIN of the same table
-    for the DuckDB oracle), created once under /tmp.
-
-    Concurrency-safe across processes (e.g. bench --scaling's 8- and
-    32-CPU subprocesses racing at registry import): the build happens
-    under an exclusive flock, into a temp dir renamed into place
-    (atomic on the same filesystem), and the completion marker is
-    written before the rename so a visible directory is always whole."""
-    import fcntl
+    for the DuckDB oracle), created once under /tmp via the shared
+    concurrency-safe build protocol (pipelines/fixtures.py)."""
     import os
-    import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
 
+    from .fixtures import build_fixture_dir
     from ..sources.ipc import write_ipc
     from ..sources.transcripts import generate_transcripts
 
-    parent = "/tmp/medallion_fixture/default"
-    d = os.path.join(parent, "ipc")
-    marker = os.path.join(d, "_complete.json")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(parent, exist_ok=True)
-    with open(os.path.join(parent, ".ipc.lock"), "w") as lf:
-        fcntl.flock(lf, fcntl.LOCK_EX)
-        if not os.path.exists(marker):  # re-check under the lock
-            tmp = tempfile.mkdtemp(dir=parent, prefix=".ipc_build_")
-            try:
-                tbl = generate_transcripts(
-                    n_convs=60, avg_turns=20, seed=IPC_SEED
-                )
-                write_ipc(tbl, tmp, rows_per_file=2000)
-                pq.write_table(tbl, os.path.join(tmp, "twin.parquet"))
-                with open(os.path.join(tmp, "_complete.json"), "w") as f:
-                    f.write("{}")
-                if os.path.isdir(d):  # stale markerless partial
-                    shutil.rmtree(d)
-                os.rename(tmp, d)
-            except BaseException:
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
-    return d
+    def build(tmp: str) -> None:
+        tbl = generate_transcripts(n_convs=60, avg_turns=20, seed=IPC_SEED)
+        write_ipc(tbl, tmp, rows_per_file=2000)
+        pq.write_table(tbl, os.path.join(tmp, "twin.parquet"))
+
+    return build_fixture_dir("ipc", build)
 
 
 def q_ipc_ingest(sf_dir: str):

@@ -692,18 +692,21 @@ def q_docs_del1_pairs(sf_dir: str):
         idx = order[first]
         ka = part["key_a"].combine_chunks().take(pa.array(idx))
         kb = part["key_b"].combine_chunks().take(pa.array(idx))
-        la = np.asarray(pc.binary_length(ka)).astype(np.int64)
-        lb = np.asarray(pc.binary_length(kb)).astype(np.int64)
-        a = np.frombuffer(
-            b"".join(s.encode().ljust(DEL1_KEY_LEN, b"\0")
-                     for s in ka.to_pylist()),
-            dtype=np.uint8,
-        ).reshape(-1, DEL1_KEY_LEN)
-        b = np.frombuffer(
-            b"".join(s.encode().ljust(DEL1_KEY_LEN, b"\0")
-                     for s in kb.to_pylist()),
-            dtype=np.uint8,
-        ).reshape(-1, DEL1_KEY_LEN)
+        la = np.asarray(pc.utf8_length(ka)).astype(np.int64)
+        lb = np.asarray(pc.utf8_length(kb)).astype(np.int64)
+        # CODEPOINT-level comparison (UTF-32 fixed width), matching the
+        # oracle's character-level levenshtein — a byte view would crash
+        # or misalign on multi-byte UTF-8
+        a = (
+            np.array(ka.to_pylist(), dtype=f"U{DEL1_KEY_LEN}")
+            .view(np.uint32)
+            .reshape(-1, DEL1_KEY_LEN)
+        )
+        b = (
+            np.array(kb.to_pylist(), dtype=f"U{DEL1_KEY_LEN}")
+            .view(np.uint32)
+            .reshape(-1, DEL1_KEY_LEN)
+        )
         neq = a != b
         # equal lengths: ed<=1 <=> Hamming<=1 (padding compares equal)
         ham = neq.sum(axis=1).astype(np.int64)

@@ -320,6 +320,13 @@ def q_conv_token_novelty(sf_dir: str):
         )
         if t.num_rows == 0:
             return empty
+        # the SQL twin's unnest(string_split(NULL)) drops NULL-props
+        # events entirely — match that, don't emit zero rows for them
+        props_arr = t["props"].combine_chunks()
+        if props_arr.null_count:
+            t = t.filter(pc.is_valid(t["props"]))
+            if t.num_rows == 0:
+                return empty
         uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
         ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
         eid = np.asarray(t["event_id"].combine_chunks().cast(pa.int64()))
@@ -583,6 +590,11 @@ def q_events_rolling_distinct_users(sf_dir: str):
         )
         if int(day.max()) >= (1 << 31) or int(day.min()) < 0:
             raise OverflowError("day packing expects 0 <= day < 2^31")
+        if int(uid.max()) >= (1 << 32) or int(uid.min()) < 0:
+            raise OverflowError(
+                "user/day packing expects 0 <= user_id < 2^32 — widen "
+                "the packing for snowflake-style ids"
+            )
         cell = np.unique((uid << np.int64(31)) | day)
         return pa.table(
             {
@@ -674,6 +686,10 @@ def q_events_rolling_distinct_users(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).aggregate(Min("lo", alias_name="d0"), Max("hi", alias_name="d1"))
+    if bounds["d0"] is None:  # empty stream: empty typed result
+        return pa.table(
+            {"day": pa.array([], pa.int64()), "u7": pa.array([], pa.int64())}
+        )
     d0, d1 = int(bounds["d0"]), int(bounds["d1"])
     span = d1 - d0 + 1
     diff_arr = np.zeros(span + RDU_WINDOW_DAYS + 1, np.int64)
@@ -722,44 +738,22 @@ ORC_SEED = 137
 
 def _orc_dir(sf_dir: str = "") -> str:
     """Deterministic ORC fixture (plus a parquet TWIN of the same table
-    for the DuckDB oracle), created once under /tmp — same
-    concurrency-safe build protocol as queries_r2m._ipc_dir (flock +
-    temp-dir rename)."""
-    import fcntl
+    for the DuckDB oracle), created once under /tmp via the shared
+    concurrency-safe build protocol (pipelines/fixtures.py)."""
     import os
-    import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
 
+    from .fixtures import build_fixture_dir
     from ..sources.orc import write_orc
     from ..sources.transcripts import generate_transcripts
 
-    parent = "/tmp/medallion_fixture/default"
-    d = os.path.join(parent, "orc")
-    marker = os.path.join(d, "_complete.json")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(parent, exist_ok=True)
-    with open(os.path.join(parent, ".orc.lock"), "w") as lf:
-        fcntl.flock(lf, fcntl.LOCK_EX)
-        if not os.path.exists(marker):
-            tmp = tempfile.mkdtemp(dir=parent, prefix=".orc_build_")
-            try:
-                tbl = generate_transcripts(
-                    n_convs=50, avg_turns=18, seed=ORC_SEED
-                )
-                write_orc(tbl, tmp, rows_per_file=1500)
-                pq.write_table(tbl, os.path.join(tmp, "twin.parquet"))
-                with open(os.path.join(tmp, "_complete.json"), "w") as f:
-                    f.write("{}")
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-                os.rename(tmp, d)
-            except BaseException:
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
-    return d
+    def build(tmp: str) -> None:
+        tbl = generate_transcripts(n_convs=50, avg_turns=18, seed=ORC_SEED)
+        write_orc(tbl, tmp, rows_per_file=1500)
+        pq.write_table(tbl, os.path.join(tmp, "twin.parquet"))
+
+    return build_fixture_dir("orc", build)
 
 
 def q_orc_ingest(sf_dir: str):

@@ -512,43 +512,9 @@ def q_events_holt_linear(sf_dir: str):
     execute the IDENTICAL IEEE expression tree (DuckDB recursive CTE vs
     the Python loop), so level/trend agree bit-for-bit before the
     final ROUND6."""
-    from ray.data.aggregate import Sum
+    from .queries_r3f import _daily_cents
 
-    from ..functions.numeric import round_half_away
-
-    ds = read_parquet_sized(
-        f"{sf_dir}/events.parquet", columns=["ts", "value"]
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "day": pa.array([], pa.int64()),
-                    "p_cents": pa.array([], pa.int64()),
-                }
-            )
-        day = (
-            np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
-            // 86_400_000_000
-        )
-        cents = round_half_away(
-            np.asarray(t["value"].combine_chunks()) * 100.0
-        ).astype(np.int64)
-        u, inv = np.unique(day, return_inverse=True)
-        s = np.zeros(len(u), np.int64)
-        np.add.at(s, inv, cents)
-        return pa.table(
-            {"day": pa.array(u, pa.int64()), "p_cents": pa.array(s)}
-        )
-
-    daily = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("day")
-        .aggregate(Sum("p_cents", alias_name="cents"))
-        .to_pandas()  # O(days): calendar-bounded
-        .sort_values("day", ignore_index=True)
-    )
+    daily = _daily_cents(sf_dir)
     days = daily["day"].to_numpy(np.int64)
     x = daily["cents"].to_numpy(np.int64).astype(np.float64) / 100.0
     n = len(days)

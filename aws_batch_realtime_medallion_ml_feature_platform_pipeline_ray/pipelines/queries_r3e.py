@@ -37,43 +37,9 @@ def q_events_haar_details(sf_dir: str):
     calendar-bounded groupby); every level's coefficients derive from
     the O(days) daily vector with vectorized strided reshapes — the
     bounded finale shape (events_xcorr_lagged precedent)."""
-    from ray.data.aggregate import Sum
+    from .queries_r3f import _daily_cents
 
-    from ..functions.numeric import round_half_away
-
-    ds = read_parquet_sized(
-        f"{sf_dir}/events.parquet", columns=["ts", "value"]
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "day": pa.array([], pa.int64()),
-                    "p_cents": pa.array([], pa.int64()),
-                }
-            )
-        day = (
-            np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
-            // 86_400_000_000
-        )
-        cents = round_half_away(
-            np.asarray(t["value"].combine_chunks()) * 100.0
-        ).astype(np.int64)
-        u, inv = np.unique(day, return_inverse=True)
-        s = np.zeros(len(u), np.int64)
-        np.add.at(s, inv, cents)
-        return pa.table(
-            {"day": pa.array(u, pa.int64()), "p_cents": pa.array(s)}
-        )
-
-    daily = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("day")
-        .aggregate(Sum("p_cents", alias_name="cents"))
-        .to_pandas()  # O(days): calendar-bounded
-        .sort_values("day", ignore_index=True)
-    )
+    daily = _daily_cents(sf_dir)
     if len(daily) == 0:
         return pa.table(
             {
@@ -195,9 +161,11 @@ def q_events_hill_tail(sf_dir: str):
         .to_pandas()  # O(#blocks x k)
     )
     if len(cand) <= HILL_K:
+        # fewer than k+1 purchases: mirror the SQL twin exactly
+        # (k stays the literal parameter, the statistics are NULL)
         return pa.table(
             {
-                "k": pa.array([len(cand)], pa.int64()),
+                "k": pa.array([HILL_K], pa.int64()),
                 "xk_cents": pa.array([None], pa.int64()),
                 "hill": pa.array([None], pa.float64()),
                 "alpha": pa.array([None], pa.float64()),

@@ -314,7 +314,7 @@ def q_docs_weighted_jaccard(sf_dir: str):
     tokens) is one tiny aggregate pass."""
     from ray.data.aggregate import Sum
 
-    from ..functions.numeric import round6
+    from ..functions.numeric import round6, round_half_away
     from ..stages.dedup import ngram_table
     from ..stages.keyed import cogroup_by_key
 
@@ -358,7 +358,7 @@ def q_docs_weighted_jaccard(sf_dir: str):
         empty = pa.table(
             {
                 "key": pa.array([], pa.int64()),
-                "w": pa.array([], pa.float64()),
+                "w": pa.array([], pa.int64()),
                 "side": pa.array([], pa.int8()),
             }
         )
@@ -377,7 +377,13 @@ def q_docs_weighted_jaccard(sf_dir: str):
         seg_id = np.cumsum(seg_start) - 1
         seg_len = np.bincount(seg_id)
         df = seg_len[seg_id].astype(np.float64)
-        w_row = np.log(float(n_docs) / df)
+        # FIXED-POINT idf (micro-units): every downstream sum is then an
+        # exact int64 fold regardless of summation order — the house
+        # "integers until the final mirrored expression" convention (the
+        # only float op left is the final ratio, identical both engines)
+        w_row = round_half_away(
+            np.log(float(n_docs) / df) * 1_000_000.0
+        ).astype(np.int64)
         # per-doc weighted size partials
         out_key = [d]
         out_w = [w_row]
@@ -403,7 +409,7 @@ def q_docs_weighted_jaccard(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(np.concatenate(out_key), pa.int64()),
-                "w": pa.array(np.concatenate(out_w), pa.float64()),
+                "w": pa.array(np.concatenate(out_w), pa.int64()),
                 "side": pa.array(np.concatenate(out_side), pa.int8()),
             }
         )
@@ -417,7 +423,7 @@ def q_docs_weighted_jaccard(sf_dir: str):
             return pa.table(
                 {
                     "key": pa.array([], pa.int64()),
-                    "w": pa.array([], pa.float64()),
+                    "w": pa.array([], pa.int64()),
                     "side": pa.array([], pa.int8()),
                 }
             )
@@ -433,7 +439,7 @@ def q_docs_weighted_jaccard(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(key[order][first], pa.int64()),
-                "w": pa.array(sums, pa.float64()),
+                "w": pa.array(sums, pa.int64()),
                 "side": pa.array(side[order][first], pa.int8()),
             }
         )
@@ -477,7 +483,7 @@ def q_docs_weighted_jaccard(sf_dir: str):
                 ),
                 "wi": pa.array(
                     np.tile(np.asarray(t["w"].combine_chunks()), 2),
-                    pa.float64(),
+                    pa.int64(),
                 ),
             }
         ),
@@ -489,8 +495,8 @@ def q_docs_weighted_jaccard(sf_dir: str):
         empty = pa.table(
             {
                 "pair": pa.array([], pa.int64()),
-                "wi": pa.array([], pa.float64()),
-                "W": pa.array([], pa.float64()),
+                "wi": pa.array([], pa.int64()),
+                "W": pa.array([], pa.int64()),
             }
         )
         if rpart.num_rows == 0:
@@ -522,16 +528,16 @@ def q_docs_weighted_jaccard(sf_dir: str):
         if part.num_rows == 0:
             return empty
         key = np.asarray(part["pair"].combine_chunks())
-        wi = np.asarray(part["wi"].combine_chunks())
-        W = np.asarray(part["W"].combine_chunks())
+        wi = np.asarray(part["wi"].combine_chunks()).astype(np.int64)
+        W = np.asarray(part["W"].combine_chunks()).astype(np.int64)
         order = np.argsort(key, kind="stable")
         key_s = key[order]
         first = np.concatenate(([True], key_s[1:] != key_s[:-1]))
         starts = np.flatnonzero(first)
         # each pair has exactly two rows (its two docs)
-        wsum = np.add.reduceat(W[order], starts)
+        wsum = np.add.reduceat(W[order], starts)  # exact int64
         wi_f = wi[order][first]
-        wjac = round6(wi_f / (wsum - wi_f))
+        wjac = round6(wi_f.astype(np.float64) / (wsum - wi_f))
         keep = wjac >= WJACCARD_THRESHOLD
         p = key_s[first][keep]
         return pa.table(
@@ -560,26 +566,29 @@ tri AS (
 ),
 nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tri),
 w AS (
-    SELECT g, ln((SELECT n FROM nn) / count(*)) AS wt
+    SELECT g, CAST(ROUND(ln((SELECT n FROM nn) / count(*)) * 1000000)
+                   AS BIGINT) AS wt
     FROM tri GROUP BY 1
 ),
 wsz AS (
-    SELECT t.doc_id, sum(w.wt) AS W
+    SELECT t.doc_id, CAST(sum(w.wt) AS BIGINT) AS W
     FROM tri t JOIN w USING (g) GROUP BY 1
 ),
 winter AS (
-    SELECT a.doc_id AS da, b.doc_id AS db, sum(w.wt) AS wi
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(sum(w.wt) AS BIGINT) AS wi
     FROM tri a
     JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
     JOIN w ON w.g = a.g
     GROUP BY 1, 2
 )
 SELECT da AS doc_a, db AS doc_b,
-       ROUND(wi / (sa.W + sb.W - wi), 6) AS wjaccard
+       ROUND(CAST(wi AS DOUBLE) / (sa.W + sb.W - wi), 6) AS wjaccard
 FROM winter
 JOIN wsz sa ON sa.doc_id = da
 JOIN wsz sb ON sb.doc_id = db
-WHERE ROUND(wi / (sa.W + sb.W - wi), 6) >= {WJACCARD_THRESHOLD}
+WHERE ROUND(CAST(wi AS DOUBLE) / (sa.W + sb.W - wi), 6)
+      >= {WJACCARD_THRESHOLD}
 """
 
 

@@ -291,7 +291,16 @@ def with_global_prefix_max(
         zero_copy_batch=True,
     ).take_all()  # O(#blocks) rows
     if not stats:
-        return s
+        # schema-complete empty result: downstream consumers rely on
+        # out_col existing
+        return s.map_batches(
+            lambda t: t.append_column(
+                out_col, pa.nulls(t.num_rows, pa.int64())
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     import pandas as pd
 
