@@ -596,3 +596,81 @@ REGISTRY["docs_weighted_jaccard"] = (
     q_docs_weighted_jaccard,
     DOCS_WEIGHTED_JACCARD_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# orders_priority_path — ordered string aggregation per entity
+# ---------------------------------------------------------------------------
+
+
+def q_orders_priority_path(sf_dir: str):
+    """Per customer: the '>'-joined sequence of order priorities in
+    (o_orderdate, o_orderkey) order plus the order count — ORDERED
+    string aggregation (SQL ``string_agg(... ORDER BY ...)``), the
+    sequence-encoding step behind journey strings / session paths that
+    plain unordered aggregation can't produce deterministically.
+
+    Plan: ONE keyed exchange on custkey; per partition a single lexsort
+    orders every customer's run and one Arrow ``binary_join`` over a
+    ListArray built from segment offsets emits the joined path — no
+    per-group Python."""
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        from ..stages.keyed import map_partitions_by_key  # noqa: F401
+
+        empty = pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "n_orders": pa.array([], pa.int64()),
+                "priority_path": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        cust = np.asarray(t["o_custkey"].combine_chunks().cast(pa.int64()))
+        okey = np.asarray(t["o_orderkey"].combine_chunks().cast(pa.int64()))
+        date = np.asarray(
+            t["o_orderdate"].combine_chunks().cast(pa.int64())
+        )
+        order = np.lexsort((okey, date, cust))
+        cust_s = cust[order]
+        prio = t["o_orderpriority"].combine_chunks().take(pa.array(order))
+        starts = np.flatnonzero(
+            np.concatenate(([True], cust_s[1:] != cust_s[:-1]))
+        )
+        seg_len = np.diff(np.append(starts, len(cust_s)))
+        offs = np.concatenate(([0], np.cumsum(seg_len))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs), prio)
+        path = pc.binary_join(lists, ">")
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust_s[starts], pa.int64()),
+                "n_orders": pa.array(seg_len.astype(np.int64)),
+                "priority_path": path.cast(pa.string()),
+            }
+        )
+
+    from ..stages.keyed import map_partitions_by_key
+
+    return map_partitions_by_key(
+        orders, "o_custkey", part_fn, num_parts=NUM_PARTS
+    )
+
+
+ORDERS_PRIORITY_PATH_SQL = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       string_agg(o_orderpriority, '>'
+                  ORDER BY o_orderdate, o_orderkey) AS priority_path
+FROM orders GROUP BY 1
+"""
+
+
+REGISTRY["orders_priority_path"] = (
+    q_orders_priority_path,
+    ORDERS_PRIORITY_PATH_SQL,
+)

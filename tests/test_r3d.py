@@ -252,3 +252,32 @@ def test_weighted_jaccard_tiny_blocks_and_downweighting(ray_session):
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(base, tiny[base.columns])
     assert base["wjaccard"].between(0, 1).all()
+
+
+def test_priority_path_tiny_blocks(ray_session):
+    import importlib
+
+    from ray.data.context import DataContext
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3f"
+    )
+    q = getattr(m, "q_orders_priority_path")
+
+    def run():
+        return (
+            q(SF).to_pandas().sort_values("o_custkey", ignore_index=True)
+        )
+
+    base = run()
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = run()
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, tiny[base.columns])
+    assert (
+        base["priority_path"].str.count(">") + 1 == base["n_orders"]
+    ).all()
