@@ -674,3 +674,155 @@ REGISTRY["orders_priority_path"] = (
     q_orders_priority_path,
     ORDERS_PRIORITY_PATH_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_q19_disjunctive — OR-of-ANDs predicate join (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+Q19_BANDS = (
+    ("Brand#1", 1, 10, 1, 11),
+    ("Brand#2", 1, 20, 10, 20),
+    ("Brand#3", 1, 30, 20, 30),
+)
+
+
+def q_lineitem_q19_disjunctive(sf_dir: str):
+    """Discounted revenue over the DISJUNCTION of brand/size/quantity
+    band predicates (TPC-H Q19 shape): each OR-arm couples a part-side
+    condition (brand + size band) with a lineitem-side condition
+    (quantity band), so neither side can be filtered independently —
+    the classic disjunctive predicate-pushdown join.
+
+    Plan: the part side reduces to a partkey → arm-bitmask lookup
+    (bounded by the part table's filtered width) broadcast via
+    ``ray.put``; one streaming lineitem pass resolves the bitmask per
+    row and evaluates the matching arm's quantity band vectorized —
+    no shuffle at all. Revenue is exact integer cents×(100−disc_pct)
+    folded as int64; ONE final division mirrored in SQL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import round_half_away
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = np.asarray(part["p_partkey"].combine_chunks().cast(pa.int64()))
+    brand = part["p_brand"].combine_chunks()
+    size = np.asarray(part["p_size"].combine_chunks().cast(pa.int64()))
+    mask = np.zeros(len(pk), np.int64)
+    for i, (b, s_lo, s_hi, _q_lo, _q_hi) in enumerate(Q19_BANDS):
+        arm = (
+            np.asarray(pc.equal(brand, b))
+            & (size >= s_lo)
+            & (size <= s_hi)
+        )
+        mask |= arm.astype(np.int64) << i
+    keep = mask > 0
+    lut_keys = np.sort(pk[keep])
+    lut_mask = mask[keep][np.argsort(pk[keep], kind="stable")]
+    lut_ref = ray.put((lut_keys, lut_mask))
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    class Q19Scorer:
+        def __init__(self, ref):
+            self.keys, self.mask = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "p_rev": pa.array([], pa.int64()),
+                    "p_n": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_rows == 0 or len(self.keys) == 0:
+                return empty
+            lpk = np.asarray(t["l_partkey"].combine_chunks().cast(pa.int64()))
+            pos = np.searchsorted(self.keys, lpk)
+            pos_c = np.minimum(pos, len(self.keys) - 1)
+            hit = self.keys[pos_c] == lpk
+            if not hit.any():
+                return empty
+            m = np.where(hit, self.mask[pos_c], 0)
+            qty = round_half_away(
+                np.asarray(t["l_quantity"].combine_chunks()).astype(
+                    np.float64
+                )
+                * 100.0
+            ).astype(np.int64)
+            ok = np.zeros(len(lpk), bool)
+            for i, (_b, _s_lo, _s_hi, q_lo, q_hi) in enumerate(Q19_BANDS):
+                ok |= (
+                    ((m >> i) & 1).astype(bool)
+                    & (qty >= q_lo * 100)
+                    & (qty <= q_hi * 100)
+                )
+            if not ok.any():
+                return empty
+            price = round_half_away(
+                np.asarray(t["l_extendedprice"].combine_chunks())[ok].astype(
+                    np.float64
+                )
+                * 100.0
+            ).astype(np.int64)
+            disc = round_half_away(
+                np.asarray(t["l_discount"].combine_chunks())[ok].astype(
+                    np.float64
+                )
+                * 100.0
+            ).astype(np.int64)
+            rev = price * (100 - disc)  # cents x pct: exact int64
+            return pa.table(
+                {
+                    "p_rev": pa.array([int(rev.sum())], pa.int64()),
+                    "p_n": pa.array([int(ok.sum())], pa.int64()),
+                }
+            )
+
+    agg = ds.map_batches(
+        Q19Scorer,
+        fn_constructor_args=(lut_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    ).aggregate(Sum("p_rev", alias_name="rev"), Sum("p_n", alias_name="n"))
+    rev = int(agg["rev"] or 0)
+    n = int(agg["n"] or 0)
+    return pa.table(
+        {
+            "revenue": pa.array([rev / 10000.0], pa.float64()),
+            "n_lines": pa.array([n], pa.int64()),
+        }
+    )
+
+
+def _q19_sql() -> str:
+    arms = []
+    for b, s_lo, s_hi, q_lo, q_hi in Q19_BANDS:
+        arms.append(
+            f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s_lo} AND {s_hi}"
+            f" AND l.l_quantity >= {q_lo} AND l.l_quantity <= {q_hi})"
+        )
+    pred = "\n    OR ".join(arms)
+    return f"""
+SELECT CAST(coalesce(sum(
+           CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+       ), 0) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {pred}
+"""
+
+
+REGISTRY["lineitem_q19_disjunctive"] = (
+    q_lineitem_q19_disjunctive,
+    _q19_sql(),
+)

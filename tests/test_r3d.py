@@ -281,3 +281,28 @@ def test_priority_path_tiny_blocks(ray_session):
     assert (
         base["priority_path"].str.count(">") + 1 == base["n_orders"]
     ).all()
+
+
+def test_q19_tiny_blocks_and_arm_semantics(ray_session):
+    import importlib
+
+    from ray.data.context import DataContext
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3f"
+    )
+    q = getattr(m, "q_lineitem_q19_disjunctive")
+
+    def run():
+        return q(SF).to_pandas()
+
+    base = run()
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = run()
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, tiny)
+    assert base["revenue"][0] >= 0 and base["n_lines"][0] >= 0
