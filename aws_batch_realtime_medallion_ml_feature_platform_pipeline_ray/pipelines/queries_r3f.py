@@ -826,3 +826,199 @@ REGISTRY["lineitem_q19_disjunctive"] = (
     q_lineitem_q19_disjunctive,
     _q19_sql(),
 )
+
+
+# ---------------------------------------------------------------------------
+# orders_shipping_priority — TPC-H Q3 shape (3-table chain + top-k)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+Q3_TOPK = 10
+
+
+def q_orders_shipping_priority(sf_dir: str):
+    """Shipping-priority query (TPC-H Q3 shape): the {Q3_TOPK} unshipped
+    orders with the highest outstanding revenue — customers in the
+    '{Q3_SEGMENT}' segment, orders placed before {Q3_DATE}, lineitems
+    shipping after it; revenue = Σ extendedprice·(1−discount) per order
+    in exact integer cents×pct.
+
+    Plan: cogroup 1 semi-joins orders against the filtered customer
+    side by custkey (both sides large — no broadcast of a row-scaled
+    customer set); cogroup 2 co-locates the surviving orders with their
+    late lineitems by orderkey and folds per-order revenue; per-block
+    partial top-k then one tiny final fold gives the global top-{Q3_TOPK}
+    (revenue DESC, orderdate ASC, orderkey ASC — fully deterministic)."""
+    from ..functions.numeric import round_half_away
+    from ..stages.keyed import cogroup_by_key
+
+    import pyarrow.dataset as pads
+
+    d = np.datetime64(Q3_DATE, "us")
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == Q3_SEGMENT,
+    ).map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < d,
+    )
+
+    def semi(opart: pa.Table, cpart: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        )
+        if opart.num_rows == 0 or cpart.num_rows == 0:
+            return empty
+        ok = np.asarray(
+            pc.is_in(
+                opart["o_custkey"], value_set=cpart["o_custkey"].combine_chunks()
+            )
+        )
+        kept = opart.filter(pa.array(ok))
+        return pa.table(
+            {
+                "l_orderkey": kept["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "o_orderdate": kept["o_orderdate"],
+                "o_orderpriority": kept["o_orderpriority"],
+            }
+        )
+
+    seg_orders = cogroup_by_key(
+        orders, cust, "o_custkey", semi, num_parts=NUM_PARTS
+    )
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > d,
+    )
+
+    def fold_orders(lpart: pa.Table, opart: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "rev_cp": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        )
+        if lpart.num_rows == 0 or opart.num_rows == 0:
+            return empty
+        okeys = np.asarray(opart["l_orderkey"].combine_chunks())
+        o_sort = np.argsort(okeys, kind="stable")
+        okeys_s = okeys[o_sort]
+        lk = np.asarray(lpart["l_orderkey"].combine_chunks().cast(pa.int64()))
+        pos = np.searchsorted(okeys_s, lk)
+        pos_c = np.minimum(pos, len(okeys_s) - 1)
+        hit = okeys_s[pos_c] == lk
+        if not hit.any():
+            return empty
+        price = round_half_away(
+            np.asarray(lpart["l_extendedprice"].combine_chunks())[hit]
+            * 100.0
+        ).astype(np.int64)
+        disc = round_half_away(
+            np.asarray(lpart["l_discount"].combine_chunks())[hit] * 100.0
+        ).astype(np.int64)
+        rev = price * (100 - disc)
+        grp = pos_c[hit]  # index into okeys_s
+        u, inv = np.unique(grp, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, rev)
+        take = pa.array(o_sort[u])
+        return pa.table(
+            {
+                "l_orderkey": pa.array(okeys_s[u], pa.int64()),
+                "rev_cp": pa.array(s),
+                "o_orderdate": opart["o_orderdate"].combine_chunks().take(take),
+                "o_orderpriority": opart["o_orderpriority"]
+                .combine_chunks()
+                .take(take),
+            }
+        )
+
+    per_order = cogroup_by_key(
+        li, seg_orders, "l_orderkey", fold_orders, num_parts=NUM_PARTS
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        rev = np.asarray(t["rev_cp"].combine_chunks())
+        od = np.asarray(t["o_orderdate"].combine_chunks().cast(pa.int64()))
+        okey = np.asarray(t["l_orderkey"].combine_chunks())
+        order = np.lexsort((okey, od, -rev))[:Q3_TOPK]
+        return t.take(pa.array(order))
+
+    cand = per_order.map_batches(
+        block_topk, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()  # O(#blocks x k)
+    if len(cand) == 0:
+        return pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.float64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        )
+    cand = cand.sort_values(
+        ["rev_cp", "o_orderdate", "l_orderkey"],
+        ascending=[False, True, True],
+        ignore_index=True,
+    ).head(Q3_TOPK)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(
+                cand["l_orderkey"].to_numpy(np.int64), pa.int64()
+            ),
+            "revenue": pa.array(
+                cand["rev_cp"].to_numpy(np.int64) / 10000.0, pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                cand["o_orderdate"].to_numpy().astype("datetime64[us]")
+            ),
+            "o_orderpriority": pa.array(
+                cand["o_orderpriority"].astype(str), pa.string()
+            ),
+        }
+    )
+
+
+ORDERS_SHIPPING_PRIORITY_SQL = f"""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < DATE '{Q3_DATE}'
+  AND l.l_shipdate > DATE '{Q3_DATE}'
+GROUP BY 1, 3, 4
+ORDER BY sum(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) DESC,
+         o.o_orderdate, l.l_orderkey
+LIMIT {Q3_TOPK}
+"""
+
+
+REGISTRY["orders_shipping_priority"] = (
+    q_orders_shipping_priority,
+    ORDERS_SHIPPING_PRIORITY_SQL,
+)

@@ -306,3 +306,30 @@ def test_q19_tiny_blocks_and_arm_semantics(ray_session):
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(base, tiny)
     assert base["revenue"][0] >= 0 and base["n_lines"][0] >= 0
+
+
+def test_q3_priority_tiny_blocks(ray_session):
+    import importlib
+
+    from ray.data.context import DataContext
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3f"
+    )
+    q = getattr(m, "q_orders_shipping_priority")
+
+    def run():
+        return q(SF).to_pandas().reset_index(drop=True)
+
+    base = run()
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        tiny = run()
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, tiny)
+    assert len(base) <= m.Q3_TOPK
+    r = base["revenue"].to_numpy()
+    assert (r[:-1] >= r[1:]).all()
