@@ -1022,3 +1022,90 @@ REGISTRY["orders_shipping_priority"] = (
     q_orders_shipping_priority,
     ORDERS_SHIPPING_PRIORITY_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# events_kmv_distinct — k-minimum-values distinct-count sketch (exact twin)
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+
+
+def q_events_kmv_distinct(sf_dir: str):
+    """KMV (k-minimum-values) distinct-user estimator: keep the
+    {KMV_K} smallest splitmix64 hashes of user_id; the estimate is
+    ``(k−1) / (max_kept / 2^64)`` — the mergeable order-statistics
+    sketch (bottom-k) beside HLL (events_hll_users), count-min
+    (docs_cms_tokens) and Misra–Gries (docs_heavy_tokens). Fully
+    deterministic (hash-based, no RNG), so the DuckDB twin reproduces
+    it bit-for-bit via the HUGEINT splitmix chain; the true distinct
+    count rides along for the error audit.
+
+    Plan: per-block bottom-k partials (O(k) rows per block), an
+    O(blocks×k) driver merge — the sketch never shuffles row-scaled
+    data; truth comes from one exact keyed-exchange distinct fold."""
+    from ..functions.numeric import round6
+    from ..stages.keyed import map_partitions_by_key, splitmix64
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        uid = np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
+        h = np.unique(splitmix64(uid.astype(np.uint64)))[:KMV_K]
+        return pa.table({"h": pa.array(h, pa.uint64())})
+
+    cand = ds.map_batches(
+        bottomk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # O(#blocks x k)
+    hs = np.unique(cand["h"].to_numpy(np.uint64))[:KMV_K]
+
+    def uniq_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"p_d": pa.array([], pa.int64())})
+        u = np.unique(
+            np.asarray(t["user_id"].combine_chunks().cast(pa.int64()))
+        )
+        return pa.table({"p_d": pa.array([len(u)], pa.int64())})
+
+    true_d = int(
+        map_partitions_by_key(ds, "user_id", uniq_part, num_parts=NUM_PARTS)
+        .to_pandas()["p_d"]
+        .sum()
+    )
+    if len(hs) < KMV_K:
+        est = float(len(hs))  # fewer distincts than k: sketch is exact
+    else:
+        est = (KMV_K - 1) / (float(hs[-1]) / 2.0**64)
+    est = float(round6(np.array([est]))[0])
+    return pa.table(
+        {
+            "k": pa.array([KMV_K], pa.int64()),
+            "kmv_estimate": pa.array([est], pa.float64()),
+            "true_distinct": pa.array([true_d], pa.int64()),
+        }
+    )
+
+
+def _kmv_sql() -> str:
+    from .queries_relational import splitmix64_hash_sql
+
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+{splitmix64_hash_sql('user_id', 'u', 0, '__k')},
+h AS (SELECT __kh AS hv FROM __k5 ORDER BY __kh LIMIT {KMV_K}),
+s AS (SELECT CAST(count(*) AS BIGINT) AS kept,
+             CAST(max(hv) AS DOUBLE) AS mx FROM h)
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       ROUND(CASE WHEN kept < {KMV_K} THEN CAST(kept AS DOUBLE)
+                  ELSE ({KMV_K} - 1) / (mx / 18446744073709551616.0)
+             END, 6) AS kmv_estimate,
+       (SELECT CAST(count(*) AS BIGINT) FROM u) AS true_distinct
+FROM s
+"""
+
+
+REGISTRY["events_kmv_distinct"] = (q_events_kmv_distinct, _kmv_sql())

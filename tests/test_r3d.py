@@ -333,3 +333,20 @@ def test_q3_priority_tiny_blocks(ray_session):
     assert len(base) <= m.Q3_TOPK
     r = base["revenue"].to_numpy()
     assert (r[:-1] >= r[1:]).all()
+
+
+def test_kmv_estimate_quality(ray_session):
+    """With fewer distincts than k the sketch is exact; the estimator
+    branch is exercised (and oracle-verified) at sf0.1."""
+    import importlib
+
+    m = importlib.import_module(
+        "aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.queries_r3f"
+    )
+    df = getattr(m, "q_events_kmv_distinct")(SF).to_pandas()
+    true_d = int(df["true_distinct"][0])
+    est = float(df["kmv_estimate"][0])
+    if true_d < int(df["k"][0]):
+        assert est == float(true_d)
+    else:
+        assert abs(est - true_d) / true_d < 0.25
