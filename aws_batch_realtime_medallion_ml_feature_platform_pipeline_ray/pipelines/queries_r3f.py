@@ -304,29 +304,32 @@ def q_docs_weighted_jaccard(sf_dir: str):
     like near-duplicates while genuine shared RARE content still
     matches. The weighted sibling of ``docs_ngram_jaccard``.
 
-    Plan: the gram exchange holds EVERY row of a gram in one partition,
-    so ``df`` (and hence idf) is partition-local; each gram segment
-    emits its idf to every co-occurring pair (the cumsum/repeat pair
-    expansion from stages/dedup.py, weights instead of counts) plus
-    per-doc weighted-size partials; a pair fold and a doc fold reduce
-    them, and one doc-keyed cogroup attaches the two set weights to
-    each pair (the semantic-audit attach pattern). N (docs with >= 3
-    tokens) is one tiny aggregate pass."""
-    from ray.data.aggregate import Sum
-
-    from ..functions.numeric import round6, round_half_away
+    Plan (round-4: weighted PPJoin prefix filter, stages/ppjoin.py):
+    gram-keyed idf attach (df is partition-local under the gram
+    exchange; fixed-point micro-unit weights so every fold is an exact
+    int64 sum) → doc-keyed WEIGHTED prefix selection (minimal
+    heaviest-first head whose complement weight < t*W — provably loses
+    no pair with wjac >= t) → gh-keyed expansion over prefix rows only
+    → doc_id cogroup attaches candidate docs' full (gh, w) sets → one
+    pair-keyed exact verify. The round-3 plan expanded every gram's
+    full posting list (C(df,2) pairs on boilerplate grams — the last
+    100-TB wall, VERDICT r3 "What's wrong #1"); prefixes never contain
+    hot grams, so that wall is gone while the emitted pair set and the
+    unchanged SQL twin stay value-exact. The idf relation is consumed
+    twice (prefix side + verify side); Ray re-executes the lineage —
+    2x compute for zero mid-pipeline materialization (at production
+    scale, checkpoint the (doc_id, gh, w) relation to Parquet once and
+    read it for both consumers). N (docs with >= 3 tokens) is one tiny
+    aggregate pass."""
+    from ..stages import ppjoin as P
     from ..stages.dedup import ngram_table
-    from ..stages.keyed import cogroup_by_key
+    from ..stages.keyed import map_partitions_by_key as _mpk
 
     docs = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     grams = docs.map_batches(
         ngram_table, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(
-        lambda t: t.select(["doc_id", "gram"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
     )
     # N = docs contributing grams (>= 3 tokens): distinct docs in the
     # gram relation — per-block distinct partials, tiny sum
@@ -352,203 +355,48 @@ def q_docs_weighted_jaccard(sf_dir: str):
         .count()
     )
 
-    def gram_partition(part: pa.Table) -> pa.Table:
-        """Emit weighted pair partials (side=0) and per-doc weighted-size
-        partials (side=1) in one aligned schema (key, doc_b, w)."""
-        empty = pa.table(
-            {
-                "key": pa.array([], pa.int64()),
-                "w": pa.array([], pa.int64()),
-                "side": pa.array([], pa.int8()),
-            }
-        )
-        if part.num_rows == 0:
-            return empty
-        codes = np.asarray(
-            pc.dictionary_encode(part["gram"].combine_chunks()).indices
-        ).astype(np.int64)
-        ids = np.asarray(part["doc_id"].combine_chunks().cast(pa.int64()))
-        if len(ids) and int(ids.max()) >= (1 << 31):
-            raise OverflowError("pair packing requires ids < 2^31")
-        order = np.lexsort((ids, codes))
-        g, d = codes[order], ids[order]
-        n = len(g)
-        seg_start = np.concatenate(([True], g[1:] != g[:-1]))
-        seg_id = np.cumsum(seg_start) - 1
-        seg_len = np.bincount(seg_id)
-        df = seg_len[seg_id].astype(np.float64)
-        # FIXED-POINT idf (micro-units): every downstream sum is then an
-        # exact int64 fold regardless of summation order — the house
-        # "integers until the final mirrored expression" convention (the
-        # only float op left is the final ratio, identical both engines)
-        w_row = round_half_away(
-            np.log(float(n_docs) / df) * 1_000_000.0
-        ).astype(np.int64)
-        # per-doc weighted size partials
-        out_key = [d]
-        out_w = [w_row]
-        out_side = [np.ones(n, np.int8)]
-        # pair expansion: each row pairs with the later rows of its gram
-        arange = np.arange(n, dtype=np.int64)
-        seg_first = np.maximum.accumulate(np.where(seg_start, arange, 0))
-        m = seg_len[seg_id]
-        p = arange - seg_first
-        cnt = m - 1 - p
-        total = int(cnt.sum())
-        if total:
-            a_idx = np.repeat(arange, cnt)
-            row_start = np.cumsum(cnt) - cnt
-            off = np.arange(total, dtype=np.int64) - np.repeat(row_start, cnt)
-            b_idx = a_idx + 1 + off
-            da, db = d[a_idx], d[b_idx]
-            lo = np.minimum(da, db)
-            hi = np.maximum(da, db)
-            out_key.append((lo << np.int64(32)) | hi)
-            out_w.append(w_row[a_idx])  # same gram: same weight
-            out_side.append(np.zeros(total, np.int8))
-        return pa.table(
-            {
-                "key": pa.array(np.concatenate(out_key), pa.int64()),
-                "w": pa.array(np.concatenate(out_w), pa.int64()),
-                "side": pa.array(np.concatenate(out_side), pa.int8()),
-            }
-        )
-
-    from ..stages.keyed import map_partitions_by_key as _mpk
-
-    emitted = _mpk(grams, "gram", gram_partition, num_parts=NUM_PARTS)
-
-    def fold(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return pa.table(
-                {
-                    "key": pa.array([], pa.int64()),
-                    "w": pa.array([], pa.int64()),
-                    "side": pa.array([], pa.int8()),
-                }
-            )
-        key = np.asarray(part["key"].combine_chunks())
-        w = np.asarray(part["w"].combine_chunks())
-        side = np.asarray(part["side"].combine_chunks())
-        comp = (key << np.int64(1)) | side  # side rides the sort key
-        order = np.argsort(comp, kind="stable")
-        comp_s = comp[order]
-        first = np.concatenate(([True], comp_s[1:] != comp_s[:-1]))
-        starts = np.flatnonzero(first)
-        sums = np.add.reduceat(w[order], starts)
-        return pa.table(
-            {
-                "key": pa.array(key[order][first], pa.int64()),
-                "w": pa.array(sums, pa.int64()),
-                "side": pa.array(side[order][first], pa.int8()),
-            }
-        )
-
-    folded = _mpk(emitted, "key", fold, num_parts=NUM_PARTS)
-
-    def side_filter(v):
-        def _f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t["side"], v))
-
-        return _f
-
-    pairs = folded.map_batches(
-        side_filter(0), batch_format="pyarrow", zero_copy_batch=True
+    idf = _mpk(
+        grams,
+        "gram",
+        lambda t: P.attach_idf(t, n_docs),
+        num_parts=NUM_PARTS,
     )
-    doc_w = folded.map_batches(
-        side_filter(1), batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(
-        lambda t: pa.table({"doc": t["key"], "W": t["w"]}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # WJACCARD_THRESHOLD = 0.35 = 7/20 — exact int64 cross-multiplied cut
+    pfx = _mpk(
+        idf,
+        "doc_id",
+        lambda t: P.select_prefix_weighted(t, 7, 20),
+        num_parts=NUM_PARTS,
     )
-    # explode pairs into two doc-keyed refs carrying the intersection
-    refs = pairs.map_batches(
-        lambda t: pa.table(
-            {
-                "doc": pa.array(
-                    np.concatenate(
-                        [
-                            np.asarray(t["key"].combine_chunks())
-                            >> np.int64(32),
-                            np.asarray(t["key"].combine_chunks())
-                            & np.int64(0xFFFFFFFF),
-                        ]
-                    ),
-                    pa.int64(),
-                ),
-                "pair": pa.array(
-                    np.tile(np.asarray(t["key"].combine_chunks()), 2),
-                    pa.int64(),
-                ),
-                "wi": pa.array(
-                    np.tile(np.asarray(t["w"].combine_chunks()), 2),
-                    pa.int64(),
-                ),
-            }
+    cand = _mpk(
+        pfx,
+        "gh",
+        lambda t: P.expand_weighted_pairs(t, 7, 20),
+        num_parts=NUM_PARTS,
+    )
+    # broadcast-candidate verify: count shared WEIGHT per pair inside
+    # the gram-keyed partitions (bounded collect; cogroup fallback
+    # documented in stages/ppjoin.py)
+    import ray
+
+    ct = P.collect_candidates(cand, ("s_lo", "s_hi"))
+    pref = ray.put(np.asarray(ct["pair"]))
+    slo = ray.put(np.asarray(ct["s_lo"]))
+    shi = ray.put(np.asarray(ct["s_hi"]))
+    counts = _mpk(
+        idf,
+        "gh",
+        lambda t: P.count_shared(t, pref, weighted=True),
+        num_parts=NUM_PARTS,
+    )
+    return _mpk(
+        counts,
+        "pair",
+        lambda t: P.finish_pair_scores(
+            t, pref, slo, shi, "wjaccard", WJACCARD_THRESHOLD, "wjaccard"
         ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        num_parts=NUM_PARTS,
     )
-
-    def attach(rpart: pa.Table, wpart: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "pair": pa.array([], pa.int64()),
-                "wi": pa.array([], pa.int64()),
-                "W": pa.array([], pa.int64()),
-            }
-        )
-        if rpart.num_rows == 0:
-            return empty
-        idx = pc.index_in(
-            rpart["doc"].combine_chunks(),
-            value_set=wpart["doc"].combine_chunks(),
-        )
-        if idx.null_count:
-            raise ValueError("weighted-jaccard: doc missing weight row")
-        return pa.table(
-            {
-                "pair": rpart["pair"],
-                "wi": rpart["wi"],
-                "W": wpart["W"].combine_chunks().take(idx),
-            }
-        )
-
-    attached = cogroup_by_key(refs, doc_w, "doc", attach, num_parts=NUM_PARTS)
-
-    def finish(part: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "wjaccard": pa.array([], pa.float64()),
-            }
-        )
-        if part.num_rows == 0:
-            return empty
-        key = np.asarray(part["pair"].combine_chunks())
-        wi = np.asarray(part["wi"].combine_chunks()).astype(np.int64)
-        W = np.asarray(part["W"].combine_chunks()).astype(np.int64)
-        order = np.argsort(key, kind="stable")
-        key_s = key[order]
-        first = np.concatenate(([True], key_s[1:] != key_s[:-1]))
-        starts = np.flatnonzero(first)
-        # each pair has exactly two rows (its two docs)
-        wsum = np.add.reduceat(W[order], starts)  # exact int64
-        wi_f = wi[order][first]
-        wjac = round6(wi_f.astype(np.float64) / (wsum - wi_f))
-        keep = wjac >= WJACCARD_THRESHOLD
-        p = key_s[first][keep]
-        return pa.table(
-            {
-                "doc_a": pa.array(p >> np.int64(32)),
-                "doc_b": pa.array(p & np.int64(0xFFFFFFFF)),
-                "wjaccard": pa.array(wjac[keep], pa.float64()),
-            }
-        )
-
-    return _mpk(attached, "pair", finish, num_parts=NUM_PARTS)
 
 
 DOCS_WEIGHTED_JACCARD_SQL = f"""

@@ -887,47 +887,60 @@ DOCS_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 
 
 def q_docs_ngram_jaccard(sf_dir: str):
-    """Exact n-gram (word-trigram) Jaccard similarity join, >= 0.5 pairs:
-    (doc, gram) explode → posting-list pair expansion via gram groupby →
-    pair-count groupby (intersection sizes) → jaccard against broadcast
-    set sizes. The distributed exact baseline; the scale path for low
-    thresholds is docs_minhash_pairs (LSH)."""
-    from ..stages.dedup import ngram_table, partition_pair_counts, sum_pair_partials
+    """Exact n-gram (word-trigram) Jaccard similarity join, >= 0.5 pairs,
+    via PPJoin-style prefix filtering (stages/ppjoin.py — round-3 verdict
+    item #1): (doc, gram) explode → gram-keyed df attach (df is
+    partition-local under the gram exchange) → doc-keyed prefix
+    selection (first n - ceil(t*n) + 1 grams in global rarest-first
+    order) → gh-keyed posting-list expansion over PREFIX rows only →
+    exact verify through the doc_id cogroup with hashed gram sets
+    (the docs_minhash_pairs machinery). A boilerplate gram with df=1e6
+    never lands in a prefix, so the old C(df,2)-per-hot-gram wall is
+    gone while the emitted pair set — and the unchanged DuckDB twin —
+    stay value-exact (the filter provably loses no pair at t >= any
+    threshold; see stages/ppjoin.py module docstring)."""
+    from ..stages import ppjoin as P
+    from ..stages.dedup import ngram_table
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    # ngram_table carries each doc's GLOBAL distinct-gram count on every
-    # (doc, gram) row, so set sizes ride the one gram shuffle — no
-    # driver-side corpus pass (round 1) and no extra size join
     grams = ds.map_batches(
         ngram_table, batch_format="pyarrow", zero_copy_batch=True
     )
-    # hash-partition by gram; each task expands thousands of posting lists
-    # vectorized (a per-gram map_groups would mean one Python call per
-    # distinct gram — ~500k at sf0.1)
-    partials = map_partitions_by_key(
-        grams, "gram", partition_pair_counts, num_parts=NUM_PARTS
+    dfd = map_partitions_by_key(
+        grams, "gram", P.attach_df, num_parts=NUM_PARTS
+    )
+    # JACCARD_THRESHOLD = 0.5 = 1/2 — exact rational prefix cut
+    pfx = map_partitions_by_key(
+        dfd, "doc_id", lambda t: P.select_prefix(t, 1, 2),
+        num_parts=NUM_PARTS,
+    )
+    cand = map_partitions_by_key(
+        pfx, "gh", lambda t: P.expand_jaccard_pairs(t, 1, 2),
+        num_parts=NUM_PARTS,
+    )
+    # broadcast-candidate verify (bounded collect — candidates are the
+    # filtered near-dup pair set; cogroup fallback documented in
+    # stages/ppjoin.py)
+    import ray
+
+    ct = P.collect_candidates(cand, ("s_lo", "s_hi"))
+    pref = ray.put(np.asarray(ct["pair"]))
+    slo = ray.put(np.asarray(ct["s_lo"]))
+    shi = ray.put(np.asarray(ct["s_hi"]))
+    sets = ds.map_batches(
+        P.gramhash_table, batch_format="pyarrow", zero_copy_batch=True
     )
     counts = map_partitions_by_key(
-        partials, "pair", sum_pair_partials, num_parts=NUM_PARTS
+        sets, "sh", lambda t: P.count_shared(t, pref), num_parts=NUM_PARTS
     )
-
-    def jaccard(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["doc_a"].combine_chunks())
-        b = np.asarray(batch["doc_b"].combine_chunks())
-        c = np.asarray(batch["c"].combine_chunks()).astype(np.float64)
-        na = np.asarray(batch["na"].combine_chunks()).astype(np.float64)
-        nb = np.asarray(batch["nb"].combine_chunks()).astype(np.float64)
-        jac = round6(c / (na + nb - c))
-        keep = jac >= JACCARD_THRESHOLD
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(b[keep], pa.int64()),
-                "jaccard": pa.array(jac[keep], pa.float64()),
-            }
-        )
-
-    return counts.map_batches(jaccard, batch_format="pyarrow", zero_copy_batch=True)
+    return map_partitions_by_key(
+        counts,
+        "pair",
+        lambda t: P.finish_pair_scores(
+            t, pref, slo, shi, "jaccard", JACCARD_THRESHOLD, "jaccard"
+        ),
+        num_parts=NUM_PARTS,
+    )
 
 
 DOCS_NGRAM_JACCARD_SQL = f"""
@@ -1194,44 +1207,51 @@ def q_docs_containment_pairs(sf_dir: str):
     a 10x-longer one has Jaccard ~0.1 but containment ~1.0). The 6th
     dedup family next to exact / MinHash / SimHash / Jaccard / fuzzy.
 
-    Scale shape: identical to docs_ngram_jaccard — the (doc, gram)
-    explode, posting-list pair expansion, and pair-count fold are shared
-    stages; only the final O(pairs) vectorized score differs."""
-    from ..stages.dedup import (
-        ngram_table,
-        partition_pair_counts,
-        sum_pair_partials,
-    )
+    Scale shape: prefix-filtered like docs_ngram_jaccard, but the
+    containment bound is one-sided (overlap >= t * min(|A|,|B|) only
+    constrains the SMALLER set), so candidates come from
+    (prefix-of-smaller x full posting list) — worst case per gram is
+    (#prefix rows) x df, never C(df,2). Verified exactly through the
+    shared doc_id cogroup."""
+    from ..stages import ppjoin as P
+    from ..stages.dedup import ngram_table
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     grams = ds.map_batches(
         ngram_table, batch_format="pyarrow", zero_copy_batch=True
     )
-    partials = map_partitions_by_key(
-        grams, "gram", partition_pair_counts, num_parts=NUM_PARTS
+    dfd = map_partitions_by_key(
+        grams, "gram", P.attach_df, num_parts=NUM_PARTS
+    )
+    # CONTAINMENT_THRESHOLD = 0.7 = 7/10 — exact rational prefix cut
+    flagged = map_partitions_by_key(
+        dfd, "doc_id", lambda t: P.select_prefix_flagged(t, 7, 10),
+        num_parts=NUM_PARTS,
+    )
+    cand = map_partitions_by_key(
+        flagged, "gh", lambda t: P.expand_smallside_pairs(t, 7, 10),
+        num_parts=NUM_PARTS,
+    )
+    import ray
+
+    ct = P.collect_candidates(cand, ("s_lo", "s_hi"))
+    pref = ray.put(np.asarray(ct["pair"]))
+    slo = ray.put(np.asarray(ct["s_lo"]))
+    shi = ray.put(np.asarray(ct["s_hi"]))
+    sets = ds.map_batches(
+        P.gramhash_table, batch_format="pyarrow", zero_copy_batch=True
     )
     counts = map_partitions_by_key(
-        partials, "pair", sum_pair_partials, num_parts=NUM_PARTS
+        sets, "sh", lambda t: P.count_shared(t, pref), num_parts=NUM_PARTS
     )
-
-    def containment(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["doc_a"].combine_chunks())
-        b = np.asarray(batch["doc_b"].combine_chunks())
-        c = np.asarray(batch["c"].combine_chunks()).astype(np.float64)
-        na = np.asarray(batch["na"].combine_chunks()).astype(np.float64)
-        nb = np.asarray(batch["nb"].combine_chunks()).astype(np.float64)
-        cont = round6(c / np.minimum(na, nb))
-        keep = cont >= CONTAINMENT_THRESHOLD
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(b[keep], pa.int64()),
-                "containment": pa.array(cont[keep], pa.float64()),
-            }
-        )
-
-    return counts.map_batches(
-        containment, batch_format="pyarrow", zero_copy_batch=True
+    return map_partitions_by_key(
+        counts,
+        "pair",
+        lambda t: P.finish_pair_scores(
+            t, pref, slo, shi, "containment", CONTAINMENT_THRESHOLD,
+            "containment"
+        ),
+        num_parts=NUM_PARTS,
     )
 
 
