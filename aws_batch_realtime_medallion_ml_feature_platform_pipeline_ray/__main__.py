@@ -51,6 +51,7 @@ def cmd_run_stream(args) -> dict:
         processed_at=args.processed_at or _dt.datetime.now(_dt.UTC).isoformat(),
         ingest_window=window,
         num_parts=args.num_parts,
+        bounded_history=args.bounded_history,
     )
 
 
@@ -134,6 +135,13 @@ def main(argv=None) -> int:
     s.add_argument("--lookback-minutes", type=int, default=60)
     s.add_argument("--num-parts", type=int, default=64)
     s.add_argument("--processed-at", default=None)
+    s.add_argument(
+        "--bounded-history",
+        action="store_true",
+        help="manifest-pruned gold recompute: narrow-read silver files "
+        "older than the feature-window horizon (exact; falls back to "
+        "full recompute on conflicting redeliveries)",
+    )
     s.set_defaults(fn=cmd_run_stream)
 
     d = sub.add_parser("build-datasets", help="gold → train/val/inference")

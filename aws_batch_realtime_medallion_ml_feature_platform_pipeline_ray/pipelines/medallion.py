@@ -127,8 +127,25 @@ def run_stream(
     num_parts: int = 16,
     gold_cfg: GoldConfig | None = None,
     ray_kwargs: dict | None = None,
+    bounded_history: bool = False,
 ) -> StreamRunResult:
-    """Execute one stream run. Returns run metrics (from manifests)."""
+    """Execute one stream run. Returns run metrics (from manifests).
+
+    ``bounded_history=True`` switches the gold recompute from the
+    O(full-partition-history) baseline to the manifest-pruned bounded
+    plan (VERDICT r3 §next-3): silver run files whose manifest
+    ``max_ts`` predates ``slice_min_ts - max_window`` are read with a
+    NARROW projection (conv_id, turn_idx, ts, ingest_ts — no text) that
+    only feeds session/ordering state and cross-run dedup; full payload
+    reads are limited to files overlapping the feature-window horizon.
+    Gold dt= fragments older than the recompute boundary are preserved
+    on disk instead of rewritten, with the single forward-looking column
+    (``lead1_ts``) patched in place where a conversation continues
+    across the boundary. Falls back to the exact full recompute per
+    partition when a redelivered key CONFLICTS with cold history (a new
+    version that wins the first-(ts, ingest_ts) dedup would change
+    already-emitted rows). Output bytes are equivalent to the full
+    recompute (tests/test_bounded_history.py)."""
     import ray
     import ray.data as rd
 
@@ -207,23 +224,43 @@ def run_stream(
             ),
         )
 
-        # ---- gold: recompute this partition from FULL silver history ----
+        # ---- gold: recompute this partition from silver history (full
+        # baseline, or the manifest-pruned bounded plan) ------------------
         t1 = time.perf_counter()
         part_dir = F.join(silver_root, f"part={key}")
         files = sorted(F.glob(F.join(part_dir, "run-*.parquet")))
 
-        hist = pa.concat_tables([F.read_table(f) for f in files], promote_options="default")
-        # cross-run dedup: keep first (ts, ingest_ts) per (conv_id, turn_idx)
-        hist = dedup_first(hist, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
-        gold_tbl = gold_features_partition(hist, cfg)
-        gold_files = write_gold_partition(
-            gold_tbl, F.join(gold_root, f"part={key}")
-        )
+        bounded = None
+        if bounded_history:
+            if g.num_rows == 0:
+                # empty slice: nothing can change — keep gold untouched
+                bounded = ([], 0, 0, {"success": 0, "errors": 0},
+                           {"gold_mode": "bounded-noop"})
+            else:
+                bounded = _gold_partition_bounded(
+                    silver_root, gold_root, online_root, key, files, cfg,
+                    run_id, pc.min(ts_arr).as_py(),
+                )
+        if bounded is not None:
+            gold_files, rows_in, rows_out, put, gold_extra = bounded
+        else:
+            hist = pa.concat_tables(
+                [F.read_table(f) for f in files], promote_options="default"
+            )
+            # cross-run dedup: keep first (ts, ingest_ts) per
+            # (conv_id, turn_idx)
+            hist = dedup_first(hist, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
+            gold_tbl = gold_features_partition(hist, cfg)
+            gold_files = write_gold_partition(
+                gold_tbl, F.join(gold_root, f"part={key}")
+            )
 
-        # ---- online: latest feature row per conv (S7 upsert semantics),
-        # validated + retried with success/error tallies (S8) ------------
-        online_tbl = latest_per_conv(gold_tbl)
-        put = FP.put_partition(online_tbl, online_root, key, run_id=run_id)
+            # ---- online: latest feature row per conv (S7 upsert
+            # semantics), validated + retried with tallies (S8) ----------
+            online_tbl = latest_per_conv(gold_tbl)
+            put = FP.put_partition(online_tbl, online_root, key, run_id=run_id)
+            rows_in, rows_out = hist.num_rows, gold_tbl.num_rows
+            gold_extra = {"gold_mode": "full"}
 
         M.write_manifest(
             gold_root,
@@ -231,11 +268,12 @@ def run_stream(
                 stage=RUN_STAGE_GOLD,
                 partition_key=key,
                 run_id=run_id,
-                rows_in=hist.num_rows,
-                rows_out=gold_tbl.num_rows,
+                rows_in=rows_in,
+                rows_out=rows_out,
                 wall_s=time.perf_counter() - t1,
                 files=gold_files,
                 extra={
+                    **gold_extra,
                     "put_success": put["success"],
                     "put_errors": put["errors"],
                 },
@@ -246,7 +284,7 @@ def run_stream(
             {
                 "part": pa.array([part], pa.int32()),
                 "silver_rows": pa.array([g.num_rows], pa.int64()),
-                "gold_rows": pa.array([gold_tbl.num_rows], pa.int64()),
+                "gold_rows": pa.array([rows_out], pa.int64()),
             }
         )
 
@@ -281,7 +319,9 @@ def run_stream(
     return result
 
 
-def write_gold_partition(gold_tbl: pa.Table, part_dir: str) -> list[str]:
+def write_gold_partition(
+    gold_tbl: pa.Table, part_dir: str, preserve_before: str | None = None
+) -> list[str]:
     """Overwrite one gold hash partition with physical ``dt=`` Hive layout
     (``part=NNNNN/dt=YYYY-MM-DD/data.parquet``) so daily dataset builds
     prune fragments by date instead of scanning the whole lake (reference
@@ -331,9 +371,215 @@ def write_gold_partition(gold_tbl: pa.Table, part_dir: str) -> list[str]:
     if F.exists(legacy):
         F.remove(legacy)
     for d in F.glob(F.join(part_dir, "dt=*")):
-        if F.basename(d)[3:] not in new_dts:
+        dt_name = F.basename(d)[3:]
+        if preserve_before is not None and dt_name < preserve_before:
+            continue  # bounded-history mode: pre-boundary days are kept
+        if dt_name not in new_dts:
             F.rmtree(d)
     return new_files
+
+
+_NARROW_COLS = ["conv_id", "turn_idx", "ts", "ingest_ts"]
+
+
+def _split_history_files(silver_root, key, files, cutoff):
+    """Partition a gold recompute's silver run-file list into (hot, cold)
+    by each file's manifest ``max_ts``: hot files overlap
+    [cutoff, inf) and need a full-payload read; cold files end strictly
+    before the cutoff and only feed session/ordering state (narrow
+    read). Files with no manifest (orphans from a crash before the
+    manifest write) are conservatively hot."""
+    from datetime import datetime
+
+    bounds: dict[str, str | None] = {}
+    for m in M.load_manifests(silver_root, RUN_STAGE_SILVER):
+        if m.partition_key != key:
+            continue
+        for f in m.files:
+            bounds[F.canon(f)] = m.max_ts
+    hot, cold = [], []
+    for f in files:
+        mx = bounds.get(F.canon(f), None)
+        if mx is None or datetime.fromisoformat(mx) >= cutoff:
+            hot.append(f)
+        else:
+            cold.append(f)
+    return hot, cold
+
+
+def _apply_lead_patch(tbl: pa.Table, grp) -> pa.Table:
+    """Set ``lead1_ts`` for the (conv_id, turn_idx) keys in ``grp`` (a
+    small pandas frame) — the one forward-looking gold column that a
+    preserved pre-boundary row must absorb when its conversation
+    continues into the recomputed range."""
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    idx = pd.MultiIndex.from_frame(df[["conv_id", "turn_idx"]])
+    tgt = pd.MultiIndex.from_frame(grp[["conv_id", "turn_idx"]])
+    pos = idx.get_indexer(tgt)
+    valid = pos >= 0
+    if valid.any():
+        df.loc[df.index[pos[valid]], "lead1_ts"] = (
+            grp["lead1_ts"].to_numpy()[valid]
+        )
+    return pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
+
+
+def _gold_partition_bounded(
+    silver_root, gold_root, online_root, key, files, cfg, run_id, slice_min
+):
+    """Manifest-pruned gold recompute for one partition (VERDICT r3
+    §next-3). Exactness argument:
+
+    - every trailing window is <= max(w_short, w_distinct, w_long), so a
+      row with ts >= slice_min (the earliest row whose features can
+      change this run — new rows all have ts >= slice_min and trailing
+      windows mean later arrivals never alter earlier rows' aggregates)
+      only needs full-payload context from [slice_min - max_window, inf):
+      the HOT files;
+    - session_id / ordering / lag have unbounded lookback but depend
+      only on the per-conv (ts, turn_idx) sequence and the cross-run
+      dedup outcome — COLD files supply exactly those columns (narrow
+      read, no text bytes);
+    - preserved rows (ts < slice_min) keep their on-disk gold bytes —
+      correct because trailing windows never look forward — except
+      ``lead1_ts`` of each conversation's last pre-boundary row, patched
+      in place;
+    - a redelivered key that would FLIP a cold dedup winner invalidates
+      preserved rows -> return None and let the caller run the exact
+      full recompute (per-partition blast radius, the B12 contract).
+
+    Returns (gold_files, rows_in, rows_out, put, extra) or None."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    max_delta_us = int(max(cfg.w_short, cfg.w_distinct, cfg.w_long))
+    cutoff = slice_min - _dt.timedelta(microseconds=max_delta_us)
+    hot_files, cold_files = _split_history_files(
+        silver_root, key, files, cutoff
+    )
+    if not cold_files:
+        return None  # nothing prunable — the full path reads the same bytes
+    hot = pa.concat_tables(
+        [F.read_table(f) for f in hot_files], promote_options="default"
+    )
+    cold = pa.concat_tables(
+        [F.read_table(f, columns=_NARROW_COLS) for f in cold_files],
+        promote_options="default",
+    )
+
+    # conflict check: would any hot row beat a cold row for the same
+    # (conv_id, turn_idx) key under first-(ts, ingest_ts) dedup?
+    hk = (
+        hot.select(_NARROW_COLS)
+        .to_pandas()
+        .sort_values(_NARROW_COLS)
+        .drop_duplicates(["conv_id", "turn_idx"])
+    )
+    ck = (
+        cold.to_pandas()
+        .sort_values(_NARROW_COLS)
+        .drop_duplicates(["conv_id", "turn_idx"])
+    )
+    j = hk.merge(ck, on=["conv_id", "turn_idx"], suffixes=("_h", "_c"))
+    if len(j):
+        hot_wins = (j["ts_h"] < j["ts_c"]) | (
+            (j["ts_h"] == j["ts_c"]) & (j["ingest_ts_h"] < j["ingest_ts_c"])
+        )
+        if bool(hot_wins.any()):
+            return None  # cold winner flips -> exact full fallback
+
+    need = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "ingest_ts"]
+    n_cold = cold.num_rows
+    cold_aligned = pa.table(
+        {
+            "conv_id": cold["conv_id"],
+            "turn_idx": cold["turn_idx"],
+            "role": pa.nulls(n_cold, hot.schema.field("role").type),
+            "text": pa.nulls(n_cold, hot.schema.field("text").type),
+            "tool": pa.nulls(n_cold, hot.schema.field("tool").type),
+            "ts": cold["ts"],
+            "ingest_ts": cold["ingest_ts"],
+        }
+    ).select(need)
+    combined = pa.concat_tables(
+        [hot.select(need), cold_aligned], promote_options="default"
+    )
+    combined = dedup_first(combined, ["conv_id", "turn_idx"], ["ts", "ingest_ts"])
+    gold_all = gold_features_partition(combined, cfg)
+
+    ts_col = gold_all["ts"].combine_chunks()
+    slice_scalar = pa.scalar(slice_min, type=ts_col.type)
+    emit_mask = pc.greater_equal(ts_col, slice_scalar)
+    emitted = gold_all.filter(emit_mask)
+    boundary_dt = slice_min.strftime("%Y-%m-%d")
+
+    # lead1_ts patches: last pre-boundary row of each conversation that
+    # continues into the recomputed range
+    lead = gold_all["lead1_ts"].combine_chunks()
+    pmask = pc.and_(
+        pc.invert(emit_mask),
+        pc.and_(pc.is_valid(lead), pc.greater_equal(lead, slice_scalar)),
+    )
+    patches = gold_all.filter(pmask).select(
+        ["conv_id", "turn_idx", "dt", "lead1_ts"]
+    )
+
+    part_gold_dir = F.join(gold_root, f"part={key}")
+    bfile = F.join(part_gold_dir, f"dt={boundary_dt}", "data.parquet")
+    keep = None
+    if F.exists(bfile):
+        old_b = F.read_table(bfile)
+        keep = old_b.filter(
+            pc.less(old_b["ts"].combine_chunks(), slice_scalar)
+        )
+    pdf = patches.to_pandas()
+    for dt_val, grp in pdf.groupby("dt"):
+        dt_val = str(dt_val)
+        if dt_val == boundary_dt:
+            if keep is not None and keep.num_rows:
+                keep = _apply_lead_patch(keep, grp)
+            continue
+        f = F.join(part_gold_dir, f"dt={dt_val}", "data.parquet")
+        if F.exists(f):
+            M.atomic_write_table(_apply_lead_patch(F.read_table(f), grp), f)
+
+    to_write = emitted
+    if keep is not None and keep.num_rows:
+        to_write = pa.concat_tables([keep, emitted], promote_options="default")
+    gold_files = write_gold_partition(
+        to_write, part_gold_dir, preserve_before=boundary_dt
+    )
+
+    # online upsert: merge emitted conversations over the existing table
+    # (the full path rewrites all convs; here untouched convs persist)
+    online_tbl = latest_per_conv(emitted)
+    dest = F.join(online_root, f"part={key}", "data.parquet")
+    if F.exists(dest):
+        old_online = F.read_table(dest)
+        mask = pc.invert(
+            pc.is_in(
+                old_online["conv_id"].combine_chunks(),
+                value_set=online_tbl["conv_id"].combine_chunks(),
+            )
+        )
+        kept_online = old_online.filter(mask)
+        if kept_online.num_rows:
+            online_tbl = pa.concat_tables(
+                [kept_online, online_tbl], promote_options="default"
+            )
+    put = FP.put_partition(online_tbl, online_root, key, run_id=run_id)
+
+    extra = {
+        "gold_mode": "bounded",
+        "hot_files": len(hot_files),
+        "cold_files": len(cold_files),
+        "preserved_before_dt": boundary_dt,
+        "lead_patches": patches.num_rows,
+    }
+    return gold_files, combined.num_rows, emitted.num_rows, put, extra
 
 
 def _retention_cutoff(gold_root: str) -> str | None:
