@@ -456,11 +456,15 @@ def _build_corrections(summary: pd.DataFrame) -> pd.DataFrame:
 
 def _apply_corrections(batch: pa.Table, corr: pd.DataFrame, compute_turn_idx: bool) -> pa.Table:
     """Final vectorized map: join tiny corrections on (conv_id, shard),
-    apply offsets and boundary patches, drop internal columns."""
-    df_cols = ["conv_id", SHARD_COL, _RIDX, _B]
-    df = batch.select(df_cols).to_pandas()
-    m = len(df)
-    sid = df[_B].to_numpy(np.int64) - 1  # default: B_prior = 0
+    apply offsets and boundary patches, drop internal columns.
+
+    The join is Arrow/numpy-native (VERDICT r3 §next-4): one
+    ``pc.index_in`` resolves each batch row's conv against the
+    correction table's distinct convs (Arrow's C++ hash lookup — no
+    per-batch ``to_pandas()``), then a packed (conv_code * K + shard)
+    int64 searchsorted probe finds the correction row. The pandas work
+    left is O(corr) prep of the tiny correction frame itself."""
+    sid = np.asarray(batch[_B].combine_chunks()).astype(np.int64) - 1
     sturn = np.asarray(batch["session_turn_idx"].combine_chunks()).astype(np.int64)
     turn = np.asarray(batch["turn_idx"].combine_chunks()).astype(np.int64)
     lag = np.asarray(batch["lag1_ts"].combine_chunks().cast(pa.int64()).fill_null(TS_NULL))
@@ -469,20 +473,45 @@ def _apply_corrections(batch: pa.Table, corr: pd.DataFrame, compute_turn_idx: bo
     gap = np.asarray(gap_arr.fill_null(np.nan))
 
     if len(corr):
-        j = df.merge(corr, on=["conv_id", SHARD_COL], how="left")
-        hit = j["turn_off"].notna().to_numpy()
+        # corr-side (tiny) index: conv -> dense code, packed with shard
+        conv_vals = corr["conv_id"].to_numpy(dtype=object)
+        conv_uniq, corr_code = np.unique(conv_vals, return_inverse=True)
+        shards_c = corr[SHARD_COL].to_numpy(np.int64)
+        K = int(shards_c.max()) + 2 if len(shards_c) else 1
+        packed_c = corr_code.astype(np.int64) * K + shards_c
+        c_order = np.argsort(packed_c)
+        packed_sorted = packed_c[c_order]
+        c_turn_off = corr["turn_off"].to_numpy(np.int64)[c_order]
+        c_b_prior = corr["b_prior"].to_numpy(np.int64)[c_order]
+        c_trail_in = corr["trail_in"].to_numpy(np.int64)[c_order]
+        c_n_real = corr["n_real"].to_numpy(np.int64)[c_order]
+        pl_ser = corr["prev_last_ts"]
+        nf_ser = corr["next_first_ts"]
+        c_has_prev = pl_ser.notna().to_numpy()[c_order]
+        c_prev = pl_ser.fillna(0).astype(np.int64).to_numpy()[c_order]
+        c_has_next = nf_ser.notna().to_numpy()[c_order]
+        c_next = nf_ser.fillna(0).astype(np.int64).to_numpy()[c_order]
+        c_no_prefix = corr["no_prefix"].to_numpy(dtype=bool)[c_order]
+
+        # batch-side probe: Arrow hash lookup of conv, then packed key
+        ci_arr = pc.index_in(
+            batch["conv_id"].combine_chunks(),
+            value_set=pa.array(conv_uniq, pa.string()),
+        )
+        ci = np.asarray(ci_arr.cast(pa.int64()).fill_null(-1))
+        shard_b = np.asarray(batch[SHARD_COL].combine_chunks()).astype(np.int64)
+        probe = ci * np.int64(K) + shard_b
+        pos = np.searchsorted(packed_sorted, probe)
+        pos_c = np.minimum(pos, len(packed_sorted) - 1)
+        hit = (ci >= 0) & (packed_sorted[pos_c] == probe)
         if hit.any():
-            b = df[_B].to_numpy(np.int64)
-            ridx = df[_RIDX].to_numpy(np.int64)
-            b_prior = np.where(hit, j["b_prior"].fillna(0).to_numpy(np.int64), 0)
-            turn_off = np.where(hit, j["turn_off"].fillna(0).to_numpy(np.int64), 0)
-            trail_in = np.where(hit, j["trail_in"].fillna(0).to_numpy(np.int64), 0)
-            n_real = np.where(hit, j["n_real"].fillna(0).to_numpy(np.int64), 0)
-            prev_last = j["prev_last_ts"].to_numpy(dtype=object)
-            next_first = j["next_first_ts"].to_numpy(dtype=object)
-            no_prefix = j["no_prefix"].notna().to_numpy() & j[
-                "no_prefix"
-            ].to_numpy(dtype=object).astype(bool)
+            b = sid + 1
+            ridx = np.asarray(batch[_RIDX].combine_chunks()).astype(np.int64)
+            b_prior = np.where(hit, c_b_prior[pos_c], 0)
+            turn_off = np.where(hit, c_turn_off[pos_c], 0)
+            trail_in = np.where(hit, c_trail_in[pos_c], 0)
+            n_real = np.where(hit, c_n_real[pos_c], 0)
+            no_prefix = hit & c_no_prefix[pos_c]
 
             sid = np.where(hit, b_prior + b - 1, sid)
             lead_run = hit & (b == 0)
@@ -490,18 +519,17 @@ def _apply_corrections(batch: pa.Table, corr: pd.DataFrame, compute_turn_idx: bo
             if compute_turn_idx:
                 turn = np.where(hit, turn + turn_off, turn)
             # boundary patches
-            has_prev = np.array([v is not None and not pd.isna(v) for v in prev_last])
-            first_fix = hit & no_prefix & has_prev & (ridx == 0)
+            has_prev = hit & c_has_prev[pos_c]
+            first_fix = no_prefix & has_prev & (ridx == 0)
             if first_fix.any():
-                pl = np.array([0 if (v is None or pd.isna(v)) else int(v) for v in prev_last], dtype=np.int64)
+                pl = c_prev[pos_c]
                 ts_int = np.asarray(batch["ts"].combine_chunks().cast(pa.int64()))
                 lag = np.where(first_fix, pl, lag)
                 gap = np.where(first_fix, (ts_int - pl) / S.US_PER_S, gap)
-            has_next = np.array([v is not None and not pd.isna(v) for v in next_first])
-            last_fix = hit & has_next & (ridx == n_real - 1)
+            has_next = hit & c_has_next[pos_c]
+            last_fix = has_next & (ridx == n_real - 1)
             if last_fix.any():
-                nf = np.array([0 if (v is None or pd.isna(v)) else int(v) for v in next_first], dtype=np.int64)
-                lead = np.where(last_fix, nf, lead)
+                lead = np.where(last_fix, c_next[pos_c], lead)
 
     out = batch.drop_columns(list(_INTERNAL))
     out = _set(out, "turn_idx", pa.array(turn.astype(np.int32), pa.int32()))
