@@ -22,14 +22,23 @@ import pyarrow.orc as paorc
 def write_orc(tbl: pa.Table, path: str, rows_per_file: int = 100_000,
               stripe_rows: int = 20_000) -> list[str]:
     """Write a table as ORC files (one file per ``rows_per_file`` slice;
-    stripes sized so the reader streams block-per-stripe)."""
+    stripes of exactly ``stripe_rows`` rows so the reader streams
+    block-per-stripe with a DETERMINISTIC granularity — pyarrow's
+    ``stripe_size`` is a byte budget checked at batch boundaries, so a
+    1-byte budget with ``batch_size=stripe_rows`` closes one stripe per
+    batch regardless of row width (ADVICE r3: the old 64 B/row
+    assumption collapsed narrow tables into one stripe)."""
     os.makedirs(path, exist_ok=True)
     files = []
     n = tbl.num_rows
     for i, start in enumerate(range(0, max(n, 1), rows_per_file)):
         chunk = tbl.slice(start, rows_per_file)
         fp = os.path.join(path, f"part-{i:05d}.orc")
-        paorc.write_table(chunk, fp, stripe_size=max(stripe_rows, 1) * 64)
+        w = paorc.ORCWriter(
+            fp, stripe_size=1, batch_size=max(stripe_rows, 1)
+        )
+        w.write(chunk)
+        w.close()
         files.append(fp)
     return files
 

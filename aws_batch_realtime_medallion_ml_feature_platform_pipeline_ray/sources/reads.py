@@ -87,15 +87,28 @@ def read_parquet_sized(paths, *, columns=None, **kwargs):
         and "filesystem" not in kwargs
     ):
         plist = [os.fspath(p) for p in paths]
-        if plist and "://" in plist[0]:
+        if plist and any("://" in p for p in plist):
             import fsspec
             import pyarrow.fs as pafs
 
+            # one filesystem serves the whole list — a mixed list would
+            # silently resolve every entry against the first entry's fs
+            # and read wrong/nonexistent paths (ADVICE r3)
+            schemes = {p.split("://", 1)[0] if "://" in p else "<local>"
+                       for p in plist}
+            if len(schemes) > 1:
+                raise ValueError(
+                    f"read_parquet_sized: mixed path schemes {sorted(schemes)}"
+                    " in one list — pass a single-scheme list or an"
+                    " explicit filesystem"
+                )
             fs_spec, _ = fsspec.core.url_to_fs(plist[0])
             try:
                 pa_fs, _ = pafs.FileSystem.from_uri(plist[0])
             except Exception:  # scheme pyarrow lacks: wrap the fsspec fs
                 pa_fs = pafs.PyFileSystem(pafs.FSSpecHandler(fs_spec))
             kwargs["filesystem"] = pa_fs
-            paths = [fs_spec._strip_protocol(p) for p in plist]
+            # url_to_fs's returned path is the public protocol-stripping
+            # surface (vs the private _strip_protocol)
+            paths = [fsspec.core.url_to_fs(p)[1] for p in plist]
     return rd.read_parquet(paths, columns=columns, **kwargs)

@@ -92,16 +92,38 @@ def derive_num_parts(input_bytes: int | None = None) -> int:
     return min(parts, _MAX_PARTS)
 
 
+_BYTES_HINT_WARNED = False
+
+
 def _bytes_hint(ds) -> int | None:
     """Best-effort input size WITHOUT executing the dataset: Ray can
     infer size metadata for read ops (Parquet footer stats) and
     propagates it through size-preserving transforms; anything unknown
     returns None and the CPU floor decides. Deliberately NOT
     ``Dataset.size_bytes()``, which executes the plan when metadata is
-    missing."""
+    missing.
+
+    Reaches into private Ray internals (``_logical_plan.dag
+    .infer_metadata().size_bytes``) — if a Ray upgrade renames the
+    chain, every derived partition count silently degrades to the CPU
+    floor, so the first failure is logged once (ADVICE r3) and
+    tests/test_fold_by_keys.py pins the attribute chain on the shipped
+    Ray version so an upgrade fails loudly in CI."""
+    global _BYTES_HINT_WARNED
     try:
         n = ds._logical_plan.dag.infer_metadata().size_bytes
         return int(n) if n else None
+    except AttributeError:
+        if not _BYTES_HINT_WARNED:
+            _BYTES_HINT_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "keyed._bytes_hint: Ray private metadata chain no longer "
+                "resolves — derived partition counts fall back to the "
+                "CPU floor (perf cliff on large inputs)"
+            )
+        return None
     except Exception:
         return None
 

@@ -154,15 +154,27 @@ def rmtree(path: str, ignore_errors: bool = False) -> None:
 
 def replace(src: str, dst: str) -> None:
     """Rename src over dst (atomic where the FS supports it). Works for
-    files and directories; on fsspec backends this is ``mv``."""
+    files and directories; on fsspec backends this is ``mv``.
+
+    URI swap protocol (ADVICE r3): fsspec has no atomic overwrite-rename,
+    so the old dst is first MOVED ASIDE to a ``.replaced-*`` staging name
+    (not deleted), then src renamed in, then the staging copy removed. A
+    crash can leave a window where dst is briefly missing, but never
+    loses data: dst survives under the staging name and src is untouched
+    until the old dst is out of the way. Callers that need crash-exact
+    commit points on URIs (the lake) commit via manifests, not renames."""
     if not is_uri(src):
         os.replace(src, dst)
         return
     fs, s = split_fs(src)
     _, d = split_fs(dst)
+    staged = None
     if fs.exists(d):
-        fs.rm(d, recursive=True)
+        staged = d + f".replaced-{uuid.uuid4().hex[:8]}"
+        fs.mv(d, staged, recursive=True)
     fs.mv(s, d, recursive=True)
+    if staged is not None:
+        fs.rm(staged, recursive=True)
 
 
 def getmtime(path: str) -> float:
@@ -180,9 +192,22 @@ def getmtime(path: str) -> float:
     return 0.0
 
 
+# fsspec protocols with POSIX rename semantics: keep the temp + rename
+# commit protocol there (a crash mid-write must never leave a partial
+# manifest — ADVICE r3); true object stores get the direct PUT, which is
+# atomic per object.
+_RENAME_PROTOCOLS = {"file", "local", "memory"}
+
+
+def _fs_protocol(fs) -> str:
+    proto = fs.protocol
+    return proto[0] if isinstance(proto, (tuple, list)) else proto
+
+
 def write_text_atomic(path: str, text: str) -> None:
-    """Commit a small text/JSON file: temp + rename locally, direct
-    object PUT on URI filesystems (single-object PUT is atomic)."""
+    """Commit a small text/JSON file: temp + rename on filesystems with
+    atomic rename (posix paths, file://, memory://), direct object PUT
+    on object stores (single-object PUT is atomic)."""
     if not is_uri(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -190,13 +215,21 @@ def write_text_atomic(path: str, text: str) -> None:
             f.write(text)
         os.replace(tmp, path)
         return
+    fs, p = split_fs(path)
+    if _fs_protocol(fs) in _RENAME_PROTOCOLS:
+        fs.makedirs(posixpath.dirname(p), exist_ok=True)
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with fs.open(tmp, "w") as f:
+            f.write(text)
+        fs.mv(tmp, p)
+        return
     with open_(path, "w") as f:
         f.write(text)
 
 
 def write_table_atomic(tbl, path: str, **kwargs) -> None:
-    """Commit one parquet file: temp + rename locally, direct PUT on
-    URI filesystems."""
+    """Commit one parquet file: temp + rename on filesystems with atomic
+    rename, direct PUT on object stores."""
     import pyarrow.parquet as pq
 
     kwargs.setdefault("compression", "snappy")
@@ -208,6 +241,11 @@ def write_table_atomic(tbl, path: str, **kwargs) -> None:
         return
     fs, p = split_fs(path)
     fs.makedirs(posixpath.dirname(p), exist_ok=True)
+    if _fs_protocol(fs) in _RENAME_PROTOCOLS:
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(tbl, tmp, filesystem=fs, **kwargs)
+        fs.mv(tmp, p)
+        return
     pq.write_table(tbl, p, filesystem=fs, **kwargs)
 
 
