@@ -754,7 +754,7 @@ def q_embedding_pagerank(sf_dir: str):
     materialized once, nothing broadcast), so the unrolled-CTE DuckDB
     twin matches bit-for-bit."""
     from ..stages.ann import knn_self_join
-    from ..stages.graph import pagerank_constant_outdegree
+    from ..stages.graph import pagerank_broadcast_ranks
 
     pairs = knn_self_join(_emb(sf_dir), k=K, n_blocks=4).map_batches(
         lambda t: pa.table(
@@ -771,13 +771,12 @@ def q_embedding_pagerank(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    ranks = pagerank_constant_outdegree(
-        pairs, nodes, k_out=K, iters=PR_ITERS, num_parts=PR_PARTS,
-        scale=PR_SCALE,
-    )  # fixed-iteration: partitioning helps the per-round work and the
-    # round count never shrinks, so byte-derived few-partition sizing
-    # (measured 7.6 s vs 5.7 s) does NOT apply here — unlike CC, whose
-    # convergence-round count collapses with fewer partitions
+    ranks = pagerank_broadcast_ranks(
+        pairs, nodes, k_out=K, iters=PR_ITERS, scale=PR_SCALE,
+    )  # broadcast-rank fast path (VERDICT r3 §next-5): edges resident,
+    # zero keyed exchanges per round; O(nodes) rank vector documented in
+    # stages/graph.py — pagerank_constant_outdegree is the beyond-memory
+    # twin (bit-identical outputs, tests/test_graph_pagerank_fast.py)
     return ranks.map_batches(
         lambda t: pa.table(
             {"vec_id": t["node"], "pr_scaled": t["rank"]}

@@ -728,10 +728,13 @@ def q_embedding_label_prop_step(sf_dir: str):
     """One synchronous label-propagation step: each vector adopts the
     plurality label of its exact top-K cosine neighbors (ties → smallest
     label). Rides ``knn_self``'s block-pair plan; neighbor labels attach
-    through ONE vec_id cogroup, votes reduce through ONE q_id-keyed
-    exchange (O(K) rows per node)."""
+    from a ``ray.put`` label vector inside the kNN map (labels are
+    O(nodes) — 16 B/node, the same broadcast contract as the PageRank
+    fast path; a vec_id cogroup is the beyond-memory attach); votes
+    reduce through ONE q_id-keyed exchange (O(K) rows per node)."""
+    import ray
+
     from ..stages.ann import knn_self_join
-    from ..stages.keyed import cogroup_by_key
     from .queries_ann import K, _emb
 
     knn = knn_self_join(_emb(sf_dir), k=K, n_blocks=4).map_batches(
@@ -757,27 +760,43 @@ def q_embedding_label_prop_step(sf_dir: str):
         zero_copy_batch=True,
     )
 
-    vote_schema = {"q_id": pa.int64(), "nlab": pa.int64()}
+    lab_tbls = [
+        t for t in ray.get(labels.to_arrow_refs()) if t.num_rows
+    ]
+    lab_ids = np.concatenate(
+        [np.asarray(t["vec_id"].combine_chunks()) for t in lab_tbls]
+    )
+    lab_vals = np.concatenate(
+        [np.asarray(t["label"].combine_chunks()) for t in lab_tbls]
+    )
+    lorder = np.argsort(lab_ids, kind="stable")
+    ids_ref = ray.put(lab_ids[lorder])
+    val_ref = ray.put(lab_vals[lorder])
 
-    def attach(lpart: pa.Table, rpart: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {n: pa.array([], t) for n, t in vote_schema.items()}
-        )
-        if lpart.num_rows == 0 or rpart.num_rows == 0:
-            return empty
-        idx = pc.index_in(
-            lpart["vec_id"], value_set=rpart["vec_id"].combine_chunks()
-        ).combine_chunks()
-        nlab = np.asarray(rpart["label"].combine_chunks())[np.asarray(idx)]
+    def attach(t: pa.Table, _i=ids_ref, _v=val_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"q_id": pa.array([], pa.int64()),
+                 "nlab": pa.array([], pa.int64())}
+            )
+        ids = ray.get(_i)
+        vals = ray.get(_v)
+        v = np.asarray(t["vec_id"].combine_chunks())
+        pos = np.searchsorted(ids, v)
+        if len(pos) and (
+            (pos >= len(ids)).any()
+            or (ids[np.minimum(pos, len(ids) - 1)] != v).any()
+        ):
+            raise ValueError("label_prop: neighbor missing from label set")
         return pa.table(
             {
-                "q_id": lpart["q_id"],
-                "nlab": pa.array(nlab.astype(np.int64)),
+                "q_id": t["q_id"],
+                "nlab": pa.array(vals[pos].astype(np.int64)),
             }
         )
 
-    votes = cogroup_by_key(knn, labels, "vec_id", attach,
-                           num_parts=NUM_PARTS)
+    votes = knn.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     def plurality(part: pa.Table) -> pa.Table:
         empty = pa.table(

@@ -417,3 +417,117 @@ def pagerank_constant_outdegree(
             ranks, contribs, "node", fold_ranks, num_parts=num_parts
         ).materialize()
     return ranks
+
+
+def pagerank_broadcast_ranks(
+    edges,
+    nodes,
+    *,
+    k_out: int,
+    iters: int,
+    scale: int = 1 << 38,
+    damp_num: int = 85,
+    damp_den: int = 100,
+):
+    """Fast-path PageRank for graphs whose RANK VECTOR fits memory
+    (VERDICT r3 §next-5): identical integer-exact recurrence as
+    :func:`pagerank_constant_outdegree`, but the edge relation is
+    materialized ONCE and never re-shuffled — each round is a pure
+    map over the resident edge blocks against a ``ray.put`` rank vector
+    (per-block contribution partials pre-aggregated by dst), folded on
+    the driver in O(nodes).
+
+    Scale contract: O(nodes) driver/object-store memory for the rank
+    vector (16 B/node — 1e9 nodes = 16 GB: fine on a head node, and far
+    below the O(edges) that moves per round in the cogroup plan). For
+    rank vectors beyond memory, use :func:`pagerank_constant_outdegree`
+    (two keyed exchanges per round, nothing broadcast) — same outputs
+    bit for bit (tests/test_graph_pagerank_fast.py).
+    """
+    import ray
+
+    base = ((damp_den - damp_num) * scale) // damp_den
+
+    node_tbls = [
+        t
+        for t in ray.get(
+            nodes.map_batches(
+                lambda t: pa.table({"node": t["node"].cast(pa.int64())}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    node_ids = np.sort(
+        np.unique(
+            np.concatenate(
+                [np.asarray(t["node"].combine_chunks()) for t in node_tbls]
+            )
+        )
+    )
+    n = len(node_ids)
+    if n == 0:
+        raise ValueError("pagerank: empty vertex set")
+    rank = np.full(n, scale, dtype=np.int64)
+
+    eds = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"].cast(pa.int64()),
+                "dst": t["dst"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    ids_ref = ray.put(node_ids)
+
+    for _ in range(iters):
+        rank_ref = ray.put(rank)
+
+        def contrib(t: pa.Table, _r=rank_ref, _i=ids_ref) -> pa.Table:
+            ids = ray.get(_i)
+            rk = ray.get(_r)
+            src = np.asarray(t["src"].combine_chunks())
+            dst = np.asarray(t["dst"].combine_chunks())
+            pos = np.searchsorted(ids, src)
+            if len(pos) and (
+                (pos >= len(ids)).any()
+                or (ids[np.minimum(pos, len(ids) - 1)] != src).any()
+            ):
+                raise ValueError("pagerank: edge src missing from vertex set")
+            c = rk[pos] // k_out
+            # per-block combiner: one row per distinct dst
+            inv, uniq = pd.factorize(dst)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, c)
+            return pa.table(
+                {"node": pa.array(uniq, pa.int64()),
+                 "c": pa.array(sums, pa.int64())}
+            )
+
+        partials = [
+            t
+            for t in ray.get(
+                eds.map_batches(
+                    contrib, batch_format="pyarrow", zero_copy_batch=True
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        insum = np.zeros(n, dtype=np.int64)
+        for t in partials:
+            nd = np.asarray(t["node"].combine_chunks())
+            cc = np.asarray(t["c"].combine_chunks())
+            np.add.at(insum, np.searchsorted(node_ids, nd), cc)
+        rank = base + (damp_num * insum) // damp_den
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {"node": pa.array(node_ids, pa.int64()),
+             "rank": pa.array(rank, pa.int64())}
+        )
+    )
