@@ -44,3 +44,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: sql for name, (_fn, sql) in full_registry().items() if sql is not None
     }
+
+
+def scale_classes() -> dict[str, str]:
+    """Machine-readable scale contract per queries() entry (see
+    pipelines/scale.py for the class definitions and docs/SCALE_CLASSES.md
+    for the generated table)."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.scale import (
+        scale_classes as _sc,
+    )
+
+    return _sc()
