@@ -39,6 +39,12 @@ def split_fs(path: str):
     """(fsspec filesystem, protocol-stripped path) for a URI path."""
     import fsspec
 
+    if path.startswith("mocks3://"):
+        # lazy registration so Ray workers resolve the test/dev
+        # object-store scheme with no fixture plumbing
+        from . import mocks3  # noqa: F401
+
+        assert mocks3.MockS3FileSystem  # keep the import visibly used
     return fsspec.core.url_to_fs(path)
 
 
