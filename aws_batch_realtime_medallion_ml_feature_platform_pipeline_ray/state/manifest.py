@@ -124,16 +124,40 @@ class StageTimer:
 
 def summarize(manifests: list[PartitionManifest]) -> dict:
     """Run-level metrics from partition manifests (rows, turns/sec) —
-    replaces the reference's CloudWatch success metric + count() passes."""
+    replaces the reference's CloudWatch success metric + count() passes.
+
+    Includes the per-partition task-skew summary (VERDICT r3 §next-8):
+    p50/p99/max task wall seconds and ``skew_p99_over_p50`` so a
+    Zipf-hot partition (one mega-conversation dominating a hash bucket)
+    is observable straight from the run artifacts — the salted
+    repartition (stages/salted.py) is the remedy when this ratio runs
+    hot."""
     rows = sum(m.rows_out for m in manifests)
     wall = sum(m.wall_s for m in manifests)
-    return {
+    out = {
         "partitions": len(manifests),
         "rows_out": rows,
         "rows_rejected": sum(m.extra.get("rows_rejected", 0) for m in manifests),
         "sum_task_wall_s": round(wall, 3),
         "rows_per_task_s": round(rows / wall, 1) if wall > 0 else None,
     }
+    walls = sorted(m.wall_s for m in manifests if m.wall_s is not None)
+    if walls:
+        def _pctl(q: float) -> float:
+            # nearest-rank on the sorted sample — no interpolation, so
+            # the number is an actual observed task time
+            i = min(len(walls) - 1, max(0, int(round(q * (len(walls) - 1)))))
+            return walls[i]
+
+        p50 = _pctl(0.50)
+        p99 = _pctl(0.99)
+        out["task_wall_p50_s"] = round(p50, 4)
+        out["task_wall_p99_s"] = round(p99, 4)
+        out["task_wall_max_s"] = round(walls[-1], 4)
+        out["skew_p99_over_p50"] = (
+            round(p99 / p50, 2) if p50 > 0 else None
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
