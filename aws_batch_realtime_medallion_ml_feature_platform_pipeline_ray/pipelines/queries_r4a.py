@@ -1,0 +1,807 @@
+"""Round-4 operator additions (oracle-exact, DuckDB twins).
+
+- ``lineitem_pricing_summary`` — the TPC-H Q1 pricing report as exact
+  fixed-point integer folds (cents x pct), pure streaming partials.
+- ``orders_custdist``          — TPC-H Q13 customer order-count
+  distribution including zero-order customers (left cogroup).
+- ``docs_prefix_dupes``        — truncation-duplicate detection: docs
+  whose text is a PREFIX of another doc, via one global sort and a
+  lexicographic-contiguity successor check (no all-pairs).
+- ``docs_dsir_weights``        — DSIR-style importance weights: per-doc
+  bigram log-likelihood ratio between the target slice (lang='en') and
+  the rest of the corpus (data-selection for LM pretraining).
+- ``conv_loss_mask``           — per-turn training loss mask + cumulative
+  token offsets per conversation (the packing/masking precursor).
+- ``embedding_pq_codes``       — product-quantization code assignment
+  (M=4 subspaces, K=8 seeded centroids, exact integer distances).
+
+Reference provenance: extends spark_jobs/silver_and_gold.py:91-123's
+feature building and scripts/transform_and_prepare_sample_data.py's
+dataset prep toward LLM-corpus curation per the north rule; the
+reference has no counterpart operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.numeric import round6, round_half_away
+from ..sources.reads import read_parquet_sized
+from ..sources.transcripts import (
+    TRANSCRIPTS_SQL_CTE,
+    read_events_as_transcripts,
+)
+from ..stages.keyed import (
+    cogroup_by_key,
+    fold_sum_by_keys,
+    map_partitions_by_key,
+)
+
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
+
+
+# ---------------------------------------------------------------------------
+# lineitem_pricing_summary — TPC-H Q1 as exact integer folds
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1 pricing summary by (returnflag, linestatus): every sum
+    is an exact int64 fold over fixed-point units (price in cents,
+    discount/tax in whole percent), so group totals are summation-order
+    independent; the float divisions happen once at the end with the
+    twin's exact expressions. Streaming per-batch partials into a
+    6-group aggregate — zero data-cardinality exchanges."""
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64(Q1_CUTOFF, "us")
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = np.asarray(t["l_shipdate"].combine_chunks())
+        keep = sd <= cutoff
+        tt = t.filter(pa.array(keep))
+        if tt.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "qty_c": pa.array([], pa.int64()),
+                    "price_c": pa.array([], pa.int64()),
+                    "disc_pp": pa.array([], pa.int64()),
+                    "dp": pa.array([], pa.int64()),
+                    "ch": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        qty = round_half_away(
+            np.asarray(tt["l_quantity"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        price = round_half_away(
+            np.asarray(tt["l_extendedprice"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        disc = round_half_away(
+            np.asarray(tt["l_discount"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        tax = round_half_away(
+            np.asarray(tt["l_tax"].combine_chunks()) * 100.0
+        ).astype(np.int64)
+        dp = price * (100 - disc)            # cents x pct
+        ch = dp * (100 + tax)                # cents x pct x pct
+        rf = np.asarray(tt["l_returnflag"].combine_chunks(), dtype=object)
+        ls = np.asarray(tt["l_linestatus"].combine_chunks(), dtype=object)
+        key = np.char.add(rf.astype(str), ls.astype(str))
+        inv, uniq = pd.factorize(key)
+
+        def seg(v):
+            out = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(out, inv, v)
+            return out
+
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(rf[first].astype(str), pa.string()),
+                "l_linestatus": pa.array(ls[first].astype(str), pa.string()),
+                "qty_c": pa.array(seg(qty), pa.int64()),
+                "price_c": pa.array(seg(price), pa.int64()),
+                "disc_pp": pa.array(seg(disc), pa.int64()),
+                "dp": pa.array(seg(dp), pa.int64()),
+                "ch": pa.array(seg(ch), pa.int64()),
+                "n": pa.array(
+                    np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="qty_c"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_pp", alias_name="disc_pp"),
+            Sum("dp", alias_name="dp"),
+            Sum("ch", alias_name="ch"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.float64()),
+                    "sum_base_price": pa.array([], pa.float64()),
+                    "sum_disc_price": pa.array([], pa.float64()),
+                    "sum_charge": pa.array([], pa.float64()),
+                    "avg_qty": pa.array([], pa.float64()),
+                    "avg_price": pa.array([], pa.float64()),
+                    "avg_disc": pa.array([], pa.float64()),
+                    "count_order": pa.array([], pa.int64()),
+                }
+            )
+        qty = np.asarray(t["qty_c"].combine_chunks()).astype(np.float64)
+        price = np.asarray(t["price_c"].combine_chunks()).astype(np.float64)
+        disc = np.asarray(t["disc_pp"].combine_chunks()).astype(np.float64)
+        dp = np.asarray(t["dp"].combine_chunks()).astype(np.float64)
+        ch = np.asarray(t["ch"].combine_chunks()).astype(np.float64)
+        n = np.asarray(t["n"].combine_chunks()).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pa.array(qty / 100.0, pa.float64()),
+                "sum_base_price": pa.array(price / 100.0, pa.float64()),
+                "sum_disc_price": pa.array(dp / 10000.0, pa.float64()),
+                "sum_charge": pa.array(ch / 1000000.0, pa.float64()),
+                "avg_qty": pa.array(round6(qty / (100.0 * n)), pa.float64()),
+                "avg_price": pa.array(
+                    round6(price / (100.0 * n)), pa.float64()
+                ),
+                "avg_disc": pa.array(
+                    round6(disc / (100.0 * n)), pa.float64()
+                ),
+                "count_order": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+LINEITEM_PRICING_SUMMARY_SQL = f"""
+WITH f AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(l_quantity * 100) AS BIGINT) AS qc,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+           CAST(ROUND(l_discount * 100) AS BIGINT) AS dc,
+           CAST(ROUND(l_tax * 100) AS BIGINT) AS tc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qc) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(pc) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(pc * (100 - dc)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0
+           AS sum_charge,
+       ROUND(CAST(SUM(qc) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS avg_qty,
+       ROUND(CAST(SUM(pc) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS avg_price,
+       ROUND(CAST(SUM(dc) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS avg_disc,
+       COUNT(*)::BIGINT AS count_order
+FROM f
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_custdist — TPC-H Q13 including zero-order customers
+# ---------------------------------------------------------------------------
+
+def q_orders_custdist(sf_dir: str):
+    """Order-count distribution over customers (TPC-H Q13 shape):
+    orders fold to per-customer counts through the engine's keyed
+    exchange, a customer-keyed LEFT cogroup brings in the zero-order
+    customers, and the distribution itself is a tiny fold over the
+    bounded count domain."""
+    from ray.data.aggregate import Sum
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "ck": t["o_custkey"].cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = fold_sum_by_keys(orders, ["ck"], ["one"], num_parts=NUM_PARTS)
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda t: pa.table({"ck": t["c_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def attach(lpart: pa.Table, rpart: pa.Table) -> pa.Table:
+        """lpart: customers of this hash partition; rpart: their order
+        counts. LEFT semantics: missing customers count 0."""
+        empty = pa.table(
+            {"c_count": pa.array([], pa.int64()),
+             "pc": pa.array([], pa.int64())}
+        )
+        if lpart.num_rows == 0:
+            return empty
+        ck = lpart["ck"].combine_chunks()
+        idx = pc.index_in(ck, value_set=rpart["ck"].combine_chunks())
+        idx_np = np.asarray(idx.cast(pa.int64()).fill_null(-1))
+        ones = np.asarray(rpart["one"].combine_chunks()) if rpart.num_rows \
+            else np.empty(0, np.int64)
+        cc = np.where(idx_np >= 0, ones[np.maximum(idx_np, 0)], 0)
+        # partition-local histogram partial: one row per distinct count
+        import pandas as pd
+
+        inv, uniq = pd.factorize(cc)
+        return pa.table(
+            {
+                "c_count": pa.array(uniq.astype(np.int64), pa.int64()),
+                "pc": pa.array(
+                    np.bincount(inv).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = cogroup_by_key(cust, counts, "ck", attach,
+                              num_parts=NUM_PARTS)
+    return (
+        partials.groupby("c_count")
+        .aggregate(Sum("pc", alias_name="custdist"))
+    )
+
+
+ORDERS_CUSTDIST_SQL = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_prefix_dupes — truncation duplicates via one global sort
+# ---------------------------------------------------------------------------
+
+def q_docs_prefix_dupes(sf_dir: str):
+    """Flag documents whose text is a strict-or-equal PREFIX of another
+    document's text (truncation/partial-crawl duplicates) WITHOUT an
+    all-pairs join: after a global sort by text, lexicographic
+    contiguity guarantees that if ANY superstring of ``a`` exists, the
+    IMMEDIATE successor of ``a`` is one (every string between ``a`` and
+    a superstring itself starts with ``a``), so one successor
+    starts_with check per row — plus a predecessor-equality check for
+    the tail of an equal-text run — is exact. Block boundaries stitch
+    through a driver-collected O(#blocks) summary pass."""
+    import ray
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).sort("text").materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"first_text": pa.array([], pa.string()),
+                 "last_text": pa.array([], pa.string()),
+                 "first_doc": pa.array([], pa.int64()),
+                 "last_doc": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "first_text": t["text"].slice(0, 1),
+                "last_text": t["text"].slice(t.num_rows - 1, 1),
+                "first_doc": t["doc_id"].slice(0, 1).cast(pa.int64()),
+                "last_doc": t["doc_id"].slice(t.num_rows - 1, 1).cast(pa.int64()),
+            }
+        )
+
+    sums = (
+        ds.map_batches(summary, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .to_pandas()
+        .sort_values(["first_text", "last_text"], ignore_index=True)
+    )
+    last_flag: dict[int, bool] = {}
+    first_prev: dict[int, str] = {}
+    for i in range(len(sums)):
+        nxt = sums["first_text"].iloc[i + 1] if i + 1 < len(sums) else None
+        last_flag[int(sums["last_doc"].iloc[i])] = bool(
+            nxt is not None and nxt.startswith(sums["last_text"].iloc[i])
+        )
+        if i > 0:
+            first_prev[int(sums["first_doc"].iloc[i])] = str(
+                sums["last_text"].iloc[i - 1]
+            )
+    lf_ref = ray.put(last_flag)
+    fp_ref = ray.put(first_prev)
+
+    def flags(t: pa.Table, _lf=lf_ref, _fp=fp_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "is_prefix_dup": pa.array([], pa.int64())}
+            )
+        lf = ray.get(_lf)
+        fp = ray.get(_fp)
+        text = np.asarray(t["text"].combine_chunks(), dtype=object)
+        doc = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        n = len(text)
+        out = np.zeros(n, dtype=bool)
+        if n > 1:
+            succ = np.array(
+                [text[i + 1].startswith(text[i]) for i in range(n - 1)]
+            )
+            out[:-1] = succ
+            pred_eq = text[1:] == text[:-1]
+            out[1:] |= pred_eq
+        out[-1] = out[-1] | lf.get(int(doc[-1]), False)
+        pv = fp.get(int(doc[0]))
+        if pv is not None:
+            out[0] = out[0] | (pv == text[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "is_prefix_dup": pa.array(out.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flags, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+DOCS_PREFIX_DUPES_SQL = """
+SELECT a.doc_id,
+       CAST(EXISTS (
+           SELECT 1 FROM documents b
+           WHERE b.doc_id <> a.doc_id AND starts_with(b.text, a.text)
+       ) AS BIGINT) AS is_prefix_dup
+FROM documents a
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_dsir_weights — bigram LLR importance weights (DSIR-style)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+
+
+def _bigram_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, g, c, is_t) word-bigram count rows per document."""
+    import pandas as pd
+
+    from ..functions.text import _flat_tokens, tokens_list
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "g": pa.array([], pa.string()),
+         "c": pa.array([], pa.int64()), "is_t": pa.array([], pa.int8())}
+    )
+    if t.num_rows == 0:
+        return empty
+    toks = tokens_list(t["text"].combine_chunks())
+    flat, offsets = _flat_tokens(toks)
+    n_docs = len(offsets) - 1
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    if len(flat) == 0:
+        return empty
+    flat = np.asarray(flat, dtype=object)
+    doc_per_tok = np.repeat(np.arange(n_docs), lens)
+    # valid bigram starts: next token in same doc
+    keep = np.ones(len(flat), dtype=bool)
+    keep[offsets[1:] - 1] = False
+    if not keep.any():
+        return empty
+    g = np.char.add(
+        np.char.add(flat[:-1][keep[:-1]].astype(str), " "),
+        flat[1:][keep[:-1]].astype(str),
+    )
+    d_idx = doc_per_tok[:-1][keep[:-1]]
+    ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+    is_t = (
+        np.asarray(t["lang"].combine_chunks(), dtype=object)
+        == DSIR_TARGET_LANG
+    )
+    key = np.char.add(np.char.add(d_idx.astype(str), "\x1f"), g)
+    inv, uniq_pos = pd.factorize(key)
+    first = np.zeros(len(uniq_pos), dtype=np.int64)
+    first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)
+    c = np.bincount(inv).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[d_idx[first]], pa.int64()),
+            "g": pa.array(g[first].astype(str), pa.string()),
+            "c": pa.array(c, pa.int64()),
+            "is_t": pa.array(
+                is_t[d_idx[first]].astype(np.int8), pa.int8()
+            ),
+        }
+    )
+
+
+def q_docs_dsir_weights(sf_dir: str):
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public):
+    per-doc bigram log-likelihood ratio between the TARGET distribution
+    (lang='{DSIR_TARGET_LANG}') and the rest of the corpus, add-one
+    smoothed:
+
+        w(doc) = Σ_g c_g · ln( (tc_g+1)/(T+V) · (S+V)/(sc_g+1) )
+
+    Plan: bigram count rows → tiny T/S aggregate (per-batch partials) +
+    one gram-keyed exchange for V (distinct grams), then a second
+    gram-keyed exchange where tc/sc are partition-local and every row
+    emits its weighted contribution; a doc-keyed fold finishes. All
+    counts integer-exact; the single ln() evaluates the same exact
+    float quotient in both engines."""
+    from ray.data.aggregate import Sum
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    rows = docs.map_batches(
+        _bigram_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def ts_partial(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["c"].combine_chunks()) if t.num_rows else np.empty(0, np.int64)
+        it = (
+            np.asarray(t["is_t"].combine_chunks()).astype(bool)
+            if t.num_rows
+            else np.empty(0, bool)
+        )
+        return pa.table(
+            {
+                "T": pa.array([int(c[it].sum())], pa.int64()),
+                "S": pa.array([int(c[~it].sum())], pa.int64()),
+            }
+        )
+
+    tots = rows.map_batches(
+        ts_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("T", alias_name="T"), Sum("S", alias_name="S"))
+    T, S = int(tots["T"] or 0), int(tots["S"] or 0)
+
+    def distinct_partial(part: pa.Table) -> pa.Table:
+        g = np.asarray(part["g"].combine_chunks(), dtype=object) \
+            if part.num_rows else np.empty(0, object)
+        return pa.table({"v": pa.array([len(set(g))], pa.int64())})
+
+    V = int(
+        map_partitions_by_key(
+            rows, "g", distinct_partial, num_parts=NUM_PARTS
+        ).aggregate(Sum("v", alias_name="v"))["v"]
+        or 0
+    )
+
+    def score(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "px": pa.array([], pa.float64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        g = np.asarray(part["g"].combine_chunks(), dtype=object)
+        c = np.asarray(part["c"].combine_chunks())
+        it = np.asarray(part["is_t"].combine_chunks()).astype(bool)
+        inv, _uniq = pd.factorize(g)
+        tc = np.zeros(len(_uniq), np.int64)
+        sc = np.zeros(len(_uniq), np.int64)
+        np.add.at(tc, inv[it], c[it])
+        np.add.at(sc, inv[~it], c[~it])
+        w = np.log(
+            (tc[inv] + 1.0) * float(S + V)
+            / ((sc[inv] + 1.0) * float(T + V))
+        )
+        doc = np.asarray(part["doc_id"].combine_chunks())
+        d_inv, d_uniq = pd.factorize(doc)
+        xs = np.zeros(len(d_uniq), np.float64)
+        np.add.at(xs, d_inv, c * w)
+        return pa.table(
+            {"doc_id": pa.array(d_uniq, pa.int64()),
+             "px": pa.array(xs, pa.float64())}
+        )
+
+    partials = map_partitions_by_key(rows, "g", score, num_parts=NUM_PARTS)
+
+    def fold(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "dsir_weight": pa.array([], pa.float64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        doc = np.asarray(part["doc_id"].combine_chunks())
+        px = np.asarray(part["px"].combine_chunks())
+        inv, uniq = pd.factorize(doc)
+        xs = np.zeros(len(uniq), np.float64)
+        np.add.at(xs, inv, px)
+        return pa.table(
+            {"doc_id": pa.array(uniq, pa.int64()),
+             "dsir_weight": pa.array(round6(xs), pa.float64())}
+        )
+
+    return map_partitions_by_key(partials, "doc_id", fold,
+                                 num_parts=NUM_PARTS)
+
+
+DOCS_DSIR_WEIGHTS_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_t,
+           string_split(text, ' ') AS ts
+    FROM documents
+),
+big AS (
+    SELECT doc_id, is_t,
+           unnest(list_transform(
+               generate_series(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i + 1]
+           )) AS g
+    FROM tok WHERE len(ts) >= 2
+),
+cnt AS (
+    SELECT doc_id, is_t, g, COUNT(*)::BIGINT AS c
+    FROM big GROUP BY 1, 2, 3
+),
+gs AS (
+    SELECT g,
+           CAST(SUM(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS tc,
+           CAST(SUM(CASE WHEN NOT is_t THEN c ELSE 0 END) AS BIGINT) AS sc
+    FROM cnt GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(tc) AS BIGINT) AS T, CAST(SUM(sc) AS BIGINT) AS S,
+           COUNT(*)::BIGINT AS V
+    FROM gs
+),
+w AS (
+    SELECT g,
+           ln((tc + 1.0) * CAST(S + V AS DOUBLE)
+              / ((sc + 1.0) * CAST(T + V AS DOUBLE))) AS wt
+    FROM gs, tot
+)
+SELECT c.doc_id, ROUND(SUM(c.c * w.wt), 6) AS dsir_weight
+FROM cnt c JOIN w USING (g)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_loss_mask — per-turn loss mask + cumulative token offsets
+# ---------------------------------------------------------------------------
+
+LOSS_ROLES = ("purchase", "signup")
+
+
+def q_conv_loss_mask(sf_dir: str):
+    """Per-turn SFT packing metadata: loss mask (1 for target roles)
+    plus each turn's cumulative [tok_start, tok_end) whitespace-token
+    offsets within its conversation — the precursor every
+    loss-masked packed-sequence trainer needs. ONE conv-keyed exchange;
+    offsets are a segmented cumsum in the fused pass."""
+    ds = read_events_as_transcripts(sf_dir)
+
+    from .queries import _conv_order
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "turn_idx": pa.array([], pa.int32()),
+             "loss_mask": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "tok_start": pa.array([], pa.int64()),
+             "tok_end": pa.array([], pa.int64())}
+        )
+        if tbl.num_rows == 0:
+            return empty
+        order, _k, _ts, seg_start = _conv_order(tbl)
+        role = tbl["role"].combine_chunks().take(pa.array(order))
+        text = tbl["text"].combine_chunks().take(pa.array(order))
+        # len(string_split(text, ' ')) == #spaces + 1 (matches the twin)
+        n_tok = (
+            np.asarray(
+                pc.count_substring(text, " ").cast(pa.int64())
+            )
+            + 1
+        )
+        mask = np.zeros(len(order), dtype=np.int64)
+        for rv in LOSS_ROLES:
+            mask |= np.asarray(pc.equal(role, rv).fill_null(False))
+        cum = np.cumsum(n_tok)
+        seg_first = np.maximum.accumulate(
+            np.where(seg_start, np.arange(len(order)), 0)
+        )
+        base = np.where(seg_first > 0, cum[seg_first - 1], 0)
+        tok_end = cum - base
+        tok_start = tok_end - n_tok
+        arange = np.arange(len(order), dtype=np.int64)
+        turn_idx = (arange - seg_first).astype(np.int32)
+        return pa.table(
+            {
+                "conv_id": tbl["conv_id"].combine_chunks().take(pa.array(order)),
+                "turn_idx": pa.array(turn_idx, pa.int32()),
+                "loss_mask": pa.array(mask, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "tok_start": pa.array(tok_start, pa.int64()),
+                "tok_end": pa.array(tok_end, pa.int64()),
+            }
+        )
+
+    return map_partitions_by_key(ds, "conv_id", fn, num_parts=NUM_PARTS)
+
+
+CONV_LOSS_MASK_SQL = f"""
+WITH {TRANSCRIPTS_SQL_CTE},
+t AS (
+    SELECT conv_id, turn_idx, role,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM transcripts
+)
+SELECT conv_id, turn_idx,
+       CAST(CASE WHEN role IN ('purchase', 'signup') THEN 1 ELSE 0 END
+            AS BIGINT) AS loss_mask,
+       n_tokens,
+       CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_start,
+       CAST(SUM(n_tokens) OVER w AS BIGINT) AS tok_end
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_codes — product-quantization assignment
+# ---------------------------------------------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_K = 8          # centroids per subspace (seeded: first K vectors)
+PQ_QSCALE = 1_000_000
+
+
+def q_embedding_pq_codes(sf_dir: str):
+    """Product-quantization code assignment — the memory-side half of
+    IVF-PQ ANN at corpus scale: split each vector into {PQ_M} subspaces,
+    assign each subvector to its nearest of {PQ_K} seeded centroids
+    (centroids = the first {PQ_K} vectors' subvectors). Distances use
+    the engine's fixed-point trick (q = floor(v*scale+0.5);
+    argmin of Σ cq² − 2·q·cq is exact int64, ties → smallest centroid),
+    so the twin matches bit for bit. Centroids broadcast once;
+    assignment is pure streaming."""
+    import ray
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seed_tbl = (
+        emb.filter(lambda r: r["vec_id"] < PQ_K)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    cents = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in seed_tbl["embedding"]]
+    )
+    cq = np.floor(cents * PQ_QSCALE + 0.5).astype(np.int64)
+    d = cq.shape[1]
+    sub_d = d // PQ_M
+    c_ref = ray.put(cq)
+
+    def assign(t: pa.Table, _c=c_ref) -> pa.Table:
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "sub": pa.array([], pa.int64()),
+             "code": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        cqs = ray.get(_c)
+        vals = np.asarray(
+            t["embedding"].combine_chunks().values.to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.float64,
+        ).reshape(t.num_rows, -1)
+        q = np.floor(vals * PQ_QSCALE + 0.5).astype(np.int64)
+        ids = np.asarray(t["vec_id"].combine_chunks().cast(pa.int64()))
+        out_v, out_s, out_c = [], [], []
+        for m in range(PQ_M):
+            sl = slice(m * sub_d, (m + 1) * sub_d)
+            qc = cqs[:, sl]
+            # score[i, k] = sum_d qc[k]^2 - 2 q[i] . qc[k]
+            score = (qc * qc).sum(axis=1)[None, :] - 2 * (q[:, sl] @ qc.T)
+            code = np.argmin(score, axis=1)  # first (smallest id) on ties
+            out_v.append(ids)
+            out_s.append(np.full(len(ids), m, dtype=np.int64))
+            out_c.append(code.astype(np.int64))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sub": pa.array(np.concatenate(out_s), pa.int64()),
+                "code": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _pq_sql() -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {PQ_QSCALE}
+                      + 0.5) AS BIGINT) AS q,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+),
+dims AS (SELECT CAST(MAX(dim) AS BIGINT) AS d FROM e),
+es AS (
+    SELECT vec_id, q, dim,
+           ((dim - 1) * {PQ_M}) // (SELECT d FROM dims) AS sub
+    FROM e
+),
+c AS (SELECT vec_id AS code, q AS cq, dim, sub FROM es
+      WHERE vec_id < {PQ_K}),
+dist AS (
+    SELECT es.vec_id, es.sub, c.code,
+           SUM(c.cq * c.cq - 2 * es.q * c.cq) AS score
+    FROM es JOIN c ON c.dim = es.dim AND c.sub = es.sub
+    GROUP BY 1, 2, 3
+),
+r AS (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY score, code) AS rn
+    FROM dist
+)
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+FROM r WHERE rn = 1
+"""
+
+
+EMBEDDING_PQ_CODES_SQL = _pq_sql()
+
+
+REGISTRY: dict[str, tuple] = {
+    "lineitem_pricing_summary": (
+        q_lineitem_pricing_summary,
+        LINEITEM_PRICING_SUMMARY_SQL,
+    ),
+    "orders_custdist": (q_orders_custdist, ORDERS_CUSTDIST_SQL),
+    "docs_prefix_dupes": (q_docs_prefix_dupes, DOCS_PREFIX_DUPES_SQL),
+    "docs_dsir_weights": (q_docs_dsir_weights, DOCS_DSIR_WEIGHTS_SQL),
+    "conv_loss_mask": (q_conv_loss_mask, CONV_LOSS_MASK_SQL),
+    "embedding_pq_codes": (q_embedding_pq_codes, EMBEDDING_PQ_CODES_SQL),
+}

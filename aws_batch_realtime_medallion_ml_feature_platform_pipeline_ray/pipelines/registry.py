@@ -109,4 +109,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r3f
 
     reg.update(queries_r3f.REGISTRY)
+    from . import queries_r4a
+
+    reg.update(queries_r4a.REGISTRY)
     return reg

@@ -70,6 +70,8 @@ SCALE_PATH: dict[str, str] = {
     "eval_quant_recall": "exact recall audit; sample queries at scale",
     "events_subseq_support": "candidate subsequences bounded by alphabet^2",
     "docs_vocab_overlap": "per-language vocab partials; cap vocab at scale",
+    "embedding_pq_codes": "codebook broadcast is O(M*K*dim) — constant",
+    "docs_prefix_dupes": "one global range-partition sort + O(#blocks) boundary stitch",
 }
 
 _BY_CLASS: dict[str, list[str]] = {
@@ -107,6 +109,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "events_periodogram", "events_diurnal_harmonic", "docs_llr_bigrams",
         "docs_pmi_bigrams", "events_seasonal_naive", "engine_partition_balance",
         "events_haar_details", "orders_priority_path",
+        "lineitem_pricing_summary", "embedding_pq_codes",
     ],
     # ---- one data-cardinality keyed exchange ----
     "one-exchange": [
@@ -157,6 +160,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "embedding_knn_degree_hist", "events_subseq_support",
         "docs_vocab_overlap", "basket_rules", "events_cdc_apply",
         "user_feature_snapshot", "orders_shipping_priority",
+        "conv_loss_mask", "docs_prefix_dupes",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [
@@ -170,6 +174,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "docs_sorted_neighborhood", "docs_soft_dedup_weights",
         "docs_curation_e2e", "docs_curation_funnel", "docs_curation_to_shards",
         "medallion_stream", "medallion_incremental", "train_kfold",
+        "orders_custdist", "docs_dsir_weights",
         "returned_top_customers", "orders_market_share", "fk_orphans_audit",
         "large_volume_customers", "docs_lr_auc", "embedding_kmeans_step",
         "docs_pareto_front", "gdpr_cascade_audit", "events_hopping",
