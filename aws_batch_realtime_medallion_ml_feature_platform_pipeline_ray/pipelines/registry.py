@@ -112,4 +112,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r4a
 
     reg.update(queries_r4a.REGISTRY)
+    from . import queries_r4b
+
+    reg.update(queries_r4b.REGISTRY)
     return reg

@@ -110,6 +110,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "docs_pmi_bigrams", "events_seasonal_naive", "engine_partition_balance",
         "events_haar_details", "orders_priority_path",
         "lineitem_pricing_summary", "embedding_pq_codes",
+        "docs_tokenizer_fertility",
     ],
     # ---- one data-cardinality keyed exchange ----
     "one-exchange": [
@@ -161,6 +162,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "docs_vocab_overlap", "basket_rules", "events_cdc_apply",
         "user_feature_snapshot", "orders_shipping_priority",
         "conv_loss_mask", "docs_prefix_dupes",
+        "docs_dedup_survivorship", "events_watermark_lag",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [
@@ -175,6 +177,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "docs_curation_e2e", "docs_curation_funnel", "docs_curation_to_shards",
         "medallion_stream", "medallion_incremental", "train_kfold",
         "orders_custdist", "docs_dsir_weights",
+        "orders_local_supplier_revenue", "nations_trade_volume",
         "returned_top_customers", "orders_market_share", "fk_orphans_audit",
         "large_volume_customers", "docs_lr_auc", "embedding_kmeans_step",
         "docs_pareto_front", "gdpr_cascade_audit", "events_hopping",
