@@ -431,15 +431,20 @@ def _bigram_rows(t: pa.Table) -> pa.Table:
         np.asarray(t["lang"].combine_chunks(), dtype=object)
         == DSIR_TARGET_LANG
     )
-    key = np.char.add(np.char.add(d_idx.astype(str), "\x1f"), g)
-    inv, uniq_pos = pd.factorize(key)
-    first = np.zeros(len(uniq_pos), dtype=np.int64)
+    # hash the bigram to int64 (stable pandas siphash — the ppjoin
+    # convention): every downstream exchange and group ships 8-byte keys
+    # instead of strings. A 64-bit collision would perturb one gram
+    # aggregate; probability ~#grams^2/2^64 — the accepted house epsilon
+    gh = pd.util.hash_array(g, categorize=True).view(np.int64)
+    key = (d_idx.astype(np.int64) << np.int64(32)) ^ gh
+    inv, _uniq_pos = pd.factorize(key)
+    first = np.zeros(len(_uniq_pos), dtype=np.int64)
     first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)
     c = np.bincount(inv).astype(np.int64)
     return pa.table(
         {
             "doc_id": pa.array(ids[d_idx[first]], pa.int64()),
-            "g": pa.array(g[first].astype(str), pa.string()),
+            "g": pa.array(gh[first], pa.int64()),
             "c": pa.array(c, pa.int64()),
             "is_t": pa.array(
                 is_t[d_idx[first]].astype(np.int8), pa.int8()
@@ -492,13 +497,20 @@ def q_docs_dsir_weights(sf_dir: str):
     T, S = int(tots["T"] or 0), int(tots["S"] or 0)
 
     def distinct_partial(part: pa.Table) -> pa.Table:
-        g = np.asarray(part["g"].combine_chunks(), dtype=object) \
-            if part.num_rows else np.empty(0, object)
-        return pa.table({"v": pa.array([len(set(g))], pa.int64())})
+        g = np.asarray(part["g"].combine_chunks()) \
+            if part.num_rows else np.empty(0, np.int64)
+        return pa.table(
+            {"v": pa.array([len(np.unique(g))], pa.int64())}
+        )
 
+    # V rides a slimmed (g-only) projection through the keyed exchange
+    g_only = rows.map_batches(
+        lambda t: t.select(["g"]), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     V = int(
         map_partitions_by_key(
-            rows, "g", distinct_partial, num_parts=NUM_PARTS
+            g_only, "g", distinct_partial, num_parts=NUM_PARTS
         ).aggregate(Sum("v", alias_name="v"))["v"]
         or 0
     )
@@ -512,7 +524,7 @@ def q_docs_dsir_weights(sf_dir: str):
         )
         if part.num_rows == 0:
             return empty
-        g = np.asarray(part["g"].combine_chunks(), dtype=object)
+        g = np.asarray(part["g"].combine_chunks())
         c = np.asarray(part["c"].combine_chunks())
         it = np.asarray(part["is_t"].combine_chunks()).astype(bool)
         inv, _uniq = pd.factorize(g)
