@@ -115,4 +115,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r4b
 
     reg.update(queries_r4b.REGISTRY)
+    from . import queries_r4c
+
+    reg.update(queries_r4c.REGISTRY)
     return reg

@@ -163,6 +163,8 @@ _BY_CLASS: dict[str, list[str]] = {
         "user_feature_snapshot", "orders_shipping_priority",
         "conv_loss_mask", "docs_prefix_dupes",
         "docs_dedup_survivorship", "events_watermark_lag",
+        "train_dedup_aware_split", "conv_concurrent_turns",
+        "docs_dup_ratio_by_source",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [
