@@ -118,4 +118,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r4c
 
     reg.update(queries_r4c.REGISTRY)
+    from . import queries_r4d
+
+    reg.update(queries_r4d.REGISTRY)
     return reg

@@ -72,6 +72,7 @@ SCALE_PATH: dict[str, str] = {
     "docs_vocab_overlap": "per-language vocab partials; cap vocab at scale",
     "embedding_pq_codes": "codebook broadcast is O(M*K*dim) — constant",
     "docs_prefix_dupes": "one global range-partition sort + O(#blocks) boundary stitch",
+    "docs_head_middle_tail": "O(docs) driver rank; two-pass quantile threshold at corpus scale",
 }
 
 _BY_CLASS: dict[str, list[str]] = {
@@ -164,7 +165,8 @@ _BY_CLASS: dict[str, list[str]] = {
         "conv_loss_mask", "docs_prefix_dupes",
         "docs_dedup_survivorship", "events_watermark_lag",
         "train_dedup_aware_split", "conv_concurrent_turns",
-        "docs_dup_ratio_by_source",
+        "docs_dup_ratio_by_source", "conv_tool_call_stats",
+        "events_lateness_by_day",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [
@@ -192,6 +194,7 @@ _BY_CLASS: dict[str, list[str]] = {
     ],
     # ---- ray.put small side with documented bound + named fallback ----
     "broadcast-bounded": [
+        "docs_head_middle_tail",
         "embedding_pagerank", "embedding_label_prop_step",
         "embedding_bfs_hops", "docs_ngram_jaccard", "docs_containment_pairs",
         "docs_weighted_jaccard", "docs_neardup_filter", "docs_decontam",
