@@ -1,0 +1,247 @@
+"""Round-4 operator additions, batch 5 (oracle-exact, DuckDB twins).
+
+- ``embedding_pq_residual_energy`` — the quality half of IVF-PQ: exact
+  integer reconstruction error of each vector under its
+  product-quantization code assignment (rank-by-energy tells you which
+  vectors PQ is mis-serving and how to size K/M).
+- ``docs_suffix_dupes`` — suffix-duplicate flags (header-stripped /
+  tail-quoted copies): the mirror of ``docs_prefix_dupes`` — reverse
+  every text, global sort, lexicographic-contiguity successor check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.reads import read_parquet_sized
+
+NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_residual_energy — PQ reconstruction error, exact ints
+# ---------------------------------------------------------------------------
+
+def q_embedding_pq_residual_energy(sf_dir: str):
+    """Per vector: the total quantized reconstruction error
+    Σ_sub Σ_dim (q − cq_assigned)² under the PQ assignment of
+    ``embedding_pq_codes`` (same fixed-point scale, same seeded
+    codebook, same exact-int argmin with ties to the smallest centroid)
+    — all int64, so the twin matches bit for bit. Codebook broadcast
+    once; pure streaming."""
+    import ray
+
+    from .queries_r4a import PQ_K, PQ_M, PQ_QSCALE
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seed_tbl = (
+        emb.filter(lambda r: r["vec_id"] < PQ_K)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    cents = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in seed_tbl["embedding"]]
+    )
+    cq = np.floor(cents * PQ_QSCALE + 0.5).astype(np.int64)
+    d = cq.shape[1]
+    sub_d = d // PQ_M
+    c_ref = ray.put(cq)
+
+    def energy(t: pa.Table, _c=c_ref) -> pa.Table:
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "residual_energy": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        cqs = ray.get(_c)
+        vals = np.asarray(
+            t["embedding"].combine_chunks().values.to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.float64,
+        ).reshape(t.num_rows, -1)
+        q = np.floor(vals * PQ_QSCALE + 0.5).astype(np.int64)
+        ids = np.asarray(t["vec_id"].combine_chunks().cast(pa.int64()))
+        total = np.zeros(len(ids), dtype=np.int64)
+        for m in range(PQ_M):
+            sl = slice(m * sub_d, (m + 1) * sub_d)
+            qc = cqs[:, sl]
+            score = (qc * qc).sum(axis=1)[None, :] - 2 * (q[:, sl] @ qc.T)
+            code = np.argmin(score, axis=1)
+            diff = q[:, sl] - qc[code]
+            total += (diff * diff).sum(axis=1)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "residual_energy": pa.array(total, pa.int64())}
+        )
+
+    return emb.map_batches(energy, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _pq_residual_sql() -> str:
+    from .queries_r4a import PQ_K, PQ_M, PQ_QSCALE
+
+    return f"""
+WITH e AS (
+    SELECT vec_id,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {PQ_QSCALE}
+                      + 0.5) AS BIGINT) AS q,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings
+),
+dims AS (SELECT CAST(MAX(dim) AS BIGINT) AS d FROM e),
+es AS (
+    SELECT vec_id, q, dim,
+           ((dim - 1) * {PQ_M}) // (SELECT d FROM dims) AS sub
+    FROM e
+),
+c AS (SELECT vec_id AS code, q AS cq, dim, sub FROM es
+      WHERE vec_id < {PQ_K}),
+dist AS (
+    SELECT es.vec_id, es.sub, c.code,
+           SUM(c.cq * c.cq - 2 * es.q * c.cq) AS score
+    FROM es JOIN c ON c.dim = es.dim AND c.sub = es.sub
+    GROUP BY 1, 2, 3
+),
+assign AS (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY score, code) AS rn
+    FROM dist
+),
+res AS (
+    SELECT es.vec_id,
+           SUM((es.q - c.cq) * (es.q - c.cq)) AS energy
+    FROM es
+    JOIN assign a ON a.vec_id = es.vec_id AND a.sub = es.sub AND a.rn = 1
+    JOIN c ON c.code = a.code AND c.dim = es.dim
+    GROUP BY 1
+)
+SELECT vec_id, CAST(energy AS BIGINT) AS residual_energy FROM res
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_suffix_dupes — reversed-text mirror of docs_prefix_dupes
+# ---------------------------------------------------------------------------
+
+def q_docs_suffix_dupes(sf_dir: str):
+    """Flag documents whose text is a strict-or-equal SUFFIX of another
+    document (header-stripped re-crawls, tail quotations): reverse every
+    text, then the prefix-dup machinery applies verbatim — global sort +
+    immediate-successor starts_with + equal-run predecessor check, block
+    boundaries stitched through an O(#blocks) driver summary."""
+    import ray
+    import ray.data as rd
+
+    ds = (
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "rtext": pc.utf8_reverse(t["text"].combine_chunks()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort("rtext")
+        .materialize()
+    )
+
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"first_text": pa.array([], pa.string()),
+                 "last_text": pa.array([], pa.string()),
+                 "first_doc": pa.array([], pa.int64()),
+                 "last_doc": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "first_text": t["rtext"].slice(0, 1),
+                "last_text": t["rtext"].slice(t.num_rows - 1, 1),
+                "first_doc": t["doc_id"].slice(0, 1),
+                "last_doc": t["doc_id"].slice(t.num_rows - 1, 1),
+            }
+        )
+
+    sums = (
+        ds.map_batches(summary, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+        .to_pandas()
+        .sort_values(["first_text", "last_text"], ignore_index=True)
+    )
+    last_flag: dict[int, bool] = {}
+    first_prev: dict[int, str] = {}
+    for i in range(len(sums)):
+        nxt = sums["first_text"].iloc[i + 1] if i + 1 < len(sums) else None
+        last_flag[int(sums["last_doc"].iloc[i])] = bool(
+            nxt is not None and nxt.startswith(sums["last_text"].iloc[i])
+        )
+        if i > 0:
+            first_prev[int(sums["first_doc"].iloc[i])] = str(
+                sums["last_text"].iloc[i - 1]
+            )
+    lf_ref = ray.put(last_flag)
+    fp_ref = ray.put(first_prev)
+
+    def flags(t: pa.Table, _lf=lf_ref, _fp=fp_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "is_suffix_dup": pa.array([], pa.int64())}
+            )
+        lf = ray.get(_lf)
+        fp = ray.get(_fp)
+        text = np.asarray(t["rtext"].combine_chunks(), dtype=object)
+        doc = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        n = len(text)
+        out = np.zeros(n, dtype=bool)
+        if n > 1:
+            succ = np.array(
+                [text[i + 1].startswith(text[i]) for i in range(n - 1)]
+            )
+            out[:-1] = succ
+            out[1:] |= text[1:] == text[:-1]
+        out[-1] = out[-1] | lf.get(int(doc[-1]), False)
+        pv = fp.get(int(doc[0]))
+        if pv is not None:
+            out[0] = out[0] | (pv == text[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "is_suffix_dup": pa.array(out.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flags, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+DOCS_SUFFIX_DUPES_SQL = """
+SELECT a.doc_id,
+       CAST(EXISTS (
+           SELECT 1 FROM documents b
+           WHERE b.doc_id <> a.doc_id AND ends_with(b.text, a.text)
+       ) AS BIGINT) AS is_suffix_dup
+FROM documents a
+"""
+
+
+REGISTRY: dict[str, tuple] = {
+    "embedding_pq_residual_energy": (
+        q_embedding_pq_residual_energy,
+        _pq_residual_sql(),
+    ),
+    "docs_suffix_dupes": (q_docs_suffix_dupes, DOCS_SUFFIX_DUPES_SQL),
+}

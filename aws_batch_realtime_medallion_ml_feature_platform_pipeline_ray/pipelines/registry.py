@@ -121,4 +121,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r4d
 
     reg.update(queries_r4d.REGISTRY)
+    from . import queries_r4e
+
+    reg.update(queries_r4e.REGISTRY)
     return reg

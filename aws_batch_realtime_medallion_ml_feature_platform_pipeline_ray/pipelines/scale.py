@@ -73,6 +73,7 @@ SCALE_PATH: dict[str, str] = {
     "embedding_pq_codes": "codebook broadcast is O(M*K*dim) — constant",
     "docs_prefix_dupes": "one global range-partition sort + O(#blocks) boundary stitch",
     "docs_head_middle_tail": "O(docs) driver rank; two-pass quantile threshold at corpus scale",
+    "docs_suffix_dupes": "one global range-partition sort + O(#blocks) boundary stitch",
 }
 
 _BY_CLASS: dict[str, list[str]] = {
@@ -111,7 +112,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "docs_pmi_bigrams", "events_seasonal_naive", "engine_partition_balance",
         "events_haar_details", "orders_priority_path",
         "lineitem_pricing_summary", "embedding_pq_codes",
-        "docs_tokenizer_fertility",
+        "docs_tokenizer_fertility", "embedding_pq_residual_energy",
     ],
     # ---- one data-cardinality keyed exchange ----
     "one-exchange": [
@@ -166,7 +167,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "docs_dedup_survivorship", "events_watermark_lag",
         "train_dedup_aware_split", "conv_concurrent_turns",
         "docs_dup_ratio_by_source", "conv_tool_call_stats",
-        "events_lateness_by_day",
+        "events_lateness_by_day", "docs_suffix_dupes",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [
