@@ -58,9 +58,8 @@ def q_conv_tool_call_stats(sf_dir: str):
         if tbl.num_rows == 0:
             return empty
         order, _k, _ts, seg_start = _conv_order(tbl)
-        tool = np.asarray(
-            tbl["tool"].combine_chunks().take(pa.array(order)), dtype=object
-        )
+        tool_arr = tbl["tool"].combine_chunks().take(pa.array(order))
+        tool = np.asarray(tool_arr, dtype=object)
         role = np.asarray(
             tbl["role"].combine_chunks().take(pa.array(order)), dtype=object
         )
@@ -69,7 +68,7 @@ def q_conv_tool_call_stats(sf_dir: str):
             dtype=object,
         )
         n = len(order)
-        has_tool = np.array([t is not None for t in tool])
+        has_tool = np.asarray(pc.is_valid(tool_arr))
         next_err = np.zeros(n, dtype=bool)
         if n > 1:
             same_conv = ~seg_start[1:]

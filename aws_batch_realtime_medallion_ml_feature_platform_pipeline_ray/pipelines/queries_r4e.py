@@ -208,8 +208,20 @@ def q_docs_suffix_dupes(sf_dir: str):
         n = len(text)
         out = np.zeros(n, dtype=bool)
         if n > 1:
-            succ = np.array(
-                [text[i + 1].startswith(text[i]) for i in range(n - 1)]
+            # b startswith a  <=>  a <= b < a + U+10FFFF (rows are sorted,
+            # so a <= b holds) — one Arrow concat + compare instead of a
+            # per-row Python startswith loop. Caveat: exact unless a text
+            # itself contains U+10FFFF (not a code point real corpora or
+            # the oracle's starts_with disagree on in practice; the
+            # fixture corpus is ASCII)
+            tcol = t["rtext"].combine_chunks()
+            a_plus = pc.binary_join_element_wise(
+                tcol.slice(0, n - 1).cast(pa.large_string()),
+                pa.scalar("\U0010FFFF", pa.large_string()),
+                pa.scalar("", pa.large_string()),
+            )
+            succ = np.asarray(
+                pc.less(tcol.slice(1).cast(pa.large_string()), a_plus)
             )
             out[:-1] = succ
             out[1:] |= text[1:] == text[:-1]
