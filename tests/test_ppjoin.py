@@ -55,10 +55,14 @@ def test_boilerplate_gram_never_expands():
     assert cand.num_rows == 0  # unique grams share nothing
 
 
-def test_prefix_filter_is_exact_vs_bruteforce():
+@pytest.mark.parametrize("num,den,seed", [
+    (1, 2, 7), (2, 3, 8), (4, 5, 9), (1, 3, 10), (1, 2, 11),
+])
+def test_prefix_filter_is_exact_vs_bruteforce(num, den, seed):
     """Randomized: candidates from prefix expansion ⊇ all pairs with
-    Jaccard >= tau (the prefix-filter completeness guarantee)."""
-    rng = np.random.default_rng(7)
+    Jaccard >= tau (the prefix-filter completeness guarantee), across
+    thresholds and seeds."""
+    rng = np.random.default_rng(seed)
     vocab = [f"g{i}" for i in range(40)]
     doc_sets = {
         d: list(
@@ -68,23 +72,27 @@ def test_prefix_filter_is_exact_vs_bruteforce():
         )
         for d in range(60)
     }
-    pfx = _prefix_rows(doc_sets, tau=(1, 2))
+    pfx = _prefix_rows(doc_sets, tau=(num, den))
     cand = set(
-        np.asarray(P.expand_jaccard_pairs(pfx, 1, 2)["pair"]).tolist()
+        np.asarray(P.expand_jaccard_pairs(pfx, num, den)["pair"]).tolist()
     )
+    tau = num / den
     # brute force
     need = set()
     for a in range(60):
         for b in range(a + 1, 60):
             A, B = set(doc_sets[a]), set(doc_sets[b])
             j = len(A & B) / len(A | B)
-            if j >= 0.5:
+            if j >= tau:
                 need.add((a << 32) | b)
     assert need <= cand
 
 
-def test_smallside_expansion_exact_for_containment():
-    rng = np.random.default_rng(11)
+@pytest.mark.parametrize("num,den,seed", [
+    (7, 10, 11), (1, 2, 12), (9, 10, 13),
+])
+def test_smallside_expansion_exact_for_containment(num, den, seed):
+    rng = np.random.default_rng(seed)
     vocab = [f"g{i}" for i in range(30)]
     doc_sets = {
         d: list(
@@ -95,22 +103,28 @@ def test_smallside_expansion_exact_for_containment():
         for d in range(50)
     }
     rows = _gram_rows(doc_sets)
-    flagged = P.select_prefix_flagged(P.attach_df(rows), 7, 10)
+    flagged = P.select_prefix_flagged(P.attach_df(rows), num, den)
     cand = set(
-        np.asarray(P.expand_smallside_pairs(flagged, 7, 10)["pair"]).tolist()
+        np.asarray(
+            P.expand_smallside_pairs(flagged, num, den)["pair"]
+        ).tolist()
     )
+    tau = num / den
     need = set()
     for a in range(50):
         for b in range(a + 1, 50):
             A, B = set(doc_sets[a]), set(doc_sets[b])
             c = len(A & B) / min(len(A), len(B))
-            if c >= 0.7:
+            if c >= tau:
                 need.add((a << 32) | b)
     assert need <= cand
 
 
-def test_weighted_prefix_complete_vs_bruteforce():
-    rng = np.random.default_rng(3)
+@pytest.mark.parametrize("num,den,seed", [
+    (7, 20, 3), (1, 5, 4), (3, 5, 5),
+])
+def test_weighted_prefix_complete_vs_bruteforce(num, den, seed):
+    rng = np.random.default_rng(seed)
     vocab = [f"g{i}" for i in range(25)]
     doc_sets = {
         d: list(
@@ -123,9 +137,9 @@ def test_weighted_prefix_complete_vs_bruteforce():
     rows = _gram_rows(doc_sets)
     n_docs = len(doc_sets)
     idf_rows = P.attach_idf(rows, n_docs)
-    pfx = P.select_prefix_weighted(idf_rows, 7, 20)
+    pfx = P.select_prefix_weighted(idf_rows, num, den)
     cand = set(
-        np.asarray(P.expand_weighted_pairs(pfx, 7, 20)["pair"]).tolist()
+        np.asarray(P.expand_weighted_pairs(pfx, num, den)["pair"]).tolist()
     )
     # brute-force weighted jaccard with the same fixed-point idf
     import collections
@@ -140,7 +154,7 @@ def test_weighted_prefix_complete_vs_bruteforce():
             A, B = set(doc_sets[a]), set(doc_sets[b])
             wi = sum(w[g] for g in A & B)
             wu = sum(w[g] for g in A | B)
-            if wu and wi / wu >= 0.35:
+            if wu and wi / wu >= num / den:
                 need.add((a << 32) | b)
     assert need <= cand
 
