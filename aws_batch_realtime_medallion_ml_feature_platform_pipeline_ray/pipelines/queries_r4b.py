@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 from ..functions.numeric import round6
 from ..sources.reads import read_parquet_sized
 from ..stages.keyed import cogroup_by_key, map_partitions_by_key
-from .queries_r2h import _cents, _nation_maps, _rev_c100, _seg_sum, _years
+from .queries_r2h import _nation_maps, _rev_c100, _seg_sum, _years
 
 NUM_PARTS = None  # derived: stages/keyed.derive_num_parts
 

@@ -138,7 +138,6 @@ def q_docs_suffix_dupes(sf_dir: str):
     immediate-successor starts_with + equal-run predecessor check, block
     boundaries stitched through an O(#blocks) driver summary."""
     import ray
-    import ray.data as rd
 
     ds = (
         read_parquet_sized(
