@@ -124,4 +124,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r4e
 
     reg.update(queries_r4e.REGISTRY)
+    from . import queries_r4f
+
+    reg.update(queries_r4f.REGISTRY)
     return reg

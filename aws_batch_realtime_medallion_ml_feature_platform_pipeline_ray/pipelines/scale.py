@@ -74,6 +74,7 @@ SCALE_PATH: dict[str, str] = {
     "docs_prefix_dupes": "one global range-partition sort + O(#blocks) boundary stitch",
     "docs_head_middle_tail": "O(docs) driver rank; two-pass quantile threshold at corpus scale",
     "docs_suffix_dupes": "one global range-partition sort + O(#blocks) boundary stitch",
+    "docs_token_coverage_curve": "per-partition top-K partials; driver merge is O(parts x K)",
 }
 
 _BY_CLASS: dict[str, list[str]] = {
@@ -168,6 +169,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "train_dedup_aware_split", "conv_concurrent_turns",
         "docs_dup_ratio_by_source", "conv_tool_call_stats",
         "events_lateness_by_day", "docs_suffix_dupes",
+        "docs_token_coverage_curve", "conv_repeat_loops",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [

@@ -31,6 +31,8 @@ CASES = [
     ("queries_r4d", "q_docs_head_middle_tail", ["doc_id"]),
     ("queries_r4e", "q_embedding_pq_residual_energy", ["vec_id"]),
     ("queries_r4e", "q_docs_suffix_dupes", ["doc_id"]),
+    ("queries_r4f", "q_docs_token_coverage_curve", ["k"]),
+    ("queries_r4f", "q_conv_repeat_loops", ["conv_id"]),
     # the rebuilt PPJoin similarity family (round-4 core fix)
     ("queries_text", "q_docs_ngram_jaccard", ["doc_a", "doc_b"]),
     ("queries_text", "q_docs_containment_pairs", ["doc_a", "doc_b"]),
