@@ -55,7 +55,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .dedup import _check_packable, _pair_expand
+from .dedup import _check_packable
 
 __all__ = [
     "hash_grams",
