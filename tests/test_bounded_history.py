@@ -201,3 +201,31 @@ def test_conflicting_redelivery_falls_back_to_full(batches, tmp_path,
     # the conflicted partition took the exact full path; untouched
     # partitions may be bounded-noop (empty slice)
     assert any(m.extra.get("gold_mode") == "full" for m in gms)
+
+
+def test_bounded_after_compaction_still_exact(batches, tmp_path,
+                                              ray_session):
+    """compact_silver rewrites run files as run-compact-* (manifested
+    under the silver_compact stage, so _split_history_files has no
+    silver-stage bounds for them): the bounded plan must treat them as
+    HOT (conservative full read) and stay value-identical to the full
+    baseline."""
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.medallion import (
+        compact_silver,
+    )
+
+    full_root = str(tmp_path / "full_c")
+    bounded_root = str(tmp_path / "bounded_c")
+    for root, bounded in ((full_root, False), (bounded_root, True)):
+        for i, b in enumerate(batches[:2]):
+            run_stream(b, root, run_id=f"r{i}",
+                       processed_at="2024-03-01T00:00:00", num_parts=4,
+                       bounded_history=bounded)
+        compact_silver(root, run_id="c1")
+        run_stream(batches[2], root, run_id="r2",
+                   processed_at="2024-03-01T00:00:00", num_parts=4,
+                   bounded_history=bounded)
+
+    g_full = _read_tree(full_root, "gold/part=*/dt=*/data.parquet")
+    g_bounded = _read_tree(bounded_root, "gold/part=*/dt=*/data.parquet")
+    pd.testing.assert_frame_equal(g_full, g_bounded)
