@@ -138,9 +138,17 @@ def main(argv=None) -> int:
     s.add_argument(
         "--bounded-history",
         action="store_true",
+        default=True,
         help="manifest-pruned gold recompute: narrow-read silver files "
         "older than the feature-window horizon (exact; falls back to "
-        "full recompute on conflicting redeliveries)",
+        "full recompute on conflicting redeliveries). Default ON.",
+    )
+    s.add_argument(
+        "--full-history",
+        dest="bounded_history",
+        action="store_false",
+        help="explicit fallback: exact full-history gold recompute "
+        "(O(total silver history) per run)",
     )
     s.set_defaults(fn=cmd_run_stream)
 

@@ -127,12 +127,14 @@ def run_stream(
     num_parts: int = 16,
     gold_cfg: GoldConfig | None = None,
     ray_kwargs: dict | None = None,
-    bounded_history: bool = False,
+    bounded_history: bool = True,
 ) -> StreamRunResult:
     """Execute one stream run. Returns run metrics (from manifests).
 
-    ``bounded_history=True`` switches the gold recompute from the
-    O(full-partition-history) baseline to the manifest-pruned bounded
+    ``bounded_history=True`` (the production DEFAULT since r5 — the
+    full recompute is the explicit ``bounded_history=False`` fallback)
+    switches the gold recompute from the O(full-partition-history)
+    baseline to the manifest-pruned bounded
     plan (VERDICT r3 §next-3): silver run files whose manifest
     ``max_ts`` predates ``slice_min_ts - max_window`` are read with a
     NARROW projection (conv_id, turn_idx, ts, ingest_ts — no text) that

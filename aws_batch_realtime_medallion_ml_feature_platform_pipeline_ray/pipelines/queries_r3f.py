@@ -304,68 +304,51 @@ def q_docs_weighted_jaccard(sf_dir: str):
     like near-duplicates while genuine shared RARE content still
     matches. The weighted sibling of ``docs_ngram_jaccard``.
 
-    Plan (round-4: weighted PPJoin prefix filter, stages/ppjoin.py):
-    gram-keyed idf attach (df is partition-local under the gram
-    exchange; fixed-point micro-unit weights so every fold is an exact
-    int64 sum) → doc-keyed WEIGHTED prefix selection (minimal
-    heaviest-first head whose complement weight < t*W — provably loses
-    no pair with wjac >= t) → gh-keyed expansion over prefix rows only
-    → doc_id cogroup attaches candidate docs' full (gh, w) sets → one
-    pair-keyed exact verify. The round-3 plan expanded every gram's
-    full posting list (C(df,2) pairs on boilerplate grams — the last
-    100-TB wall, VERDICT r3 "What's wrong #1"); prefixes never contain
-    hot grams, so that wall is gone while the emitted pair set and the
-    unchanged SQL twin stay value-exact. The idf relation is consumed
-    twice (prefix side + verify side); Ray re-executes the lineage —
-    2x compute for zero mid-pipeline materialization (at production
-    scale, checkpoint the (doc_id, gh, w) relation to Parquet once and
-    read it for both consumers). N (docs with >= 3 tokens) is one tiny
-    aggregate pass."""
+    Plan (round-4 weighted PPJoin prefix filter, fused per round-4
+    §next-5 on the shared ``gram_df_front`` checkpoint): grams hashed
+    IN the explode batch (strings never shuffled), ONE int-keyed
+    exchange attaches df, and the materialized (doc_id, gh, df, dn)
+    relation feeds BOTH the prefix side and the verify side — idf
+    micro-unit weights w = round(ln(N/df)*1e6) are a pure function of
+    df, derived on each side instead of exchanged. Doc-keyed WEIGHTED
+    prefix selection (minimal heaviest-first head whose complement
+    weight < t*W — provably loses no pair with wjac >= t) → gh-keyed
+    expansion over prefix rows only → auto-routed exact verify
+    (``verify_pairs``: broadcast shared-weight counting when candidates
+    fit, (gh, w)-cogroup fallback past the limit). The round-3 plan
+    expanded every gram's full posting list (C(df,2) pairs on
+    boilerplate grams — the last 100-TB wall, VERDICT r3 "What's wrong
+    #1"); prefixes never contain hot grams, so that wall is gone while
+    the emitted pair set and the unchanged SQL twin stay value-exact.
+    N (docs with >= k tokens, i.e. contributing grams) is one tiny
+    streaming partial-sum pass over the docs table."""
+    from ..functions.text import tokens_list
     from ..stages import ppjoin as P
-    from ..stages.dedup import ngram_table
     from ..stages.keyed import map_partitions_by_key as _mpk
 
     docs = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    grams = docs.map_batches(
-        ngram_table, batch_format="pyarrow", zero_copy_batch=True
-    )
-    # N = docs contributing grams (>= 3 tokens): distinct docs in the
-    # gram relation — per-block distinct partials, tiny sum
+
+    # N = docs contributing grams (>= 3 tokens) — per-block partial
+    # counts, one tiny sum; no shuffle, no re-tokenization later
+    def _count_gram_docs(t: pa.Table) -> pa.Table:
+        toks = tokens_list(t["text"].combine_chunks())
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        return pa.table({"c": pa.array([int((lens >= 3).sum())], pa.int64())})
+
     n_docs = int(
-        grams.map_batches(
-            lambda t: pa.table(
-                {
-                    "d": pa.array(
-                        np.unique(
-                            np.asarray(
-                                t["doc_id"].combine_chunks().cast(pa.int64())
-                            )
-                        ),
-                        pa.int64(),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .groupby("d")
-        .count()
-        .count()
+        docs.map_batches(
+            _count_gram_docs, batch_format="pyarrow", zero_copy_batch=True
+        ).sum("c")
     )
 
-    idf = _mpk(
-        grams,
-        "gram",
-        lambda t: P.attach_idf(t, n_docs),
-        num_parts=NUM_PARTS,
-    )
+    dfd = P.gram_df_front(docs, num_parts=NUM_PARTS)
     # WJACCARD_THRESHOLD = 0.35 = 7/20 — exact int64 cross-multiplied cut
     pfx = _mpk(
-        idf,
+        dfd,
         "doc_id",
-        lambda t: P.select_prefix_weighted(t, 7, 20),
+        lambda t: P.select_prefix_weighted(P.with_idf_w(t, n_docs), 7, 20),
         num_parts=NUM_PARTS,
     )
     cand = _mpk(
@@ -374,28 +357,9 @@ def q_docs_weighted_jaccard(sf_dir: str):
         lambda t: P.expand_weighted_pairs(t, 7, 20),
         num_parts=NUM_PARTS,
     )
-    # broadcast-candidate verify: count shared WEIGHT per pair inside
-    # the gram-keyed partitions (bounded collect; cogroup fallback
-    # documented in stages/ppjoin.py)
-    import ray
-
-    ct = P.collect_candidates(cand, ("s_lo", "s_hi"))
-    pref = ray.put(np.asarray(ct["pair"]))
-    slo = ray.put(np.asarray(ct["s_lo"]))
-    shi = ray.put(np.asarray(ct["s_hi"]))
-    counts = _mpk(
-        idf,
-        "gh",
-        lambda t: P.count_shared(t, pref, weighted=True),
-        num_parts=NUM_PARTS,
-    )
-    return _mpk(
-        counts,
-        "pair",
-        lambda t: P.finish_pair_scores(
-            t, pref, slo, shi, "wjaccard", WJACCARD_THRESHOLD, "wjaccard"
-        ),
-        num_parts=NUM_PARTS,
+    return P.verify_pairs(
+        dfd, cand, "wjaccard", WJACCARD_THRESHOLD, "wjaccard",
+        num_parts=NUM_PARTS, n_docs=n_docs,
     )
 
 

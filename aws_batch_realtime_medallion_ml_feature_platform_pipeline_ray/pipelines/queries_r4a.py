@@ -251,11 +251,16 @@ def q_orders_custdist(sf_dir: str):
         if lpart.num_rows == 0:
             return empty
         ck = lpart["ck"].combine_chunks()
-        idx = pc.index_in(ck, value_set=rpart["ck"].combine_chunks())
-        idx_np = np.asarray(idx.cast(pa.int64()).fill_null(-1))
-        ones = np.asarray(rpart["one"].combine_chunks()) if rpart.num_rows \
-            else np.empty(0, np.int64)
-        cc = np.where(idx_np >= 0, ones[np.maximum(idx_np, 0)], 0)
+        if rpart.num_rows == 0:
+            # LEFT semantics: a partition with customers but no order
+            # counts yields c_count=0 for all of them (indexing an
+            # empty `ones` would raise)
+            cc = np.zeros(len(ck), np.int64)
+        else:
+            idx = pc.index_in(ck, value_set=rpart["ck"].combine_chunks())
+            idx_np = np.asarray(idx.cast(pa.int64()).fill_null(-1))
+            ones = np.asarray(rpart["one"].combine_chunks())
+            cc = np.where(idx_np >= 0, ones[np.maximum(idx_np, 0)], 0)
         # partition-local histogram partial: one row per distinct count
         import pandas as pd
 
@@ -714,6 +719,29 @@ PQ_K = 8          # centroids per subspace (seeded: first K vectors)
 PQ_QSCALE = 1_000_000
 
 
+def _pq_bounds(d: int) -> list[tuple[int, int]]:
+    """Subspace dim boundaries [(lo, hi)...] matching the SQL twin's
+    ``((dim-1) * PQ_M) // d`` assignment exactly — including dims not
+    divisible by PQ_M (no silently dropped trailing dims)."""
+    return [((m * d) // PQ_M, ((m + 1) * d) // PQ_M) for m in range(PQ_M)]
+
+
+def _pq_codebook(emb) -> np.ndarray:
+    """Fixed-point (int64) codebook from the first PQ_K vectors.
+
+    Seed selection is a pushdown filter expression (no per-row Python
+    callable); the K-row result is the only thing collected."""
+    seed_tbl = (
+        emb.filter(expr=f"vec_id < {PQ_K}")
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    cents = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in seed_tbl["embedding"]]
+    )
+    return np.floor(cents * PQ_QSCALE + 0.5).astype(np.int64)
+
+
 def q_embedding_pq_codes(sf_dir: str):
     """Product-quantization code assignment — the memory-side half of
     IVF-PQ ANN at corpus scale: split each vector into {PQ_M} subspaces,
@@ -728,17 +756,9 @@ def q_embedding_pq_codes(sf_dir: str):
     emb = read_parquet_sized(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    seed_tbl = (
-        emb.filter(lambda r: r["vec_id"] < PQ_K)
-        .to_pandas()
-        .sort_values("vec_id", ignore_index=True)
-    )
-    cents = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in seed_tbl["embedding"]]
-    )
-    cq = np.floor(cents * PQ_QSCALE + 0.5).astype(np.int64)
+    cq = _pq_codebook(emb)
     d = cq.shape[1]
-    sub_d = d // PQ_M
+    bounds = _pq_bounds(d)
     c_ref = ray.put(cq)
 
     def assign(t: pa.Table, _c=c_ref) -> pa.Table:
@@ -759,8 +779,8 @@ def q_embedding_pq_codes(sf_dir: str):
         q = np.floor(vals * PQ_QSCALE + 0.5).astype(np.int64)
         ids = np.asarray(t["vec_id"].combine_chunks().cast(pa.int64()))
         out_v, out_s, out_c = [], [], []
-        for m in range(PQ_M):
-            sl = slice(m * sub_d, (m + 1) * sub_d)
+        for m, (lo, hi) in enumerate(bounds):
+            sl = slice(lo, hi)
             qc = cqs[:, sl]
             # score[i, k] = sum_d qc[k]^2 - 2 q[i] . qc[k]
             score = (qc * qc).sum(axis=1)[None, :] - 2 * (q[:, sl] @ qc.T)

@@ -349,7 +349,9 @@ def q_nations_trade_volume(sf_dir: str):
         rev = np.asarray(allp["rev"].combine_chunks())
         key = np.char.add(
             np.char.add(sn_.astype(str), "\x1f"),
-            np.char.add(cn_.astype(str), yr_.astype(str)),
+            np.char.add(
+                np.char.add(cn_.astype(str), "\x1f"), yr_.astype(str)
+            ),
         )
         inv, uniq_pos = pd.factorize(key)
         first = np.zeros(len(uniq_pos), np.int64)

@@ -276,43 +276,43 @@ def q_docs_head_middle_tail(sf_dir: str):
     rank documents by unigram cross-entropy (docs_unigram_xent's exact
     signal) with a deterministic (score, doc_id) tie-break and cut into
     head / middle / tail thirds (head = lowest perplexity). The rank is
-    a global sort position; at corpus scale the same cut comes from a
-    two-pass quantile threshold instead of a full rank — the bucketing
-    contract (ceil boundaries) is identical."""
+    an exact distributed global row number (range-partitioned sort +
+    O(#blocks) offset scan via
+    :func:`stages.globalorder.with_global_rank` — never one row per
+    document on the driver)."""
     from .queries_r2l import q_docs_unigram_xent
+    from ..stages.globalorder import with_global_rank
 
-    scored = q_docs_unigram_xent(sf_dir)
-
-    # bounded driver-side rank: the input is already reduced to one row
-    # per doc; at corpus scale swap the full rank for a two-pass
-    # quantile-threshold cut with the identical ceil-boundary contract
-    import ray
     import ray.data as rd
 
-    tbls = [t for t in ray.get(scored.to_arrow_refs()) if t.num_rows]
-    if not tbls:
+    scored = q_docs_unigram_xent(sf_dir).materialize()
+    n = scored.count()  # metadata-only on a materialized dataset
+    if n == 0:
         return rd.from_arrow(
             pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "bucket": pa.array([], pa.string())}
             )
         )
-    allt = pa.concat_tables(tbls, promote_options="default")
-    doc = np.asarray(allt["doc_id"].combine_chunks())
-    x = np.asarray(allt["xent"].combine_chunks())
-    order = np.lexsort((doc, x))
-    n = len(doc)
-    rank = np.empty(n, dtype=np.int64)
-    rank[order] = np.arange(n)
     third = -(-n // 3)  # ceil
-    bucket = np.where(
-        rank < third, "head", np.where(rank < 2 * third, "middle", "tail")
+
+    ranked = with_global_rank(
+        scored, ["xent", "doc_id"], descending=[False, False],
+        rank_col="__r",
     )
-    return rd.from_arrow(
-        pa.table(
-            {"doc_id": pa.array(doc, pa.int64()),
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        r0 = np.asarray(t["__r"].combine_chunks()) - 1  # 0-based
+        bucket = np.where(
+            r0 < third, "head", np.where(r0 < 2 * third, "middle", "tail")
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
              "bucket": pa.array(bucket, pa.string())}
         )
+
+    return ranked.map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

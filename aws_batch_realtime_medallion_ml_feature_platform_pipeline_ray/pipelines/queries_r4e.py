@@ -33,22 +33,14 @@ def q_embedding_pq_residual_energy(sf_dir: str):
     once; pure streaming."""
     import ray
 
-    from .queries_r4a import PQ_K, PQ_M, PQ_QSCALE
+    from .queries_r4a import PQ_QSCALE, _pq_bounds, _pq_codebook
 
     emb = read_parquet_sized(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    seed_tbl = (
-        emb.filter(lambda r: r["vec_id"] < PQ_K)
-        .to_pandas()
-        .sort_values("vec_id", ignore_index=True)
-    )
-    cents = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in seed_tbl["embedding"]]
-    )
-    cq = np.floor(cents * PQ_QSCALE + 0.5).astype(np.int64)
+    cq = _pq_codebook(emb)
     d = cq.shape[1]
-    sub_d = d // PQ_M
+    bounds = _pq_bounds(d)
     c_ref = ray.put(cq)
 
     def energy(t: pa.Table, _c=c_ref) -> pa.Table:
@@ -68,8 +60,8 @@ def q_embedding_pq_residual_energy(sf_dir: str):
         q = np.floor(vals * PQ_QSCALE + 0.5).astype(np.int64)
         ids = np.asarray(t["vec_id"].combine_chunks().cast(pa.int64()))
         total = np.zeros(len(ids), dtype=np.int64)
-        for m in range(PQ_M):
-            sl = slice(m * sub_d, (m + 1) * sub_d)
+        for lo, hi in bounds:
+            sl = slice(lo, hi)
             qc = cqs[:, sl]
             score = (qc * qc).sum(axis=1)[None, :] - 2 * (q[:, sl] @ qc.T)
             code = np.argmin(score, axis=1)

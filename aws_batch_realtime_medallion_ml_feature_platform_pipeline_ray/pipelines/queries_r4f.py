@@ -125,7 +125,7 @@ tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM tf),
 ranked AS (
     SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rn FROM tf
 )
-SELECT k.k,
+SELECT CAST(k.k AS BIGINT) AS k,
        CAST(SUM(r.c) AS BIGINT) AS covered_tokens,
        (SELECT total FROM tot) AS total_tokens,
        ROUND(CAST(SUM(r.c) AS DOUBLE) / (SELECT total FROM tot), 6)

@@ -889,26 +889,23 @@ DOCS_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 def q_docs_ngram_jaccard(sf_dir: str):
     """Exact n-gram (word-trigram) Jaccard similarity join, >= 0.5 pairs,
     via PPJoin-style prefix filtering (stages/ppjoin.py — round-3 verdict
-    item #1): (doc, gram) explode → gram-keyed df attach (df is
-    partition-local under the gram exchange) → doc-keyed prefix
-    selection (first n - ceil(t*n) + 1 grams in global rarest-first
-    order) → gh-keyed posting-list expansion over PREFIX rows only →
-    exact verify through the doc_id cogroup with hashed gram sets
-    (the docs_minhash_pairs machinery). A boilerplate gram with df=1e6
+    item #1, fused per round-4 §next-5): the shared ``gram_df_front``
+    checkpoint (grams hashed IN the explode batch — strings never
+    shuffled — one int-keyed df-attach exchange, materialized once for
+    both consumers) → doc-keyed prefix selection (first
+    n - ceil(t*n) + 1 grams in global rarest-first order) → gh-keyed
+    posting-list expansion over PREFIX rows only → auto-routed exact
+    verify (``verify_pairs``: broadcast counting when candidates fit,
+    doc_id-cogroup fallback past the limit; the verify exchange moves
+    only CANDIDATE docs' gram rows). A boilerplate gram with df=1e6
     never lands in a prefix, so the old C(df,2)-per-hot-gram wall is
     gone while the emitted pair set — and the unchanged DuckDB twin —
     stay value-exact (the filter provably loses no pair at t >= any
     threshold; see stages/ppjoin.py module docstring)."""
     from ..stages import ppjoin as P
-    from ..stages.dedup import ngram_table
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    grams = ds.map_batches(
-        ngram_table, batch_format="pyarrow", zero_copy_batch=True
-    )
-    dfd = map_partitions_by_key(
-        grams, "gram", P.attach_df, num_parts=NUM_PARTS
-    )
+    dfd = P.gram_df_front(ds, num_parts=NUM_PARTS)
     # JACCARD_THRESHOLD = 0.5 = 1/2 — exact rational prefix cut
     pfx = map_partitions_by_key(
         dfd, "doc_id", lambda t: P.select_prefix(t, 1, 2),
@@ -918,27 +915,8 @@ def q_docs_ngram_jaccard(sf_dir: str):
         pfx, "gh", lambda t: P.expand_jaccard_pairs(t, 1, 2),
         num_parts=NUM_PARTS,
     )
-    # broadcast-candidate verify (bounded collect — candidates are the
-    # filtered near-dup pair set; cogroup fallback documented in
-    # stages/ppjoin.py)
-    import ray
-
-    ct = P.collect_candidates(cand, ("s_lo", "s_hi"))
-    pref = ray.put(np.asarray(ct["pair"]))
-    slo = ray.put(np.asarray(ct["s_lo"]))
-    shi = ray.put(np.asarray(ct["s_hi"]))
-    sets = ds.map_batches(
-        P.gramhash_table, batch_format="pyarrow", zero_copy_batch=True
-    )
-    counts = map_partitions_by_key(
-        sets, "sh", lambda t: P.count_shared(t, pref), num_parts=NUM_PARTS
-    )
-    return map_partitions_by_key(
-        counts,
-        "pair",
-        lambda t: P.finish_pair_scores(
-            t, pref, slo, shi, "jaccard", JACCARD_THRESHOLD, "jaccard"
-        ),
+    return P.verify_pairs(
+        dfd, cand, "jaccard", JACCARD_THRESHOLD, "jaccard",
         num_parts=NUM_PARTS,
     )
 
@@ -1207,22 +1185,18 @@ def q_docs_containment_pairs(sf_dir: str):
     a 10x-longer one has Jaccard ~0.1 but containment ~1.0). The 6th
     dedup family next to exact / MinHash / SimHash / Jaccard / fuzzy.
 
-    Scale shape: prefix-filtered like docs_ngram_jaccard, but the
-    containment bound is one-sided (overlap >= t * min(|A|,|B|) only
-    constrains the SMALLER set), so candidates come from
-    (prefix-of-smaller x full posting list) — worst case per gram is
-    (#prefix rows) x df, never C(df,2). Verified exactly through the
-    shared doc_id cogroup."""
+    Scale shape: prefix-filtered like docs_ngram_jaccard over the same
+    shared ``gram_df_front`` checkpoint (strings hashed in-batch, one
+    int-keyed df exchange, materialized once), but the containment
+    bound is one-sided (overlap >= t * min(|A|,|B|) only constrains the
+    SMALLER set), so candidates come from (prefix-of-smaller x full
+    posting list) — worst case per gram is (#prefix rows) x df, never
+    C(df,2). Verified exactly through the auto-routed ``verify_pairs``
+    (broadcast counting / cogroup fallback)."""
     from ..stages import ppjoin as P
-    from ..stages.dedup import ngram_table
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    grams = ds.map_batches(
-        ngram_table, batch_format="pyarrow", zero_copy_batch=True
-    )
-    dfd = map_partitions_by_key(
-        grams, "gram", P.attach_df, num_parts=NUM_PARTS
-    )
+    dfd = P.gram_df_front(ds, num_parts=NUM_PARTS)
     # CONTAINMENT_THRESHOLD = 0.7 = 7/10 — exact rational prefix cut
     flagged = map_partitions_by_key(
         dfd, "doc_id", lambda t: P.select_prefix_flagged(t, 7, 10),
@@ -1232,25 +1206,8 @@ def q_docs_containment_pairs(sf_dir: str):
         flagged, "gh", lambda t: P.expand_smallside_pairs(t, 7, 10),
         num_parts=NUM_PARTS,
     )
-    import ray
-
-    ct = P.collect_candidates(cand, ("s_lo", "s_hi"))
-    pref = ray.put(np.asarray(ct["pair"]))
-    slo = ray.put(np.asarray(ct["s_lo"]))
-    shi = ray.put(np.asarray(ct["s_hi"]))
-    sets = ds.map_batches(
-        P.gramhash_table, batch_format="pyarrow", zero_copy_batch=True
-    )
-    counts = map_partitions_by_key(
-        sets, "sh", lambda t: P.count_shared(t, pref), num_parts=NUM_PARTS
-    )
-    return map_partitions_by_key(
-        counts,
-        "pair",
-        lambda t: P.finish_pair_scores(
-            t, pref, slo, shi, "containment", CONTAINMENT_THRESHOLD,
-            "containment"
-        ),
+    return P.verify_pairs(
+        dfd, cand, "containment", CONTAINMENT_THRESHOLD, "containment",
         num_parts=NUM_PARTS,
     )
 

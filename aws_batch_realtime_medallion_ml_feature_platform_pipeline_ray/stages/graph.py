@@ -520,7 +520,15 @@ def pagerank_broadcast_ranks(
         for t in partials:
             nd = np.asarray(t["node"].combine_chunks())
             cc = np.asarray(t["c"].combine_chunks())
-            np.add.at(insum, np.searchsorted(node_ids, nd), cc)
+            pos = np.searchsorted(node_ids, nd)
+            # mirror the src check: a dst absent from the vertex set must
+            # fail loudly, not credit the insertion-point node
+            if len(pos) and (
+                (pos >= n).any()
+                or (node_ids[np.minimum(pos, n - 1)] != nd).any()
+            ):
+                raise ValueError("pagerank: edge dst missing from vertex set")
+            np.add.at(insum, pos, cc)
         rank = base + (damp_num * insum) // damp_den
 
     import ray.data as rd

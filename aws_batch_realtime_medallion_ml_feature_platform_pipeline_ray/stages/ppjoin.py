@@ -59,8 +59,16 @@ from .dedup import _check_packable
 
 __all__ = [
     "hash_grams",
+    "ngram_hashed_table",
     "attach_df",
+    "attach_df_hashed",
     "attach_idf",
+    "with_idf_w",
+    "gram_df_front",
+    "candidate_doc_ids",
+    "filter_docs",
+    "route_verify",
+    "verify_pairs",
     "select_prefix",
     "select_prefix_flagged",
     "select_prefix_weighted",
@@ -123,6 +131,123 @@ def attach_df(part: pa.Table) -> pa.Table:
             "dn": pa.array(dns[order], pa.int64()),
         }
     )
+
+
+def ngram_hashed_table(batch: pa.Table, k: int = 3) -> pa.Table:
+    """Per-batch map: documents → distinct (doc_id, gh, dn) rows with the
+    gram HASHED in the same pass that explodes it — the gram string never
+    enters an exchange (r4 shipped full trigram strings through the first
+    shuffle at ~3-5× the bytes of an int64; VERDICT r4 §next-5)."""
+    from .dedup import ngram_table
+
+    g = ngram_table(batch, k=k)
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "gh": pa.array(hash_grams(g["gram"]), pa.int64()),
+            "dn": g["dn"],
+        }
+    )
+
+
+def attach_df_hashed(part: pa.Table) -> pa.Table:
+    """Gram-keyed kernel over PRE-HASHED (doc_id, gh, dn) rows: every row
+    of a gram hash is in this partition, so its GLOBAL df is the local
+    segment length. The int-keyed sibling of :func:`attach_df` (which
+    takes gram strings and hashes them post-exchange)."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "gh": pa.array([], pa.int64()),
+         "df": pa.array([], pa.int64()), "dn": pa.array([], pa.int64())}
+    )
+    if part.num_rows == 0:
+        return empty
+    gh = np.asarray(part["gh"].combine_chunks())
+    ids = np.asarray(part["doc_id"].combine_chunks().cast(pa.int64()))
+    dns = np.asarray(part["dn"].combine_chunks())
+    order = np.argsort(gh, kind="stable")
+    g = gh[order]
+    seg_start = np.concatenate(([True], g[1:] != g[:-1]))
+    seg_id = np.cumsum(seg_start) - 1
+    df = np.bincount(seg_id)[seg_id].astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "gh": pa.array(g, pa.int64()),
+            "df": pa.array(df, pa.int64()),
+            "dn": pa.array(dns[order], pa.int64()),
+        }
+    )
+
+
+def with_idf_w(part: pa.Table, n_docs: int) -> pa.Table:
+    """Append fixed-point idf micro-units w = round_half_away(ln(N/df)
+    * 1e6) (int64) to a (…, df, …) relation — w is a pure function of
+    df, so the weighted family derives it wherever needed instead of
+    shipping it through exchanges."""
+    from ..functions.numeric import round_half_away
+
+    if part.num_rows == 0:
+        return part.append_column("w", pa.array([], pa.int64()))
+    df = np.asarray(part["df"].combine_chunks()).astype(np.float64)
+    w = round_half_away(np.log(float(n_docs) / df) * 1_000_000.0).astype(
+        np.int64
+    )
+    return part.append_column("w", pa.array(w, pa.int64()))
+
+
+def gram_df_front(ds, num_parts: int | None = None, k: int = 3):
+    """Shared front-end of the exact set-similarity family
+    (docs_ngram_jaccard / docs_containment_pairs / docs_weighted_jaccard
+    — VERDICT r4 §next-5): explode docs to hashed distinct word-k-grams
+    IN-BATCH (strings die before the shuffle), one int-keyed exchange
+    attaches the global df, and the (doc_id, gh, df, dn) relation is
+    materialized ONCE — an object-store checkpoint (spillable, never on
+    one node) read by BOTH downstream consumers: prefix selection and
+    the candidate verify. r4's plan shipped gram strings through the
+    first exchange, then re-read + re-tokenized the whole corpus for the
+    verify side; this fuses that to one tokenize pass and one full-width
+    exchange."""
+    from .keyed import map_partitions_by_key
+
+    hashed = ds.map_batches(
+        lambda t, _k=k: ngram_hashed_table(t, k=_k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return map_partitions_by_key(
+        hashed, "gh", attach_df_hashed, num_parts=num_parts
+    ).materialize()
+
+
+def candidate_doc_ids(ct: pa.Table) -> np.ndarray:
+    """Sorted unique doc ids appearing in any packed candidate pair."""
+    p = np.asarray(ct["pair"])
+    if len(p) == 0:
+        return np.empty(0, np.int64)
+    return np.unique(
+        np.concatenate([p >> np.int64(32), p & np.int64(0xFFFFFFFF)])
+    )
+
+
+def filter_docs(t: pa.Table, docs_sorted) -> pa.Table:
+    """Keep only rows whose doc_id is in the broadcast sorted id array —
+    cuts the verify exchange from O(all gram rows) to O(gram rows of
+    candidate docs), provably output-invariant because count_shared only
+    ever reads rows of docs that occur in a candidate pair."""
+    import ray
+
+    if isinstance(docs_sorted, ray.ObjectRef):
+        docs_sorted = ray.get(docs_sorted)
+    if t.num_rows == 0:
+        return t
+    if len(docs_sorted) == 0:
+        return t.slice(0, 0)
+    d = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+    pos = np.searchsorted(docs_sorted, d)
+    ok = (pos < len(docs_sorted)) & (
+        docs_sorted[np.minimum(pos, len(docs_sorted) - 1)] == d
+    )
+    return t.filter(pa.array(ok))
 
 
 def attach_idf(part: pa.Table, n_docs: int) -> pa.Table:
@@ -708,6 +833,128 @@ def collect_candidates(cand_ds, extra_cols: tuple[str, ...] = ()) -> pa.Table:
     for c in extra_cols:
         cols[c] = pa.array(np.asarray(tbl[c].combine_chunks())[idx])
     return pa.table(cols)
+
+
+BROADCAST_CAND_LIMIT = 5_000_000
+"""Auto-routing threshold (candidate pairs) between the broadcast verify
+and the cogroup fallback: 5 M pairs ≈ 120 MB of packed (pair, s_lo, s_hi)
+int64 triples — one read-only zero-copy object per NODE (not per task)
+under Ray's shared object store, comfortably inside a 128 GiB worker.
+Past it, shipping each candidate doc's gram set through the doc_id
+cogroup wins (volume scales with candidates, not with a driver-held
+array)."""
+
+
+def route_verify(n_candidates: int,
+                 limit: int = BROADCAST_CAND_LIMIT) -> str:
+    """Plan choice for the exact verify — mirrors skew_aware_join's
+    measured-count routing (VERDICT r4 §next-7)."""
+    return "broadcast" if n_candidates <= limit else "cogroup"
+
+
+def verify_pairs(
+    dfd,
+    cand,
+    mode: str,
+    threshold: float,
+    out_col: str,
+    num_parts: int | None = None,
+    *,
+    n_docs: int | None = None,
+    broadcast_limit: int = BROADCAST_CAND_LIMIT,
+    force_path: str | None = None,
+):
+    """Exact candidate verification with AUTOMATIC plan routing.
+
+    ``dfd`` is the materialized :func:`gram_df_front` relation
+    (doc_id, gh, df, dn); ``cand`` the expanded candidate pairs
+    (pair, s_lo, s_hi). The candidate count (one metadata read after a
+    distributed materialize) picks the plan via :func:`route_verify`:
+
+    - **broadcast** (small candidate sets — the common case): pairs +
+      sizes ``ray.put`` once; dfd is FILTERED to candidate docs before
+      the gh-keyed count exchange (O(candidate-doc gram rows) moved,
+      not O(corpus)); partial counts fold through one pair-keyed pass.
+    - **cogroup** (beyond-broadcast candidate sets): pair_refs →
+      doc_id cogroup attaches each candidate doc's gram set →
+      pair-keyed exact score. No driver- or broadcast-side array ever
+      holds the candidates.
+
+    Both paths are output-identical (tests/test_ppjoin_fallback.py,
+    tests/test_ppjoin_routing.py). ``mode`` ∈ {jaccard, containment,
+    wjaccard}; wjaccard requires ``n_docs`` (idf weights are derived
+    from df on each side, never exchanged)."""
+    import ray
+
+    from .keyed import cogroup_by_key, map_partitions_by_key as mpk
+
+    weighted = mode == "wjaccard"
+    if weighted and n_docs is None:
+        raise ValueError("wjaccard verify requires n_docs")
+    cand = cand.materialize()
+    path = force_path or route_verify(cand.count(), broadcast_limit)
+
+    if path == "broadcast":
+        ct = collect_candidates(cand, ("s_lo", "s_hi"))
+        pref = ray.put(np.asarray(ct["pair"]))
+        slo = ray.put(np.asarray(ct["s_lo"]))
+        shi = ray.put(np.asarray(ct["s_hi"]))
+        dref = ray.put(candidate_doc_ids(ct))
+
+        def prep(t: pa.Table, _d=dref) -> pa.Table:
+            t = filter_docs(t, _d)
+            return with_idf_w(t, n_docs) if weighted else t
+
+        vf = dfd.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        counts = mpk(
+            vf, "gh", lambda t: count_shared(t, pref, weighted=weighted),
+            num_parts=num_parts,
+        )
+        return mpk(
+            counts,
+            "pair",
+            lambda t: finish_pair_scores(
+                t, pref, slo, shi, mode, threshold, out_col
+            ),
+            num_parts=num_parts,
+        )
+
+    # cogroup fallback — same exact outputs, no broadcast array
+    from .dedup import attach_shingles, pair_jaccard, pair_refs
+
+    refs = cand.map_batches(pair_refs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    if weighted:
+
+        def mk_wsets(t: pa.Table) -> pa.Table:
+            t = with_idf_w(t, n_docs)
+            return pa.table(
+                {"doc_id": t["doc_id"], "gh": t["gh"], "w": t["w"]}
+            )
+
+        sets = dfd.map_batches(mk_wsets, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        joined = cogroup_by_key(refs, sets, "doc_id", attach_gram_weights,
+                                num_parts=num_parts)
+        return mpk(joined, "pair", lambda t: pair_wjaccard(t, threshold),
+                   num_parts=num_parts)
+
+    def mk_sets(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "sh": t["gh"]})
+
+    sets = dfd.map_batches(mk_sets, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = cogroup_by_key(refs, sets, "doc_id", attach_shingles,
+                            num_parts=num_parts)
+    if mode == "jaccard":
+        return mpk(joined, "pair", lambda t: pair_jaccard(t, threshold),
+                   num_parts=num_parts)
+    if mode == "containment":
+        return mpk(joined, "pair",
+                   lambda t: pair_containment(t, threshold),
+                   num_parts=num_parts)
+    raise ValueError(mode)  # pragma: no cover
 
 
 def count_shared(part: pa.Table, pairs_sorted: np.ndarray,
