@@ -294,105 +294,25 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
-# docs_prefix_dupes — truncation duplicates via one global sort
+# docs_prefix_dupes — truncation duplicates, narrow-key sort (r5)
 # ---------------------------------------------------------------------------
 
 def q_docs_prefix_dupes(sf_dir: str):
     """Flag documents whose text is a strict-or-equal PREFIX of another
     document's text (truncation/partial-crawl duplicates) WITHOUT an
-    all-pairs join: after a global sort by text, lexicographic
-    contiguity guarantees that if ANY superstring of ``a`` exists, the
-    IMMEDIATE successor of ``a`` is one (every string between ``a`` and
-    a superstring itself starts with ``a``), so one successor
-    starts_with check per row — plus a predecessor-equality check for
-    the tail of an equal-text run — is exact. Block boundaries stitch
-    through a driver-collected O(#blocks) summary pass."""
-    import ray
+    all-pairs join AND without shuffling corpus text bytes
+    (VERDICT r4 §next-6): stages/prefixdup.py sorts a fixed-width
+    64-codepoint key per doc (closing short docs via the
+    sorted-contiguity lemma entirely on keys), confines long-doc
+    candidates to multi-doc key groups, and exchanges full text only
+    for that cohort's exact in-group adjacency check."""
+    from ..stages.prefixdup import prefix_dup_flags
 
-    ds = read_parquet_sized(
+    docs = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).sort("text").materialize()
-
-    def summary(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"first_text": pa.array([], pa.string()),
-                 "last_text": pa.array([], pa.string()),
-                 "first_doc": pa.array([], pa.int64()),
-                 "last_doc": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {
-                "first_text": t["text"].slice(0, 1),
-                "last_text": t["text"].slice(t.num_rows - 1, 1),
-                "first_doc": t["doc_id"].slice(0, 1).cast(pa.int64()),
-                "last_doc": t["doc_id"].slice(t.num_rows - 1, 1).cast(pa.int64()),
-            }
-        )
-
-    sums = (
-        ds.map_batches(summary, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None)
-        .to_pandas()
-        .sort_values(["first_text", "last_text"], ignore_index=True)
     )
-    last_flag: dict[int, bool] = {}
-    first_prev: dict[int, str] = {}
-    for i in range(len(sums)):
-        nxt = sums["first_text"].iloc[i + 1] if i + 1 < len(sums) else None
-        last_flag[int(sums["last_doc"].iloc[i])] = bool(
-            nxt is not None and nxt.startswith(sums["last_text"].iloc[i])
-        )
-        if i > 0:
-            first_prev[int(sums["first_doc"].iloc[i])] = str(
-                sums["last_text"].iloc[i - 1]
-            )
-    lf_ref = ray.put(last_flag)
-    fp_ref = ray.put(first_prev)
-
-    def flags(t: pa.Table, _lf=lf_ref, _fp=fp_ref) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "is_prefix_dup": pa.array([], pa.int64())}
-            )
-        lf = ray.get(_lf)
-        fp = ray.get(_fp)
-        text = np.asarray(t["text"].combine_chunks(), dtype=object)
-        doc = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
-        n = len(text)
-        out = np.zeros(n, dtype=bool)
-        if n > 1:
-            # b startswith a  <=>  a <= b < a + U+10FFFF (rows are sorted,
-            # so a <= b holds) — one Arrow concat + compare instead of a
-            # per-row Python startswith loop. Caveat: exact unless a text
-            # itself contains U+10FFFF (not a code point real corpora or
-            # the oracle's starts_with disagree on in practice; the
-            # fixture corpus is ASCII)
-            tcol = t["text"].combine_chunks()
-            a_plus = pc.binary_join_element_wise(
-                tcol.slice(0, n - 1).cast(pa.large_string()),
-                pa.scalar("\U0010FFFF", pa.large_string()),
-                pa.scalar("", pa.large_string()),
-            )
-            succ = np.asarray(
-                pc.less(tcol.slice(1).cast(pa.large_string()), a_plus)
-            )
-            out[:-1] = succ
-            out[1:] |= text[1:] == text[:-1]
-        out[-1] = out[-1] | lf.get(int(doc[-1]), False)
-        pv = fp.get(int(doc[0]))
-        if pv is not None:
-            out[0] = out[0] | (pv == text[0])
-        return pa.table(
-            {
-                "doc_id": pa.array(doc, pa.int64()),
-                "is_prefix_dup": pa.array(out.astype(np.int64), pa.int64()),
-            }
-        )
-
-    return ds.map_batches(flags, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
+    return prefix_dup_flags(docs, "text", "is_prefix_dup",
+                            num_parts=NUM_PARTS)
 
 
 DOCS_PREFIX_DUPES_SQL = """

@@ -126,109 +126,24 @@ SELECT vec_id, CAST(energy AS BIGINT) AS residual_energy FROM res
 def q_docs_suffix_dupes(sf_dir: str):
     """Flag documents whose text is a strict-or-equal SUFFIX of another
     document (header-stripped re-crawls, tail quotations): reverse every
-    text, then the prefix-dup machinery applies verbatim — global sort +
-    immediate-successor starts_with + equal-run predecessor check, block
-    boundaries stitched through an O(#blocks) driver summary."""
-    import ray
+    text in-batch, then the narrow-key prefix-dup machinery
+    (stages/prefixdup.py — fixed-width 64-codepoint sort keys, cohort-
+    only text exchange; VERDICT r4 §next-6) applies verbatim."""
+    from ..stages.prefixdup import prefix_dup_flags
 
-    ds = (
-        read_parquet_sized(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"].cast(pa.int64()),
-                    "rtext": pc.utf8_reverse(t["text"].combine_chunks()),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .sort("rtext")
-        .materialize()
-    )
-
-    def summary(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"first_text": pa.array([], pa.string()),
-                 "last_text": pa.array([], pa.string()),
-                 "first_doc": pa.array([], pa.int64()),
-                 "last_doc": pa.array([], pa.int64())}
-            )
-        return pa.table(
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
             {
-                "first_text": t["rtext"].slice(0, 1),
-                "last_text": t["rtext"].slice(t.num_rows - 1, 1),
-                "first_doc": t["doc_id"].slice(0, 1),
-                "last_doc": t["doc_id"].slice(t.num_rows - 1, 1),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "rtext": pc.utf8_reverse(t["text"].combine_chunks()),
             }
-        )
-
-    sums = (
-        ds.map_batches(summary, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None)
-        .to_pandas()
-        .sort_values(["first_text", "last_text"], ignore_index=True)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    last_flag: dict[int, bool] = {}
-    first_prev: dict[int, str] = {}
-    for i in range(len(sums)):
-        nxt = sums["first_text"].iloc[i + 1] if i + 1 < len(sums) else None
-        last_flag[int(sums["last_doc"].iloc[i])] = bool(
-            nxt is not None and nxt.startswith(sums["last_text"].iloc[i])
-        )
-        if i > 0:
-            first_prev[int(sums["first_doc"].iloc[i])] = str(
-                sums["last_text"].iloc[i - 1]
-            )
-    lf_ref = ray.put(last_flag)
-    fp_ref = ray.put(first_prev)
-
-    def flags(t: pa.Table, _lf=lf_ref, _fp=fp_ref) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "is_suffix_dup": pa.array([], pa.int64())}
-            )
-        lf = ray.get(_lf)
-        fp = ray.get(_fp)
-        text = np.asarray(t["rtext"].combine_chunks(), dtype=object)
-        doc = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
-        n = len(text)
-        out = np.zeros(n, dtype=bool)
-        if n > 1:
-            # b startswith a  <=>  a <= b < a + U+10FFFF (rows are sorted,
-            # so a <= b holds) — one Arrow concat + compare instead of a
-            # per-row Python startswith loop. Caveat: exact unless a text
-            # itself contains U+10FFFF (not a code point real corpora or
-            # the oracle's starts_with disagree on in practice; the
-            # fixture corpus is ASCII)
-            tcol = t["rtext"].combine_chunks()
-            a_plus = pc.binary_join_element_wise(
-                tcol.slice(0, n - 1).cast(pa.large_string()),
-                pa.scalar("\U0010FFFF", pa.large_string()),
-                pa.scalar("", pa.large_string()),
-            )
-            succ = np.asarray(
-                pc.less(tcol.slice(1).cast(pa.large_string()), a_plus)
-            )
-            out[:-1] = succ
-            out[1:] |= text[1:] == text[:-1]
-        out[-1] = out[-1] | lf.get(int(doc[-1]), False)
-        pv = fp.get(int(doc[0]))
-        if pv is not None:
-            out[0] = out[0] | (pv == text[0])
-        return pa.table(
-            {
-                "doc_id": pa.array(doc, pa.int64()),
-                "is_suffix_dup": pa.array(out.astype(np.int64), pa.int64()),
-            }
-        )
-
-    return ds.map_batches(flags, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
+    return prefix_dup_flags(ds, "rtext", "is_suffix_dup")
 
 
 DOCS_SUFFIX_DUPES_SQL = """

@@ -40,30 +40,29 @@ FRAME_BYTES = 1024  # fake "frame" granularity for frame-count / sampling
 def decode_real(kind: str):
     """Real decoder factory: binds the optional media library when it is
     importable — PIL (``PIL.Image``) for images, ``soundfile`` for audio
-    — and raises ``NotImplementedError`` otherwise (this container ships
-    neither, by design). The returned adapter implements the same call
-    shape as :class:`FakeDecoder` (``checksum(data, offsets, padded=)``)
-    so :class:`MediaFeaturizer` is decoder-agnostic: flip
-    ``use_real_decoder=True`` and nothing else changes."""
+    — and otherwise falls back to the vendored pure-stdlib codecs
+    (``stages/purecodec.py``: PNG via zlib, PCM16 WAV via ``wave``), so
+    ``use_real_decoder=True`` always exercises a REAL codec path — no
+    more import-guarded stub (VERDICT r4 §next-8). The returned adapter
+    implements the same call shape as :class:`FakeDecoder`
+    (``checksum(data, offsets, padded=)``) plus ``checksum_ranges`` for
+    per-kind dispatch, so :class:`MediaFeaturizer` is decoder-agnostic:
+    flip ``use_real_decoder=True`` and nothing else changes."""
     if kind == "image":
         try:
             from PIL import Image
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real image decoding requires PIL, which is not present "
-                "in this container; use FakeDecoder (deterministic) — "
-                "the Ray plumbing is identical"
-            ) from exc
+        except ImportError:
+            from .purecodec import PurePNGDecoder
+
+            return PurePNGDecoder()
         return PILImageDecoder(Image)
     if kind == "audio":
         try:
             import soundfile
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real audio decoding requires soundfile, which is not "
-                "present in this container; use FakeDecoder "
-                "(deterministic) — the Ray plumbing is identical"
-            ) from exc
+        except ImportError:
+            from .purecodec import PureWAVDecoder
+
+            return PureWAVDecoder()
         return SoundfileAudioDecoder(soundfile)
     raise ValueError(f"unknown media kind: {kind!r}")
 
@@ -80,19 +79,24 @@ class PILImageDecoder:
     def __init__(self, image_mod):
         self._Image = image_mod
 
-    def checksum(
-        self, data: np.ndarray, offsets: np.ndarray, padded=None
+    def checksum_ranges(
+        self, data: np.ndarray, starts: np.ndarray, ends: np.ndarray
     ) -> np.ndarray:
         import io
 
-        out = np.zeros(max(len(offsets) - 1, 0), dtype=np.int64)
+        out = np.zeros(len(starts), dtype=np.int64)
         for i in range(len(out)):
-            buf = data[offsets[i] : offsets[i + 1]].tobytes()
+            buf = data[starts[i] : ends[i]].tobytes()
             if not buf:
                 continue
             with self._Image.open(io.BytesIO(buf)) as im:
                 out[i] = int(np.asarray(im).astype(np.int64).sum())
         return out
+
+    def checksum(
+        self, data: np.ndarray, offsets: np.ndarray, padded=None
+    ) -> np.ndarray:
+        return self.checksum_ranges(data, offsets[:-1], offsets[1:])
 
 
 class SoundfileAudioDecoder:
@@ -102,14 +106,14 @@ class SoundfileAudioDecoder:
     def __init__(self, sf_mod):
         self._sf = sf_mod
 
-    def checksum(
-        self, data: np.ndarray, offsets: np.ndarray, padded=None
+    def checksum_ranges(
+        self, data: np.ndarray, starts: np.ndarray, ends: np.ndarray
     ) -> np.ndarray:
         import io
 
-        out = np.zeros(max(len(offsets) - 1, 0), dtype=np.int64)
+        out = np.zeros(len(starts), dtype=np.int64)
         for i in range(len(out)):
-            buf = data[offsets[i] : offsets[i + 1]].tobytes()
+            buf = data[starts[i] : ends[i]].tobytes()
             if not buf:
                 continue
             samples, _rate = self._sf.read(io.BytesIO(buf))
@@ -119,6 +123,11 @@ class SoundfileAudioDecoder:
                 .sum()
             )
         return out
+
+    def checksum(
+        self, data: np.ndarray, offsets: np.ndarray, padded=None
+    ) -> np.ndarray:
+        return self.checksum_ranges(data, offsets[:-1], offsets[1:])
 
 
 class FakeDecoder:
@@ -193,12 +202,14 @@ class MediaFeaturizer:
     """
 
     def __init__(self, frame_stride: int = 4, use_real_decoder: bool = False):
-        if use_real_decoder:  # optional-dependency gate (decode_real)
+        if use_real_decoder:  # real codec path (library or pure-stdlib)
             self.image = decode_real("image")
             self.audio = decode_real("audio")
+            self.real = True
         else:
             self.image = FakeDecoder("image")
             self.audio = FakeDecoder("audio")
+            self.real = False
         self.frame_stride = frame_stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -214,7 +225,20 @@ class MediaFeaturizer:
             else np.zeros(0, dtype=np.uint8)
         )
         padded = _pad64(data)  # ONE int64 copy shared by both kernels
-        checksum = self.image.checksum(data, offsets, padded=padded)
+        if self.real:
+            # dispatch by kind: image payloads to the image codec,
+            # audio payloads to the audio codec (per-item ranges)
+            kinds = np.asarray(batch["kind"].combine_chunks(), dtype=object)
+            checksum = np.zeros(len(kinds), dtype=np.int64)
+            starts, ends = offsets[:-1], offsets[1:]
+            for kname, dec in (("image", self.image), ("audio", self.audio)):
+                m = kinds == kname
+                if m.any():
+                    checksum[m] = dec.checksum_ranges(
+                        data, starts[m], ends[m]
+                    )
+        else:
+            checksum = self.image.checksum(data, offsets, padded=padded)
 
         lens = offsets[1:] - offsets[:-1]
         hdr_end = offsets[:-1] + np.minimum(lens, HEADER_BYTES)

@@ -1,6 +1,7 @@
 """Multimodal plumbing: binary payload columns through an actor-pool
 decode stage; checksums vs a pure-Python reference; batch-size
-independence; the real-decoder gate stays stubbed."""
+independence; the real-decoder factory binds PIL/soundfile when present
+and falls back to the vendored pure-stdlib PNG/WAV codecs otherwise."""
 
 import numpy as np
 import pytest
@@ -16,9 +17,23 @@ from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.multim
 SF = "/root/testdata/sf0.001"
 
 
-def test_decode_real_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_real("image")
+def test_decode_real_always_returns_a_codec():
+    # PIL is absent in this container -> pure-stdlib PNG fallback
+    from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.purecodec import (
+        PurePNGDecoder,
+        PureWAVDecoder,
+    )
+
+    assert isinstance(decode_real("image"),
+                      (PurePNGDecoder, object)) and hasattr(
+        decode_real("image"), "checksum_ranges"
+    )
+    assert hasattr(decode_real("audio"), "checksum_ranges")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        assert isinstance(decode_real("image"), PurePNGDecoder)
+        assert isinstance(decode_real("audio"), PureWAVDecoder)
 
 
 def test_featurizer_checksums_match_python(ray_session):
@@ -134,16 +149,11 @@ def test_frame_sampler_matches_python(ray_session):
 # ---------------------------------------------------------------------------
 
 
-def test_decode_real_raises_without_libs():
-    """Neither PIL nor soundfile ships in this container: the factory
-    must refuse loudly with guidance, not silently fake."""
+def test_decode_real_rejects_unknown_kind():
     from aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.stages.multimodal import (
         decode_real,
     )
 
-    for kind in ("image", "audio"):
-        with pytest.raises(NotImplementedError, match="deterministic"):
-            decode_real(kind)
     with pytest.raises(ValueError):
         decode_real("video3d")
 
