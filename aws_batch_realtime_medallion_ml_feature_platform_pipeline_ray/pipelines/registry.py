@@ -127,4 +127,10 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r4f
 
     reg.update(queries_r4f.REGISTRY)
+    from . import queries_r5a
+
+    reg.update(queries_r5a.REGISTRY)
+    from . import queries_r5b
+
+    reg.update(queries_r5b.REGISTRY)
     return reg

@@ -58,9 +58,9 @@ SCALE_PATH: dict[str, str] = {
     "embedding_label_prop_step": "label vector is O(nodes); vec_id cogroup beyond memory",
     "embedding_pagerank": "rank vector is O(nodes); pagerank_constant_outdegree beyond memory",
     "embedding_bfs_hops": "frontier broadcast is O(reached nodes); cogroup variant beyond memory",
-    "docs_ngram_jaccard": "candidate set bounded by prefix filter; cogroup verify beyond memory",
-    "docs_containment_pairs": "candidate set bounded by prefix filter; cogroup verify beyond memory",
-    "docs_weighted_jaccard": "candidate set bounded by weighted prefix filter; cogroup verify beyond memory",
+    "docs_ngram_jaccard": "candidate set bounded by prefix filter; verify AUTO-ROUTES to the cogroup plan past BROADCAST_CAND_LIMIT (ppjoin.verify_pairs)",
+    "docs_containment_pairs": "candidate set bounded by prefix filter; verify auto-routes to cogroup past BROADCAST_CAND_LIMIT",
+    "docs_weighted_jaccard": "candidate set bounded by weighted prefix filter; verify auto-routes to cogroup past BROADCAST_CAND_LIMIT",
     "docs_neardup_filter": "removal list bounded by dup rate; keyed anti-join beyond memory",
     "docs_decontam": "eval-gram set is fixed benchmark-sized",
     "docs_fuzzy_pairs": "sorted-neighborhood window bounds the pair set",
@@ -71,10 +71,16 @@ SCALE_PATH: dict[str, str] = {
     "events_subseq_support": "candidate subsequences bounded by alphabet^2",
     "docs_vocab_overlap": "per-language vocab partials; cap vocab at scale",
     "embedding_pq_codes": "codebook broadcast is O(M*K*dim) — constant",
-    "docs_prefix_dupes": "one global range-partition sort + O(#blocks) boundary stitch",
-    "docs_head_middle_tail": "O(docs) driver rank; two-pass quantile threshold at corpus scale",
-    "docs_suffix_dupes": "one global range-partition sort + O(#blocks) boundary stitch",
+    "docs_prefix_dupes": "narrow 64-codepoint-key sort + O(#blocks) stitch; text exchanged only for the multi-group cohort (broadcast id list; doc_id cogroup beyond it)",
+    "docs_head_middle_tail": "one range-partitioned sort + O(#blocks) offset scan (stages/globalorder.with_global_rank)",
+    "docs_suffix_dupes": "narrow 64-codepoint-key sort + O(#blocks) stitch; text exchanged only for the multi-group cohort (broadcast id list; doc_id cogroup beyond it)",
     "docs_token_coverage_curve": "per-partition top-K partials; driver merge is O(parts x K)",
+    "orders_q3_unshipped": "per-partition top-k partials; driver fold is O(parts x k)",
+    "events_type_value_quantiles": "fixed type domain bounds the per-type sort; distributed rank or sketch beyond one partition's memory",
+    "embedding_pq_energy_by_label": "codebook broadcast is O(M*K*dim) — constant",
+    "embedding_label_centroid_shift": "driver fold is O(|labels| x 2 x dim) pre-aggregated partials — constant",
+    "events_type_user_jaccard": "combo fold is O(2^|types|) rows; bitmask build is the one user-keyed exchange",
+    "docs_len_outlier_mad": "fixed lang domain bounds the per-language sort; distributed rank beyond one partition's memory",
 }
 
 _BY_CLASS: dict[str, list[str]] = {
@@ -114,6 +120,8 @@ _BY_CLASS: dict[str, list[str]] = {
         "events_haar_details", "orders_priority_path",
         "lineitem_pricing_summary", "embedding_pq_codes",
         "docs_tokenizer_fertility", "embedding_pq_residual_energy",
+        "embedding_pq_energy_by_label",
+        "embedding_label_centroid_shift",
     ],
     # ---- one data-cardinality keyed exchange ----
     "one-exchange": [
@@ -164,12 +172,18 @@ _BY_CLASS: dict[str, list[str]] = {
         "embedding_knn_degree_hist", "events_subseq_support",
         "docs_vocab_overlap", "basket_rules", "events_cdc_apply",
         "user_feature_snapshot", "orders_shipping_priority",
-        "conv_loss_mask", "docs_prefix_dupes",
+        "conv_loss_mask",
         "docs_dedup_survivorship", "events_watermark_lag",
         "train_dedup_aware_split", "conv_concurrent_turns",
         "docs_dup_ratio_by_source", "conv_tool_call_stats",
-        "events_lateness_by_day", "docs_suffix_dupes",
+        "events_lateness_by_day",
         "docs_token_coverage_curve", "conv_repeat_loops",
+        "docs_head_middle_tail",
+        "docs_norm_dedup", "events_type_value_quantiles",
+        "events_bounce_rate", "events_since_last_purchase",
+        "events_reactivations", "orders_q18_big_orders",
+        "top_supplier_revenue",
+        "conv_verbosity_trend", "docs_len_outlier_mad",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [
@@ -188,6 +202,8 @@ _BY_CLASS: dict[str, list[str]] = {
         "returned_top_customers", "orders_market_share", "fk_orphans_audit",
         "large_volume_customers", "docs_lr_auc", "embedding_kmeans_step",
         "docs_pareto_front", "gdpr_cascade_audit", "events_hopping",
+        "orders_q3_unshipped", "orders_q4_late_exists",
+        "conv_roleseq_dupes", "events_type_user_jaccard",
     ],
     # ---- bounded-round iterations ----
     "iterative": [
@@ -197,7 +213,7 @@ _BY_CLASS: dict[str, list[str]] = {
     ],
     # ---- ray.put small side with documented bound + named fallback ----
     "broadcast-bounded": [
-        "docs_head_middle_tail",
+        "docs_prefix_dupes", "docs_suffix_dupes",
         "embedding_pagerank", "embedding_label_prop_step",
         "embedding_bfs_hops", "docs_ngram_jaccard", "docs_containment_pairs",
         "docs_weighted_jaccard", "docs_neardup_filter", "docs_decontam",
