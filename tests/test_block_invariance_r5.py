@@ -1,0 +1,48 @@
+"""Block-boundary invariance for the round-5 operators: answers must
+not depend on how Ray fragments the input into blocks (tiny
+target_max_block_size forces many small batches through every
+per-batch partial, keyed exchange, cogroup and driver-fold path)."""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+CASES = [
+    ("queries_r5a", "q_orders_q3_unshipped", ["o_orderkey"]),
+    ("queries_r5a", "q_orders_q18_big_orders", ["o_orderkey"]),
+    ("queries_r5a", "q_top_supplier_revenue", ["s_suppkey"]),
+    ("queries_r5a", "q_orders_q4_late_exists", ["o_orderpriority"]),
+    ("queries_r5a", "q_docs_norm_dedup", ["doc_id"]),
+    ("queries_r5a", "q_events_type_value_quantiles", ["event_type"]),
+    ("queries_r5a", "q_events_bounce_rate", ["day"]),
+    ("queries_r5a", "q_events_since_last_purchase", ["event_id"]),
+    ("queries_r5a", "q_events_reactivations", ["user_id"]),
+    ("queries_r5a", "q_embedding_pq_energy_by_label", ["label"]),
+    ("queries_r5b", "q_conv_roleseq_dupes", ["conv_id"]),
+    ("queries_r5b", "q_conv_verbosity_trend", ["conv_id"]),
+    ("queries_r5b", "q_docs_len_outlier_mad", ["doc_id"]),
+    ("queries_r5b", "q_events_type_user_jaccard", ["type_a", "type_b"]),
+    ("queries_r5b", "q_embedding_label_centroid_shift", ["label"]),
+]
+
+
+@pytest.mark.parametrize("mod,fn,key", CASES, ids=[c[1] for c in CASES])
+def test_tiny_blocks_same_answer(ray_session, mod, fn, key):
+    import importlib
+
+    from ray.data.context import DataContext
+
+    m = importlib.import_module(
+        f"aws_batch_realtime_medallion_ml_feature_platform_pipeline_ray.pipelines.{mod}"
+    )
+    q = getattr(m, fn)
+    base = q(SF).to_pandas().sort_values(key, ignore_index=True)
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024  # ~16 KiB blocks
+        tiny = q(SF).to_pandas().sort_values(key, ignore_index=True)
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(base, tiny)
