@@ -133,4 +133,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r5b
 
     reg.update(queries_r5b.REGISTRY)
+    from . import queries_r5c
+
+    reg.update(queries_r5c.REGISTRY)
     return reg

@@ -106,6 +106,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "docs_heavy_tokens", "events_dau_wau", "events_value_pctl_hist",
         "events_value_quantiles", "events_hill_tail", "events_expectations",
         "lineitem_q6_revenue", "lineitem_ship_delay_hist",
+        "lineitem_discount_elasticity",
         "lineitem_q19_disjunctive", "events_bot_flags",
         "features_poly2", "features_hashed", "features_onehot",
         "features_bucketize", "features_minmax", "features_zscore",
@@ -184,6 +185,8 @@ _BY_CLASS: dict[str, list[str]] = {
         "events_reactivations", "orders_q18_big_orders",
         "top_supplier_revenue",
         "conv_verbosity_trend", "docs_len_outlier_mad",
+        "conv_tool_response_latency", "conv_mask_budget",
+        "events_session_depth_hist",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [
@@ -204,6 +207,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "docs_pareto_front", "gdpr_cascade_audit", "events_hopping",
         "orders_q3_unshipped", "orders_q4_late_exists",
         "conv_roleseq_dupes", "events_type_user_jaccard",
+        "customers_rfm_quintiles", "suppliers_ship_delay_median",
     ],
     # ---- bounded-round iterations ----
     "iterative": [

@@ -24,6 +24,12 @@ CASES = [
     ("queries_r5b", "q_docs_len_outlier_mad", ["doc_id"]),
     ("queries_r5b", "q_events_type_user_jaccard", ["type_a", "type_b"]),
     ("queries_r5b", "q_embedding_label_centroid_shift", ["label"]),
+    ("queries_r5c", "q_conv_tool_response_latency", ["tool"]),
+    ("queries_r5c", "q_conv_mask_budget", ["conv_id"]),
+    ("queries_r5c", "q_customers_rfm_quintiles", ["c_custkey"]),
+    ("queries_r5c", "q_lineitem_discount_elasticity", ["discount_pct"]),
+    ("queries_r5c", "q_suppliers_ship_delay_median", ["s_suppkey"]),
+    ("queries_r5c", "q_events_session_depth_hist", ["depth"]),
 ]
 
 
