@@ -136,4 +136,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r5c
 
     reg.update(queries_r5c.REGISTRY)
+    from . import queries_r5d
+
+    reg.update(queries_r5d.REGISTRY)
     return reg

@@ -106,7 +106,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "docs_heavy_tokens", "events_dau_wau", "events_value_pctl_hist",
         "events_value_quantiles", "events_hill_tail", "events_expectations",
         "lineitem_q6_revenue", "lineitem_ship_delay_hist",
-        "lineitem_discount_elasticity",
+        "lineitem_discount_elasticity", "train_label_weights",
         "lineitem_q19_disjunctive", "events_bot_flags",
         "features_poly2", "features_hashed", "features_onehot",
         "features_bucketize", "features_minmax", "features_zscore",
@@ -187,6 +187,8 @@ _BY_CLASS: dict[str, list[str]] = {
         "conv_verbosity_trend", "docs_len_outlier_mad",
         "conv_tool_response_latency", "conv_mask_budget",
         "events_session_depth_hist",
+        "embedding_norm_outliers", "conv_error_bursts",
+        "conv_first_error", "customers_order_gap_median",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [

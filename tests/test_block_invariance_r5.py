@@ -30,6 +30,11 @@ CASES = [
     ("queries_r5c", "q_lineitem_discount_elasticity", ["discount_pct"]),
     ("queries_r5c", "q_suppliers_ship_delay_median", ["s_suppkey"]),
     ("queries_r5c", "q_events_session_depth_hist", ["depth"]),
+    ("queries_r5d", "q_embedding_norm_outliers", ["vec_id"]),
+    ("queries_r5d", "q_train_label_weights", ["label"]),
+    ("queries_r5d", "q_conv_error_bursts", ["conv_id"]),
+    ("queries_r5d", "q_conv_first_error", ["conv_id"]),
+    ("queries_r5d", "q_customers_order_gap_median", ["c_custkey"]),
 ]
 
 
