@@ -642,8 +642,15 @@ PQ_QSCALE = 1_000_000
 def _pq_bounds(d: int) -> list[tuple[int, int]]:
     """Subspace dim boundaries [(lo, hi)...] matching the SQL twin's
     ``((dim-1) * PQ_M) // d`` assignment exactly — including dims not
-    divisible by PQ_M (no silently dropped trailing dims)."""
-    return [((m * d) // PQ_M, ((m + 1) * d) // PQ_M) for m in range(PQ_M)]
+    divisible by PQ_M (no silently dropped trailing dims). 0-based dim0
+    belongs to subspace (dim0·M)//d, so subspace m covers
+    [ceil(m·d/M), ceil((m+1)·d/M)) — CEIL boundaries, not floor
+    (for d=10, M=4 the SQL groups are sizes 3/2/3/2 starting at
+    0,3,5,8)."""
+    return [
+        (-((-m * d) // PQ_M), -((-(m + 1) * d) // PQ_M))
+        for m in range(PQ_M)
+    ]
 
 
 def _pq_codebook(emb) -> np.ndarray:

@@ -68,9 +68,13 @@ def _ts_us(date_str: str) -> int:
 def _rev_cents(extprice: np.ndarray, discount: np.ndarray) -> np.ndarray:
     """Fixed-point revenue: round(p*100) * (100 - round(d*100)) — exact
     int64 folds, /10000.0 only at the final projection (the engine's
-    house convention; mirrors queries_r2h._rev_c100)."""
-    p = np.round(extprice * 100.0).astype(np.int64)
-    d = np.round(discount * 100.0).astype(np.int64)
+    house convention; mirrors queries_r2h._rev_c100). Rounding is
+    half-AWAY-from-zero to match DuckDB ROUND (numpy's np.round is
+    half-to-even and diverges on exact .5 cents)."""
+    from ..functions.numeric import round_half_away
+
+    p = round_half_away(extprice * 100.0).astype(np.int64)
+    d = round_half_away(discount * 100.0).astype(np.int64)
     return p * (100 - d)
 
 
@@ -707,18 +711,15 @@ def q_events_bounce_rate(sf_dir: str):
         )
         if t.num_rows == 0:
             return empty
+        from ..functions.robust import gap_session_ids
+
         uid = np.asarray(t["user_id"].combine_chunks())
         ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
         eid = np.asarray(t["event_id"].combine_chunks())
-        order = np.lexsort((eid, ts, uid))
-        uid, ts = uid[order], ts[order]
-        n = len(uid)
-        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
-        new_sess = new_user.copy()
-        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new_sess) - 1
+        _order, uid, ts, sid = gap_session_ids(uid, ts, eid, gap_us)
         n_sess = int(sid[-1]) + 1
         sess_len = np.bincount(sid, minlength=n_sess)
+        new_sess = np.concatenate(([True], sid[1:] != sid[:-1]))
         sess_start_ts = ts[new_sess]
         days = (
             sess_start_ts.astype("datetime64[us]").astype("datetime64[D]")

@@ -267,29 +267,16 @@ def q_docs_len_outlier_mad(sf_dir: str):
         )
         if t.num_rows == 0:
             return empty
+        from ..functions.robust import mad_outlier_flags
+
         lang = np.asarray(t["lang"].combine_chunks(), dtype=object)
         nc = np.asarray(t["n_chars"].combine_chunks().cast(pa.int64()))
         ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
-        order = np.lexsort((nc, lang))
-        lang_s, nc_s, ids_s = lang[order], nc[order], ids[order]
-        seg_start = np.concatenate(([True], lang_s[1:] != lang_s[:-1]))
-        seg_id = np.cumsum(seg_start) - 1
-        starts = np.flatnonzero(seg_start)
-        ends = np.concatenate((starts[1:], [len(lang_s)]))
-        n = ends - starts
-        med_idx = starts + (-((-n) // 2) - 1)  # ceil(n/2) - 1
-        med = nc_s[med_idx][seg_id]
-        dev = np.abs(nc_s - med)
-        # MAD: median of deviations, same disc semantics — deviations
-        # sorted per segment
-        order2 = np.lexsort((dev, seg_id))
-        dev_s = dev[order2]
-        mad = dev_s[med_idx][seg_id]  # same per-segment index
-        flag = dev > MAD_K * mad
+        order, flag = mad_outlier_flags(lang, nc, MAD_K)
         return pa.table(
             {
-                "doc_id": pa.array(ids_s, pa.int64()),
-                "lang": pa.array(lang_s.astype(str), pa.string()),
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "lang": pa.array(lang[order].astype(str), pa.string()),
                 "is_len_outlier": pa.array(flag.astype(np.int64), pa.int64()),
             }
         )
@@ -324,20 +311,46 @@ def q_events_type_user_jaccard(sf_dir: str):
     exchange builds each user's type BITMASK, partitions fold to
     2^|types| combo counts (≤ 32 rows each), and the pairwise overlap
     falls out of the inclusion sums on the driver."""
+    import ray
+
     from ..sources.reads import read_parquet_sized as _r
 
     ds = _r(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
 
-    # fixed alphabetical type order defines bit positions
-    TYPES = ["click", "error", "purchase", "signup", "view"]
-    tidx = {t: i for i, t in enumerate(TYPES)}
+    # alphabetical type order defines bit positions — derived from the
+    # DATA (matching the twin's SELECT DISTINCT), via per-block distinct
+    # partials (O(|types|) rows per block, driver union bounded)
+    tparts = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "et": pa.array(
+                    np.unique(
+                        np.asarray(
+                            t["event_type"].combine_chunks(), dtype=object
+                        ).astype(str)
+                    ),
+                    pa.string(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    seen: set[str] = set()
+    for tb in ray.get(tparts.to_arrow_refs()):
+        seen.update(np.asarray(tb["et"].combine_chunks(), dtype=object))
+    TYPES = sorted(seen)
+    if len(TYPES) > 62:
+        raise ValueError("type-bitmask fold supports <= 62 event types")
+
+    tset = pa.array(TYPES, pa.string())
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         uid = np.asarray(t["user_id"].combine_chunks())
-        et = np.asarray(t["event_type"].combine_chunks(), dtype=object)
-        bits = np.array([tidx[x] for x in et], dtype=np.int64)
+        bits = np.asarray(
+            pc.index_in(t["event_type"].combine_chunks(), value_set=tset)
+            .cast(pa.int64())
+        )
         key = (uid << np.int64(8)) | bits
         uk = np.unique(key)
         return pa.table(

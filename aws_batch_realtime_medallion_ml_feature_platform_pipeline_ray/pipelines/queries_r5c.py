@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.numeric import round6
+from ..functions.numeric import round6, round_half_away
 from ..sources.reads import read_parquet_sized
 from ..sources.transcripts import (
     TRANSCRIPTS_SQL_CTE,
@@ -267,7 +267,7 @@ def q_customers_rfm_quintiles(sf_dir: str):
                 "custkey": t["o_custkey"].cast(pa.int64()),
                 "odate": t["o_orderdate"].combine_chunks().cast(pa.int64()),
                 "cents": pa.array(
-                    np.round(
+                    round_half_away(
                         np.asarray(t["o_totalprice"].combine_chunks()) * 100.0
                     ).astype(np.int64),
                     pa.int64(),
@@ -368,11 +368,11 @@ def q_lineitem_discount_elasticity(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        d = np.round(
+        d = round_half_away(
             np.asarray(t["l_discount"].combine_chunks()) * 100.0
         ).astype(np.int64)
         q = np.asarray(t["l_quantity"].combine_chunks())
-        p = np.round(
+        p = round_half_away(
             np.asarray(t["l_extendedprice"].combine_chunks()) * 100.0
         ).astype(np.int64)
         rev = p * (100 - d)
@@ -563,14 +563,12 @@ def q_events_session_depth_hist(sf_dir: str):
             return empty
         import pandas as pd
 
+        from ..functions.robust import gap_session_ids
+
         uid = np.asarray(t["user_id"].combine_chunks())
         ts = np.asarray(t["ts"].combine_chunks().cast(pa.int64()))
         eid = np.asarray(t["event_id"].combine_chunks())
-        order = np.lexsort((eid, ts, uid))
-        uid, ts = uid[order], ts[order]
-        new_sess = np.concatenate(([True], uid[1:] != uid[:-1]))
-        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new_sess) - 1
+        _order, uid, ts, sid = gap_session_ids(uid, ts, eid, gap_us)
         depth = np.bincount(sid)
         inv, uniq = pd.factorize(depth)
         return pa.table(

@@ -93,26 +93,16 @@ def q_embedding_norm_outliers(sf_dir: str):
         )
         if part.num_rows == 0:
             return empty
+        from ..functions.robust import mad_outlier_flags
+
         lab = np.asarray(part["label"].combine_chunks())
         n2 = np.asarray(part["n2"].combine_chunks())
         vid = np.asarray(part["vec_id"].combine_chunks())
-        order = np.lexsort((n2, lab))
-        lab_s, n2_s, vid_s = lab[order], n2[order], vid[order]
-        seg_start = np.concatenate(([True], lab_s[1:] != lab_s[:-1]))
-        seg_id = np.cumsum(seg_start) - 1
-        starts = np.flatnonzero(seg_start)
-        ends = np.concatenate((starts[1:], [len(lab_s)]))
-        n = ends - starts
-        med_idx = starts + (-((-n) // 2) - 1)  # ceil(n/2) - 1
-        med = n2_s[med_idx][seg_id]
-        dev = np.abs(n2_s - med)
-        order2 = np.lexsort((dev, seg_id))
-        mad = dev[order2][med_idx][seg_id]
-        flag = dev > NORM_MAD_K * mad
+        order, flag = mad_outlier_flags(lab, n2, NORM_MAD_K)
         return pa.table(
             {
-                "vec_id": pa.array(vid_s, pa.int64()),
-                "label": pa.array(lab_s, pa.int64()),
+                "vec_id": pa.array(vid[order], pa.int64()),
+                "label": pa.array(lab[order], pa.int64()),
                 "is_norm_outlier": pa.array(flag.astype(np.int64),
                                             pa.int64()),
             }

@@ -24,10 +24,7 @@ def test_decode_real_always_returns_a_codec():
         PureWAVDecoder,
     )
 
-    assert isinstance(decode_real("image"),
-                      (PurePNGDecoder, object)) and hasattr(
-        decode_real("image"), "checksum_ranges"
-    )
+    assert hasattr(decode_real("image"), "checksum_ranges")
     assert hasattr(decode_real("audio"), "checksum_ranges")
     try:
         import PIL  # noqa: F401
