@@ -139,4 +139,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r5d
 
     reg.update(queries_r5d.REGISTRY)
+    from . import queries_r5e
+
+    reg.update(queries_r5e.REGISTRY)
     return reg

@@ -107,6 +107,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "events_value_quantiles", "events_hill_tail", "events_expectations",
         "lineitem_q6_revenue", "lineitem_ship_delay_hist",
         "lineitem_discount_elasticity", "train_label_weights",
+        "events_daily_volume_anomalies", "events_peak_hour",
         "lineitem_q19_disjunctive", "events_bot_flags",
         "features_poly2", "features_hashed", "features_onehot",
         "features_bucketize", "features_minmax", "features_zscore",
@@ -189,6 +190,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "events_session_depth_hist",
         "embedding_norm_outliers", "conv_error_bursts",
         "conv_first_error", "customers_order_gap_median",
+        "docs_cross_source_dup_matrix", "conv_gap_quantiles",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [

@@ -35,6 +35,11 @@ CASES = [
     ("queries_r5d", "q_conv_error_bursts", ["conv_id"]),
     ("queries_r5d", "q_conv_first_error", ["conv_id"]),
     ("queries_r5d", "q_customers_order_gap_median", ["c_custkey"]),
+    ("queries_r5e", "q_docs_cross_source_dup_matrix",
+     ["source_a", "source_b"]),
+    ("queries_r5e", "q_events_daily_volume_anomalies", ["day"]),
+    ("queries_r5e", "q_conv_gap_quantiles", ["conv_id"]),
+    ("queries_r5e", "q_events_peak_hour", ["event_type"]),
 ]
 
 
