@@ -142,4 +142,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r5e
 
     reg.update(queries_r5e.REGISTRY)
+    from . import queries_r5f
+
+    reg.update(queries_r5f.REGISTRY)
     return reg

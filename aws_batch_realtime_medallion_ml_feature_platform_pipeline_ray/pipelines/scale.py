@@ -79,6 +79,7 @@ SCALE_PATH: dict[str, str] = {
     "events_type_value_quantiles": "fixed type domain bounds the per-type sort; distributed rank or sketch beyond one partition's memory",
     "embedding_pq_energy_by_label": "codebook broadcast is O(M*K*dim) — constant",
     "embedding_label_centroid_shift": "driver fold is O(|labels| x 2 x dim) pre-aggregated partials — constant",
+    "knn_pq_rerank": "codebook + per-query ADC tables broadcast (O(Q*M*K)); candidate folds O(Q*C); shard queries when Q large",
     "events_type_user_jaccard": "combo fold is O(2^|types|) rows; bitmask build is the one user-keyed exchange",
     "docs_len_outlier_mad": "fixed lang domain bounds the per-language sort; distributed rank beyond one partition's memory",
 }
@@ -187,7 +188,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "top_supplier_revenue",
         "conv_verbosity_trend", "docs_len_outlier_mad",
         "conv_tool_response_latency", "conv_mask_budget",
-        "events_session_depth_hist",
+        "events_session_depth_hist", "conv_role_transition_latency",
         "embedding_norm_outliers", "conv_error_bursts",
         "conv_first_error", "customers_order_gap_median",
         "docs_cross_source_dup_matrix", "conv_gap_quantiles",
@@ -221,6 +222,7 @@ _BY_CLASS: dict[str, list[str]] = {
     ],
     # ---- ray.put small side with documented bound + named fallback ----
     "broadcast-bounded": [
+        "knn_pq_rerank",
         "docs_prefix_dupes", "docs_suffix_dupes",
         "embedding_pagerank", "embedding_label_prop_step",
         "embedding_bfs_hops", "docs_ngram_jaccard", "docs_containment_pairs",

@@ -40,6 +40,9 @@ CASES = [
     ("queries_r5e", "q_events_daily_volume_anomalies", ["day"]),
     ("queries_r5e", "q_conv_gap_quantiles", ["conv_id"]),
     ("queries_r5e", "q_events_peak_hour", ["event_type"]),
+    ("queries_r5f", "q_knn_pq_rerank", ["q_id", "rank"]),
+    ("queries_r5f", "q_conv_role_transition_latency",
+     ["role_a", "role_b"]),
 ]
 
 
