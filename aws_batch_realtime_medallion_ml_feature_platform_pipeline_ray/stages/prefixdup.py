@@ -32,8 +32,12 @@ worst case — a corpus where most docs share one K-codepoint boilerplate
 head — degrades toward the r4 full-text sort for the cohort only; K=64
 makes that cohort the genuinely-suspicious near-dup set. The cohort id
 list is a driver/broadcast array (same bound contract as
-ppjoin.collect_candidates); beyond it, swap the broadcast filter for a
-doc_id cogroup — the check itself is unchanged.
+ppjoin.collect_candidates) up to ``COHORT_BROADCAST_LIMIT``; past it
+the plan AUTO-ROUTES (the ppjoin.verify_pairs routing convention) to a
+doc_id cogroup that attaches text only to cohort members — that
+fallback moves the docs table through one doc_id hash exchange (the r4
+plan's cost), never a driver-held id array. Both paths are
+output-identical (tests/test_prefixdup.py).
 
 Both outputs are value-identical to the r4 full-sort plan; the DuckDB
 twins (EXISTS starts_with / ends_with) are unchanged.
@@ -50,6 +54,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 PFX_K = 64  # codepoints of fixed-width sort key
+
+COHORT_BROADCAST_LIMIT = 20_000_000
+"""Cohort ids (int64) broadcast cap: 20 M ids ≈ 160 MB shared
+read-only per node. Past it the text attach auto-routes to the doc_id
+cogroup fallback."""
 
 _HI = "\U0010FFFF"  # sorts after any other codepoint (see caveat below)
 
@@ -74,11 +83,15 @@ def _succ_startswith(sorted_texts: pa.Array) -> np.ndarray:
 
 
 def prefix_dup_flags(docs, text_col: str, out_col: str, *,
-                     k: int = PFX_K, num_parts: int | None = None):
+                     k: int = PFX_K, num_parts: int | None = None,
+                     cohort_broadcast_limit: int = COHORT_BROADCAST_LIMIT,
+                     force_cohort_path: str | None = None):
     """(doc_id, <text_col>) dataset → (doc_id, <out_col>: int64) where 1
     marks docs whose text is a strict-or-equal prefix of ANOTHER doc's
     text. Plan per module docstring. For suffix dups, reverse the text
-    in ``docs`` first — the machinery is order-agnostic."""
+    in ``docs`` first — the machinery is order-agnostic.
+    ``force_cohort_path`` ∈ {"broadcast", "cogroup"} pins the text
+    attach plan for tests; default is the cohort-size auto-route."""
     import ray
 
     from .keyed import map_partitions_by_key
@@ -226,55 +239,106 @@ def prefix_dup_flags(docs, text_col: str, out_col: str, *,
     singles = marked.map_batches(zero_flags, batch_format="pyarrow",
                                  zero_copy_batch=True)
 
-    # cohort ids: docs sharing a K-codepoint head with another doc —
-    # bounded driver/broadcast array (collect_candidates contract)
-    cohort_parts = [
-        np.asarray(tb["doc_id"].combine_chunks())
-        for tb in ray.get(
-            marked.map_batches(
-                lambda t: pa.table(
-                    {"doc_id": t.filter(
-                        pc.equal(t["multi"].combine_chunks(),
-                                 pa.scalar(1, pa.int8()))
-                    )["doc_id"]}
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).to_arrow_refs()
-        )
-        if tb.num_rows
-    ]
-    cohort = (
-        np.sort(np.concatenate(cohort_parts))
-        if cohort_parts
-        else np.empty(0, np.int64)
+    # cohort: docs sharing a K-codepoint head with another doc
+    cohort_rows = marked.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(
+                pc.equal(t["multi"].combine_chunks(),
+                         pa.scalar(1, pa.int8()))
+            )["doc_id"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_cohort = cohort_rows.count()  # metadata on materialized
+    path = force_cohort_path or (
+        "broadcast" if n_cohort <= cohort_broadcast_limit else "cogroup"
     )
-    co_ref = ray.put(cohort)
 
-    def cohort_texts(t: pa.Table, _c=co_ref) -> pa.Table:
-        c = ray.get(_c)
-        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
-        if len(c) == 0 or len(ids) == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "pkh": pa.array([], pa.int64()),
-                 "txt": pa.array([], pa.string())}
-            )
-        pos = np.searchsorted(c, ids)
-        keep = (pos < len(c)) & (c[np.minimum(pos, len(c) - 1)] == ids)
-        kept = t.filter(pa.array(keep))
-        txt = kept[text_col].combine_chunks()
+    def _with_pk(kept_ids: pa.Array, txt) -> pa.Table:
         pk = pc.utf8_slice_codeunits(txt, 0, k)
         return pa.table(
             {
-                "doc_id": kept["doc_id"].combine_chunks().cast(pa.int64()),
+                "doc_id": kept_ids,
                 "pkh": pa.array(hash_grams(pk), pa.int64()),
                 "txt": txt,
             }
         )
 
-    ctexts = docs.map_batches(cohort_texts, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    if path == "broadcast":
+        # bounded driver/broadcast id array (collect_candidates contract)
+        cohort_parts = [
+            np.asarray(tb["doc_id"].combine_chunks())
+            for tb in ray.get(cohort_rows.to_arrow_refs())
+            if tb.num_rows
+        ]
+        cohort = (
+            np.sort(np.concatenate(cohort_parts))
+            if cohort_parts
+            else np.empty(0, np.int64)
+        )
+        co_ref = ray.put(cohort)
+
+        def cohort_texts(t: pa.Table, _c=co_ref) -> pa.Table:
+            c = ray.get(_c)
+            ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+            if len(c) == 0 or len(ids) == 0:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "pkh": pa.array([], pa.int64()),
+                     "txt": pa.array([], pa.string())}
+                )
+            pos = np.searchsorted(c, ids)
+            keep = (pos < len(c)) & (c[np.minimum(pos, len(c) - 1)] == ids)
+            kept = t.filter(pa.array(keep))
+            return _with_pk(
+                kept["doc_id"].combine_chunks().cast(pa.int64()),
+                kept[text_col].combine_chunks(),
+            )
+
+        ctexts = docs.map_batches(cohort_texts, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        # cogroup fallback: attach text to cohort members through one
+        # doc_id hash exchange — no driver/broadcast id array; cost =
+        # the r4 plan's one text exchange, paid only in the
+        # pathological every-doc-shares-a-head regime
+        from .keyed import cogroup_by_key
+
+        dtext = docs.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                    "txt": t[text_col].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def attach_text(refs: pa.Table, dpart: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "pkh": pa.array([], pa.int64()),
+                 "txt": pa.array([], pa.string())}
+            )
+            if refs.num_rows == 0 or dpart.num_rows == 0:
+                return empty
+            idx = pc.index_in(
+                refs["doc_id"], value_set=dpart["doc_id"].combine_chunks()
+            ).combine_chunks()
+            keep = pc.is_valid(idx)
+            if not pc.any(keep).as_py():
+                return empty
+            taken = idx.filter(keep)
+            kept_refs = refs.filter(keep)
+            return _with_pk(
+                kept_refs["doc_id"].combine_chunks().cast(pa.int64()),
+                dpart["txt"].combine_chunks().take(taken),
+            )
+
+        ctexts = cogroup_by_key(cohort_rows, dtext, "doc_id", attach_text,
+                                num_parts=num_parts)
 
     def group_flags(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:

@@ -91,3 +91,51 @@ def test_equal_run_spanning_blocks(ray_session):
     # an equal-text run larger than any single block
     texts = ["same text " * 3] * 10 + ["other"]
     assert _run(texts, blocks=5) == _brute(texts)
+
+
+@pytest.mark.parametrize("path", ["broadcast", "cogroup"])
+def test_cohort_paths_identical(ray_session, path):
+    """The broadcast cohort filter and the doc_id-cogroup fallback must
+    flag identically (auto-route safety)."""
+    import ray.data as rd
+
+    texts = [
+        BASE + "alpha", BASE + "alpha tail", BASE + "beta",
+        "y" * PFX_K + "solo", "z" * (PFX_K + 5), "z" * (PFX_K + 5),
+        "short", "short and longer",
+    ]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+    ).repartition(3)
+    got = (
+        prefix_dup_flags(ds, "text", "flag", num_parts=4,
+                         force_cohort_path=path)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["flag"].tolist() == _brute(texts)
+
+
+def test_cohort_auto_route_zero_limit(ray_session):
+    """cohort_broadcast_limit=0 must take the cogroup plan and still
+    match brute force."""
+    import ray.data as rd
+
+    texts = [BASE + "a", BASE + "a plus", BASE + "b", "tiny"]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+    )
+    got = (
+        prefix_dup_flags(ds, "text", "flag", num_parts=4,
+                         cohort_broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["flag"].tolist() == _brute(texts)
