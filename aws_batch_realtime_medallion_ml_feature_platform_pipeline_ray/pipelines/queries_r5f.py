@@ -129,7 +129,35 @@ def q_knn_pq_rerank(sf_dir: str):
 
     partials = emb.map_batches(pass_a, batch_format="pyarrow",
                                zero_copy_batch=True)
-    tbls = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+
+    def reduce_topc(part: pa.Table) -> pa.Table:
+        """q_id-keyed reduce of per-block partials to the exact global
+        top-C per query — the per-block collect stays O(Q·C), never
+        O(#blocks·Q·C) on the driver."""
+        empty = pa.table(
+            {"q_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        pq_ = np.asarray(part["q_id"].combine_chunks())
+        pv = np.asarray(part["vec_id"].combine_chunks())
+        ps = np.asarray(part["adc"].combine_chunks())
+        order = np.lexsort((pv, ps, pq_))
+        pq_s, pv_s = pq_[order], pv[order]
+        seg_start = np.concatenate(([True], pq_s[1:] != pq_s[:-1]))
+        pos = np.arange(len(pq_s)) - np.maximum.accumulate(
+            np.where(seg_start, np.arange(len(pq_s)), 0)
+        )
+        keep = pos < PQR_CAND
+        return pa.table(
+            {"q_id": pa.array(pq_s[keep], pa.int64()),
+             "vec_id": pa.array(pv_s[keep], pa.int64())}
+        )
+
+    cand = map_partitions_by_key(partials, "q_id", reduce_topc,
+                                 num_parts=NUM_PARTS)
+    tbls = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
     empty_out = pa.table(
         {"q_id": pa.array([], pa.int64()),
          "vec_id": pa.array([], pa.int64()),
@@ -138,18 +166,9 @@ def q_knn_pq_rerank(sf_dir: str):
     )
     if not tbls:
         return rd.from_arrow(empty_out)
-    allp = pa.concat_tables(tbls)  # ≤ blocks × Q × C rows
-    pq_ = np.asarray(allp["q_id"].combine_chunks())
-    pv = np.asarray(allp["vec_id"].combine_chunks())
-    ps = np.asarray(allp["adc"].combine_chunks())
-    cand_q, cand_v = [], []
-    for qi, qid in enumerate(q_ids):
-        m = pq_ == qid
-        order = np.lexsort((pv[m], ps[m]))[:PQR_CAND]
-        cand_q.append(np.full(len(order), qid, np.int64))
-        cand_v.append(pv[m][order])
-    cq_ids = np.concatenate(cand_q)
-    cv_ids = np.concatenate(cand_v)
+    allp = pa.concat_tables(tbls)  # ≤ Q × C rows
+    cq_ids = np.asarray(allp["q_id"].combine_chunks())
+    cv_ids = np.asarray(allp["vec_id"].combine_chunks())
     # pass B: exact quantized L2^2 over full vectors of the candidates
     cand_sorted = np.unique(cv_ids)
     pairs_ref = ray.put((cand_sorted, cq_ids, cv_ids, qq, q_ids))
