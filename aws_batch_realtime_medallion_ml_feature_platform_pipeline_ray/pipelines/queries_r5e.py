@@ -68,7 +68,7 @@ def q_docs_cross_source_dup_matrix(sf_dir: str):
         )
 
     docs = read_parquet_sized(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
     ).map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
 
     def pair_partials(part: pa.Table) -> pa.Table:
@@ -93,21 +93,21 @@ def q_docs_cross_source_dup_matrix(sf_dir: str):
         order = np.argsort(suniq.astype(str))
         suniq_sorted = suniq[order].astype(str)
         cnt = cnt[:, order]
+        # one Gram matmul: cross totals = G[i,j], within = (G[i,i]-c_i)/2
+        G = cnt.T @ cnt
+        csum = cnt.sum(axis=0)
         rows_a, rows_b, rows_c = [], [], []
         for i in range(s):
-            ci = cnt[:, i]
-            within = (ci * (ci - 1)) // 2
-            tot = int(within.sum())
-            if tot:
+            within = int((G[i, i] - csum[i]) // 2)
+            if within:
                 rows_a.append(suniq_sorted[i])
                 rows_b.append(suniq_sorted[i])
-                rows_c.append(tot)
+                rows_c.append(within)
             for j in range(i + 1, s):
-                tot = int((ci * cnt[:, j]).sum())
-                if tot:
+                if G[i, j]:
                     rows_a.append(suniq_sorted[i])
                     rows_b.append(suniq_sorted[j])
-                    rows_c.append(tot)
+                    rows_c.append(int(G[i, j]))
         return pa.table(
             {
                 "source_a": pa.array(rows_a, pa.string()),

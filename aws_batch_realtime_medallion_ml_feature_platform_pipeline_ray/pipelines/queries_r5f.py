@@ -68,11 +68,19 @@ def q_knn_pq_rerank(sf_dir: str):
     M = len(bounds)
     K = cq.shape[0]
 
+    empty_out = pa.table(
+        {"q_id": pa.array([], pa.int64()),
+         "vec_id": pa.array([], pa.int64()),
+         "rank": pa.array([], pa.int64()),
+         "dist2": pa.array([], pa.int64())}
+    )
     qt = (
         emb.filter(expr=f"vec_id < {PQR_QUERIES}")
         .to_pandas()
         .sort_values("vec_id", ignore_index=True)
     )
+    if len(qt) == 0:
+        return rd.from_arrow(empty_out)
     q_ids = qt["vec_id"].to_numpy(np.int64)
     qmat = np.stack([np.asarray(v, np.float64) for v in qt["embedding"]])
     qq = np.floor(qmat * PQ_QSCALE + 0.5).astype(np.int64)  # (Q, d)
@@ -158,12 +166,6 @@ def q_knn_pq_rerank(sf_dir: str):
     cand = map_partitions_by_key(partials, "q_id", reduce_topc,
                                  num_parts=NUM_PARTS)
     tbls = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
-    empty_out = pa.table(
-        {"q_id": pa.array([], pa.int64()),
-         "vec_id": pa.array([], pa.int64()),
-         "rank": pa.array([], pa.int64()),
-         "dist2": pa.array([], pa.int64())}
-    )
     if not tbls:
         return rd.from_arrow(empty_out)
     allp = pa.concat_tables(tbls)  # ≤ Q × C rows

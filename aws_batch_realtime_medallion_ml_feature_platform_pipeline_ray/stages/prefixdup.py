@@ -250,6 +250,8 @@ def prefix_dup_flags(docs, text_col: str, out_col: str, *,
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+    if force_cohort_path not in (None, "broadcast", "cogroup"):
+        raise ValueError(f"unknown cohort path {force_cohort_path!r}")
     n_cohort = cohort_rows.count()  # metadata on materialized
     path = force_cohort_path or (
         "broadcast" if n_cohort <= cohort_broadcast_limit else "cogroup"
