@@ -145,4 +145,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r5f
 
     reg.update(queries_r5f.REGISTRY)
+    from . import queries_r5g
+
+    reg.update(queries_r5g.REGISTRY)
     return reg

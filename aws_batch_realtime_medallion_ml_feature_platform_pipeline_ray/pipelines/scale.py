@@ -109,6 +109,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "lineitem_q6_revenue", "lineitem_ship_delay_hist",
         "lineitem_discount_elasticity", "train_label_weights",
         "events_daily_volume_anomalies", "events_peak_hour",
+        "orders_weekday_seasonality",
         "lineitem_q19_disjunctive", "events_bot_flags",
         "features_poly2", "features_hashed", "features_onehot",
         "features_bucketize", "features_minmax", "features_zscore",
@@ -192,6 +193,8 @@ _BY_CLASS: dict[str, list[str]] = {
         "embedding_norm_outliers", "conv_error_bursts",
         "conv_first_error", "customers_order_gap_median",
         "docs_cross_source_dup_matrix", "conv_gap_quantiles",
+        "train_split_contamination", "events_lifecycle_stages",
+        "conv_tool_bigrams",
     ],
     # ---- fixed small number of keyed exchanges ----
     "multi-exchange": [
@@ -213,6 +216,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "orders_q3_unshipped", "orders_q4_late_exists",
         "conv_roleseq_dupes", "events_type_user_jaccard",
         "customers_rfm_quintiles", "suppliers_ship_delay_median",
+        "segments_revenue_share",
     ],
     # ---- bounded-round iterations ----
     "iterative": [

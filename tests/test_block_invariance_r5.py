@@ -43,6 +43,11 @@ CASES = [
     ("queries_r5f", "q_knn_pq_rerank", ["q_id", "rank"]),
     ("queries_r5f", "q_conv_role_transition_latency",
      ["role_a", "role_b"]),
+    ("queries_r5g", "q_train_split_contamination", ["source"]),
+    ("queries_r5g", "q_events_lifecycle_stages", ["stage"]),
+    ("queries_r5g", "q_conv_tool_bigrams", ["tool_a", "tool_b"]),
+    ("queries_r5g", "q_segments_revenue_share", ["c_mktsegment"]),
+    ("queries_r5g", "q_orders_weekday_seasonality", ["dow"]),
 ]
 
 
