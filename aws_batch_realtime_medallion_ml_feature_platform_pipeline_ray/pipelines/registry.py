@@ -148,4 +148,7 @@ def full_registry() -> dict[str, tuple]:
     from . import queries_r5g
 
     reg.update(queries_r5g.REGISTRY)
+    from . import queries_r5h
+
+    reg.update(queries_r5h.REGISTRY)
     return reg

@@ -109,7 +109,8 @@ _BY_CLASS: dict[str, list[str]] = {
         "lineitem_q6_revenue", "lineitem_ship_delay_hist",
         "lineitem_discount_elasticity", "train_label_weights",
         "events_daily_volume_anomalies", "events_peak_hour",
-        "orders_weekday_seasonality",
+        "orders_weekday_seasonality", "parts_size_price_profile",
+        "events_type_dow_heatmap", "suppliers_nation_balance",
         "lineitem_q19_disjunctive", "events_bot_flags",
         "features_poly2", "features_hashed", "features_onehot",
         "features_bucketize", "features_minmax", "features_zscore",
@@ -216,7 +217,7 @@ _BY_CLASS: dict[str, list[str]] = {
         "orders_q3_unshipped", "orders_q4_late_exists",
         "conv_roleseq_dupes", "events_type_user_jaccard",
         "customers_rfm_quintiles", "suppliers_ship_delay_median",
-        "segments_revenue_share",
+        "segments_revenue_share", "docs_tercile_length_bias",
     ],
     # ---- bounded-round iterations ----
     "iterative": [

@@ -48,6 +48,10 @@ CASES = [
     ("queries_r5g", "q_conv_tool_bigrams", ["tool_a", "tool_b"]),
     ("queries_r5g", "q_segments_revenue_share", ["c_mktsegment"]),
     ("queries_r5g", "q_orders_weekday_seasonality", ["dow"]),
+    ("queries_r5h", "q_docs_tercile_length_bias", ["bucket"]),
+    ("queries_r5h", "q_parts_size_price_profile", ["p_size"]),
+    ("queries_r5h", "q_events_type_dow_heatmap", ["event_type", "dow"]),
+    ("queries_r5h", "q_suppliers_nation_balance", ["n_name"]),
 ]
 
 
